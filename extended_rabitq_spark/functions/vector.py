@@ -1,0 +1,93 @@
+"""Vector scalar functions as Spark SQL expression text (P1-P9 of SURVEY §2.2).
+
+Everything here is a *pure column expression* — it stays inside Catalyst /
+whole-stage codegen (no Python in the hot path), so filters containing these
+expressions still push down and the plans survive a 100× scale-up.
+
+Distance kernels mirror ``inc/utils/space.hpp:18-99`` (L2Sqr / IP).  All
+arithmetic is DOUBLE, folded strictly left-to-right so the DuckDB oracle
+(`extended_rabitq_spark.oracle`) reproduces the sums bitwise: float→double
+conversion is exact and IEEE addition is deterministic for a fixed order.
+
+Each builder takes SQL *text* fragments for the operand columns and returns
+SQL text; wrap with ``F.expr(...)`` in DataFrame code.
+"""
+
+from __future__ import annotations
+
+
+def l2sq(a: str, b: str) -> str:
+    """Squared L2 distance (``L2Sqr``, inc/utils/space.hpp:18-47)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def dot(a: str, b: str) -> str:
+    """Inner product (``IP``, inc/utils/space.hpp:49-99)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def vec_sum(a: str) -> str:
+    """Σ x[i] (inc/utils/space.hpp:530-557)."""
+    return f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE))"
+
+
+def norm(a: str) -> str:
+    """Euclidean norm ‖x‖."""
+    return f"sqrt({l2sq_self(a)})"
+
+
+def l2sq_self(a: str) -> str:
+    """‖x‖² as a self-dot (kept separate so text matches oracle exactly)."""
+    return (
+        f"aggregate({a}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+
+
+def cosine_sim(a: str, b: str) -> str:
+    """Cosine similarity ⟨a,b⟩ / (‖a‖‖b‖) — the reference supports cosine by
+    L2-normalizing inputs first (python/utils/preprocess.py:3-5); we expose it
+    directly as the idiomatic Spark expression."""
+    return f"({dot(a, b)}) / (sqrt({l2sq_self(a)}) * sqrt({l2sq_self(b)}))"
+
+
+def pad(a: str, target_dim: int, dim: int) -> str:
+    """Zero-pad to the next multiple of 64 (P1, inc/utils/tools.hpp:8-14)."""
+    if target_dim == dim:
+        return a
+    return f"concat({a}, array_repeat(CAST(0.0 AS FLOAT), {target_dim - dim}))"
+
+
+def sub(a: str, b: str) -> str:
+    """Element-wise a−b in DOUBLE (residual P3, inc/index/Quantizer.hpp:344-350)."""
+    return f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+
+
+def l2_normalize(a: str) -> str:
+    """x/‖x‖ with the reference's zero-norm fallback: a zero vector maps to
+    the constant 1/√D vector (inc/utils/space.hpp:749-778)."""
+    n = norm(a)
+    return (
+        f"CASE WHEN {n} < 1e-20 THEN transform({a}, x -> 1.0 / sqrt(CAST(size({a}) AS DOUBLE))) "
+        f"ELSE transform({a}, x -> CAST(x AS DOUBLE) / {n}) END"
+    )
+
+
+def sign_bits(a: str) -> str:
+    """1-bit sign binarization: bit = (x > 0) (P5, inc/index/Quantizer.hpp:356-361).
+
+    Exact zeros get bit 0 (strict ``>``)."""
+    return f"transform({a}, x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS INT))"
+
+
+def popcount(a: str) -> str:
+    """Number of 1-bits = Σ bits (P9, inc/utils/space.hpp:562-569)."""
+    return f"CAST(aggregate({sign_bits(a)}, 0, (acc, v) -> acc + v) AS BIGINT)"

@@ -1,0 +1,137 @@
+"""Exact K-nearest-neighbor operators (SURVEY §2.3 J1, §2.5 W3/W4).
+
+The reference computes exact ground truth as a nested-loop cross product +
+per-query argsort (``python/compute_gt.py:12-19``) and collects top-k per
+query in a bounded sorted pool (``inc/index/Pool.hpp:15-49``).
+
+Two Spark physical strategies:
+
+- :func:`exact_knn` — declarative: broadcast the (small) query side into a
+  cross join, distance expression, ``row_number()`` window.  Catalyst picks
+  BroadcastNestedLoopJoin; whole-stage codegen covers the distance.  This
+  is the oracle-checked form.
+
+- :func:`exact_knn_combined` — scale form: map-side partial top-k.  Each
+  input partition of the base reduces to ≤ NQ·k candidate rows *before*
+  the shuffle (the manual analog of partial aggregation), then one cheap
+  global window finishes.  On 100 TB this turns an N·NQ-row shuffle into a
+  (#partitions·NQ·k)-row shuffle.  Arrow-batched numpy does the distance
+  blocks (the analog of the reference's 32-at-a-time FastScan batching,
+  ``inc/index/fastscan/FastScan.hpp``).
+
+Tie-breaking is ``ORDER BY dist, id`` — a deterministic total order; the
+reference keeps first-inserted on exact ties (SURVEY §4.2.1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+_METRIC_EXPRS = {
+    "l2": V.l2sq,
+    "ip": lambda a, b: f"-({V.dot(a, b)})",  # max-IP as min of negated IP
+    "cosine": lambda a, b: f"1.0 - ({V.cosine_sim(a, b)})",
+}
+
+
+def distance_col(metric: str, a: str, b: str) -> F.Column:
+    return F.expr(_METRIC_EXPRS[metric](a, b))
+
+
+def exact_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str = "l2",
+    qid: str = "qid",
+    qvec: str = "qvec",
+    id_: str = "id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Declarative exact KNN → (qid, rank, id, dist).
+
+    queries: (qid, qvec); base: (id, vec).  Output dist is the *squared* L2
+    (the reference compares squared distances throughout, taking sqrt only
+    in the ratio metric, inc/utils/tools.hpp:28-40).
+    """
+    pairs = base.crossJoin(F.broadcast(queries))
+    dist = distance_col(metric, qvec, vec)
+    w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(id_).asc())
+    return (
+        pairs.select(F.col(qid), F.col(id_), dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(qid, "rank", id_, "dist")
+    )
+
+
+def exact_knn_combined(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str = "l2",
+    qid: str = "qid",
+    qvec: str = "qvec",
+    id_: str = "id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Scale-path exact KNN with map-side partial top-k (see module doc).
+
+    Semantically identical to :func:`exact_knn` (same distances, same
+    tie-break); verified against it in tests/test_knn.py.
+    """
+    q_rows = queries.select(qid, qvec).collect()  # NQ is small by contract
+    if not q_rows:
+        schema = "qid long, rank long, id long, dist double"
+        return base.sparkSession.createDataFrame([], schema)
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    sc = base.sparkSession.sparkContext
+    b_qids, b_qmat = sc.broadcast(qids), sc.broadcast(qmat)
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Q = b_qmat.value  # NQ × D
+        QID = b_qids.value
+        q_sq = (Q * Q).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec].tolist(), dtype=np.float64)  # B × D
+            ids = pdf[id_].to_numpy(dtype=np.int64)
+            if metric == "l2":
+                d = q_sq[:, None] + (X * X).sum(axis=1)[None, :] - 2.0 * (Q @ X.T)
+            elif metric == "ip":
+                d = -(Q @ X.T)
+            else:  # cosine distance
+                xn = np.sqrt((X * X).sum(axis=1))
+                d = 1.0 - (Q @ X.T) / (np.sqrt(q_sq)[:, None] * xn[None, :])
+            kk = min(k, d.shape[1])
+            # per-query local top-k (argpartition = the bounded pool)
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            out_qid = np.repeat(QID, kk)
+            out_id = ids[part.ravel()]
+            out_d = np.take_along_axis(d, part, axis=1).ravel()
+            yield pd.DataFrame({"qid": out_qid, "id": out_id, "dist_np": out_d})
+
+    cand = base.select(id_, vec).mapInPandas(partial_topk, "qid long, id long, dist_np double")
+    # Recompute the distance declaratively on the tiny candidate set so the
+    # final output is bit-identical to exact_knn (numpy's BLAS-order sums
+    # differ in low bits; they only *select* candidates, never score them).
+    cand = (
+        cand.join(base.select(id_, vec), on=id_, how="inner")
+        .join(F.broadcast(queries.select(qid, qvec)), on=qid, how="inner")
+        .select(F.col(qid), F.col(id_), distance_col(metric, qvec, vec).alias("dist"))
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(id_).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(qid, "rank", id_, "dist")
+    )
