@@ -1,0 +1,157 @@
+"""IVF (inverted-file) coarse partitioning operators (SURVEY §2.3 J2/J3,
+§2.4 A1/A2, §2.5 W1).
+
+The reference trains K-means with faiss (``python/ivf.py:26-35``), assigns
+each base vector to its nearest centroid, and at query time scans only the
+``nprobe`` clusters whose centroids are nearest to the query
+(``inc/index/Initializer.hpp:55-68``, ``inc/index/IVF.hpp:313-321``).
+
+Spark mapping — the core scale story of this engine:
+
+- centroids are tiny (K ≤ 4096): always ``broadcast()``;
+- cluster assignment is a broadcast theta-join + per-id argmin window;
+- the index is a DataFrame *partitioned by* ``cluster_id``
+  (``write.partitionBy``) so the probe join prunes partitions — Spark's
+  partition pruning is the exact analog of the reference's
+  pointer-sliced cluster views (``inc/index/Cluster.hpp:15-58``);
+- probe selection is a per-query top-nprobe window over the broadcast
+  centroid table (exact; the reference's HNSW shortcut W2 is an
+  approximation we deliberately skip, SURVEY §4.2.3).
+
+Two centroid providers:
+
+- :func:`label_centroids` — deterministic, SQL-expressible (per-label mean,
+  rounded to 6 decimals so Spark and DuckDB agree bitwise downstream);
+  fills the role of the precomputed-centroids fixture (FIXTURES.md).
+- :func:`kmeans_centroids` — MLlib KMeans (A2), the production path
+  (iterative → rows-only oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .knn import distance_col
+
+
+def label_centroids(base: DataFrame, vec: str = "embedding", label: str = "label") -> DataFrame:
+    """Per-label mean vector → (cluster_id INT, centroid ARRAY<DOUBLE>).
+
+    Rounding to 6 decimals makes the centroid values exactly reproducible
+    across engines (partial-agg sum order perturbs ~1e-15; the rounding
+    grid is 9 orders of magnitude coarser), so every downstream distance
+    computed from them matches bitwise.
+    """
+    exploded = base.select(F.col(label), F.posexplode(F.col(vec)).alias("pos", "val"))
+    per_dim = exploded.groupBy(label, "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
+    )
+    return (
+        per_dim.groupBy(label)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col(label).cast("int").alias("cluster_id"),
+            F.expr("transform(pc, x -> x.c)").alias("centroid"),
+        )
+    )
+
+
+def kmeans_centroids(
+    base: DataFrame, k: int, vec: str = "embedding", seed: int = 42, max_iter: int = 20
+) -> DataFrame:
+    """A2: Lloyd's K-means via MLlib (reference delegates to faiss
+    ``IVF{K},Flat`` train, python/ivf.py:26-29).  MLlib does the
+    partial/final aggregation tree internally — this is the scalable
+    trainer for real corpora."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = base.select(F.col(vec).alias("_arr")).withColumn("features", array_to_vector("_arr"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(feat)
+    spark = base.sparkSession
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(cents, "cluster_id int, centroid array<double>")
+
+
+def assign_clusters(
+    base: DataFrame,
+    centroids: DataFrame,
+    id_: str = "id",
+    vec: str = "vec",
+    metric: str = "l2",
+) -> DataFrame:
+    """J2 argmin join: each vector → nearest centroid.
+
+    Broadcast nested-loop against the small centroid table, then a
+    per-id argmin (`row_number` over dist with cluster_id tie-break —
+    deterministic, unlike the reference's faiss internal order).
+    Output: (id, vec, cluster_id).
+    """
+    pairs = base.crossJoin(F.broadcast(centroids))
+    dist = distance_col(metric, vec, "centroid")
+    w = Window.partitionBy(id_).orderBy(F.col("_adist").asc(), F.col("cluster_id").asc())
+    return (
+        pairs.select(F.col(id_), F.col(vec), F.col("cluster_id"), dist.alias("_adist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_, vec, "cluster_id")
+    )
+
+
+def select_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    qid: str = "qid",
+    qvec: str = "qvec",
+    metric: str = "l2",
+) -> DataFrame:
+    """W1: top-nprobe nearest centroids per query
+    (inc/index/Initializer.hpp:55-68 partial-sort, as a window).
+    Output: (qid, probe_rank, cluster_id, cdist)."""
+    pairs = queries.crossJoin(F.broadcast(centroids))
+    dist = distance_col(metric, qvec, "centroid")
+    w = Window.partitionBy(qid).orderBy(F.col("cdist").asc(), F.col("cluster_id").asc())
+    return (
+        pairs.select(F.col(qid), F.col("cluster_id"), dist.alias("cdist"))
+        .withColumn("probe_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("probe_rank") <= nprobe)
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    indexed_base: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    k: int,
+    qid: str = "qid",
+    qvec: str = "qvec",
+    id_: str = "id",
+    vec: str = "vec",
+    metric: str = "l2",
+) -> DataFrame:
+    """J3 probe join + exact re-rank + W3 top-k.
+
+    ``indexed_base`` must carry ``cluster_id`` (from :func:`assign_clusters`
+    or an index load).  The probe list is an equi-join key on
+    ``cluster_id``: on a partitioned index parquet this compiles to
+    partition pruning / DPP, the Spark analog of the reference scanning
+    only probed clusters (inc/index/IVF.hpp:313-321).
+    Output: (qid, rank, id, dist).
+    """
+    probes = select_probes(queries, centroids, nprobe, qid=qid, qvec=qvec, metric=metric)
+    cand = indexed_base.join(
+        F.broadcast(probes.select(qid, "cluster_id")), on="cluster_id", how="inner"
+    ).join(F.broadcast(queries.select(qid, qvec)), on=qid, how="inner")
+    dist = distance_col(metric, qvec, vec)
+    w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(id_).asc())
+    return (
+        cand.select(F.col(qid), F.col(id_), dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(qid, "rank", id_, "dist")
+    )

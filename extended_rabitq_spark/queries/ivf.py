@@ -1,0 +1,165 @@
+"""IVF registered queries + DuckDB oracles (SURVEY §2.3 J2/J3/J4/J5,
+§2.4 A1, §2.5 W1).
+
+One shared WITH-block builder keeps the oracle pipeline textually parallel
+to the Spark operators: label-mean centroids (rounded → cross-engine
+bitwise determinism) → argmin assignment → top-nprobe probes → probe join
+→ top-k → recall/ratio metrics vs the exact-KNN ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import oracle as O
+from .. import metrics
+from ..operators import ivf, knn
+from ..registry import register
+from ..tables import NQ
+from .ann import K, _base_df, _queries_df
+
+NPROBE = 3
+
+
+def _ivf_ctes(nprobe: int = NPROBE, k: int = K) -> str:
+    """Shared DuckDB CTE pipeline mirroring the Spark operator chain."""
+    return f"""
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {NQ}),
+b AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= {NQ}),
+ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
+       FROM embeddings WHERE vec_id >= {NQ}),
+pd AS (SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS c FROM ex GROUP BY label, pos),
+cent AS (SELECT CAST(label AS INT) AS cluster_id, list(c ORDER BY pos) AS centroid
+         FROM pd GROUP BY label),
+ad AS (SELECT b.id, b.vec, c.cluster_id, {O.l2sq('b.vec', 'c.centroid')} AS adist
+       FROM b CROSS JOIN cent c),
+asn AS (SELECT id, vec, cluster_id FROM
+        (SELECT *, row_number() OVER (PARTITION BY id ORDER BY adist, cluster_id) AS rn FROM ad)
+        WHERE rn = 1),
+pb AS (SELECT qid, cluster_id, cdist,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY cdist, cluster_id) AS BIGINT)
+                AS probe_rank
+       FROM (SELECT q.qid, c.cluster_id, {O.l2sq('q.qvec', 'c.centroid')} AS cdist
+             FROM q CROSS JOIN cent c)),
+probes AS (SELECT * FROM pb WHERE probe_rank <= {nprobe}),
+cand AS (SELECT p.qid, a.id, {O.l2sq('q2.qvec', 'a.vec')} AS dist
+         FROM asn a JOIN probes p ON a.cluster_id = p.cluster_id
+                    JOIN q q2 ON q2.qid = p.qid),
+ivf AS (SELECT qid, id, dist,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS BIGINT) AS rank
+        FROM cand),
+gtd AS (SELECT q.qid, b.id, {O.l2sq('q.qvec', 'b.vec')} AS dist FROM b CROSS JOIN q),
+gt AS (SELECT qid, id, dist,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS BIGINT) AS rank
+       FROM gtd)"""
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import base_vectors
+
+    return ivf.label_centroids(base_vectors(spark, sf_dir))
+
+
+_CENTROID_ORACLE = f"""
+WITH {_ivf_ctes()}
+SELECT CAST(label AS INT) AS cluster_id, CAST(pos AS INT) AS pos, c FROM pd
+"""
+
+
+@register("ivf_centroids", _CENTROID_ORACLE)
+def ivf_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 stand-in: deterministic per-label mean centroids, exploded to
+    (cluster_id, pos, c) scalars for hash-stable comparison."""
+    cents = _centroids(spark, sf_dir)
+    return cents.select(
+        "cluster_id", F.posexplode("centroid").alias("pos", "c")
+    ).select("cluster_id", F.col("pos").cast("int").alias("pos"), "c")
+
+
+_ASSIGN_ORACLE = f"""
+WITH {_ivf_ctes()}
+SELECT id, cluster_id FROM asn
+"""
+
+
+@register("ivf_assign", _ASSIGN_ORACLE)
+def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 argmin cluster assignment (python/ivf.py:30-34)."""
+    asn = ivf.assign_clusters(_base_df(spark, sf_dir), _centroids(spark, sf_dir))
+    return asn.select("id", "cluster_id")
+
+
+_PROBES_ORACLE = f"""
+WITH {_ivf_ctes()}
+SELECT qid, probe_rank, cluster_id, round(cdist, 6) AS cdist_r FROM probes
+"""
+
+
+@register("ivf_probes", _PROBES_ORACLE)
+def ivf_probes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 top-nprobe centroid selection (inc/index/Initializer.hpp:55-68)."""
+    pr = ivf.select_probes(_queries_df(spark, sf_dir), _centroids(spark, sf_dir), NPROBE)
+    return pr.select("qid", "probe_rank", "cluster_id", F.round("cdist", 6).alias("cdist_r"))
+
+
+_KNN_IVF_ORACLE = f"""
+WITH {_ivf_ctes()}
+SELECT qid, rank, id, dist FROM ivf WHERE rank <= {K}
+"""
+
+
+@register("knn_ivf", _KNN_IVF_ORACLE)
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 full IVF search: probe join (partition-prunable equi-join) +
+    exact distance + top-k (inc/index/IVF.hpp:295-325 without
+    quantization)."""
+    base = _base_df(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    indexed = ivf.assign_clusters(base, cents)
+    return ivf.ivf_search(_queries_df(spark, sf_dir), indexed, cents, NPROBE, K)
+
+
+_RECALL_ORACLE = f"""
+WITH {_ivf_ctes()}
+SELECT g.qid,
+       round(CAST(count(i.id) AS DOUBLE) / {K}, 6) AS recall
+FROM (SELECT qid, id FROM gt WHERE rank <= {K}) g
+LEFT JOIN (SELECT qid, id FROM ivf WHERE rank <= {K}) i
+  ON g.qid = i.qid AND g.id = i.id
+GROUP BY g.qid
+"""
+
+
+@register("ivf_recall", _RECALL_ORACLE)
+def ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 recall@k of IVF vs exact ground truth (src/test_search.cpp:113-120)."""
+    base, qs = _base_df(spark, sf_dir), _queries_df(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    indexed = ivf.assign_clusters(base, cents)
+    res = ivf.ivf_search(qs, indexed, cents, NPROBE, K)
+    gt = knn.exact_knn(qs, base, k=K)
+    return metrics.recall_per_query(res, gt, K)
+
+
+_RATIO_ORACLE = f"""
+WITH {_ivf_ctes()}
+SELECT qid, round(avg(sqrt(ann_d2 / gt_d2)), 6) AS ratio
+FROM (SELECT i.qid, i.dist AS ann_d2, g.dist AS gt_d2
+      FROM (SELECT * FROM ivf WHERE rank <= {K}) i
+      JOIN (SELECT * FROM gt WHERE rank <= {K}) g USING (qid, rank)
+      WHERE g.dist > 1e-5)
+GROUP BY qid
+"""
+
+
+@register("ivf_ratio", _RATIO_ORACLE)
+def ivf_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 average distance ratio (inc/utils/tools.hpp:16-51, incl. the
+    gt>1e-5 guard at :39)."""
+    base, qs = _base_df(spark, sf_dir), _queries_df(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    indexed = ivf.assign_clusters(base, cents)
+    res = ivf.ivf_search(qs, indexed, cents, NPROBE, K)
+    gt = knn.exact_knn(qs, base, k=K)
+    return metrics.ratio_per_query(res, gt, K)
