@@ -1,0 +1,377 @@
+"""RaBitQ + Extended-RaBitQ quantization operators (SURVEY §2.7).
+
+Clean-room implementation of the published algorithms (RaBitQ:
+arXiv 2405.12497; extended multi-bit codes: arXiv 2409.09913 — the papers
+the reference cites in its README).  Reference parity citations are to
+behavior, not code: build pipeline ``inc/index/Quantizer.hpp:233-311``,
+estimators ``inc/index/Searcher.hpp:192-233``.
+
+Math (all on *rotated residuals*; P is a seeded random orthonormal D×D):
+
+  r  = P·(pad(x) − pad(c))        data residual      (P2/P3)
+  o  = r / ‖r‖                    unit residual      (P4)
+  bit[j] = o[j] > 0               1-bit code         (P5/Q1)
+  code[j] ∈ [0, 2^B−1]            combined sign+magnitude code (Q2+Q3):
+      s[j] = code[j] + 0.5 − 2^(B−1)   reconstruction, symmetric in ±
+      (B=1 degenerates to s[j] = ±0.5 — plain RaBitQ sign code)
+
+  The magnitude grid scale t is chosen per vector to maximize
+  ⟨s, o⟩ / ‖s‖ by sweeping every breakpoint t = (c+1)/|o[j]| in
+  ascending order with O(1) incremental updates (the fast_quantize
+  sweep, behaviorally matching inc/index/Quantizer.hpp:138-219).
+
+  Query:  qr = P·(pad(q) − pad(c)),  y2 = ‖qr‖²,  per candidate:
+    ⟨s, qr⟩ = Σ s[j]·qr[j]
+    est     = x2 + y2 − f_ip_ex·⟨s, qr⟩          (unbiased estimate)
+    lb      = est − f_err·√y2                     (error lower bound)
+  with per-row factors computed at build time:
+    x2      = ‖r‖²
+    f_ip_ex = 2·√x2 / ⟨s, o⟩                      (A4 re-scale factor)
+    f_err   = 2·√x2 · √((1−X0²)/X0²) / √(D−1)     (A3 error bound,
+              X0 = ⟨s,o⟩/‖s‖; non-finite → X0:=0.8 like
+              inc/index/Quantizer.hpp:417-420)
+
+Two-phase search (§4.2.2): rank candidates per query by the *1-bit* lower
+bound, keep top γ·k, re-rank those with the full B-bit code, final top-k.
+The reference's sequential ``distk`` threshold (inc/index/Pool.hpp:28-31)
+becomes a rank cut — a superset at γ≥1, so quality ≥ reference at equal
+nprobe.
+
+Scale design: the build is ``repartition(cluster_id)`` + Arrow-batched
+``mapInPandas`` (1 Spark task per cluster group ≡ the reference's OpenMP
+task per cluster, inc/index/IVF.hpp:142-148); the search is pure JVM
+column arithmetic (zip_with/aggregate inside whole-stage codegen) over a
+``cluster_id``-partitioned parquet index — no Python in the query hot
+path, partition pruning on the probe join.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .ivf import select_probes
+
+DEFAULT_SEED = 42
+
+
+def pad64(dim: int) -> int:
+    """Next multiple of 64 (P1, inc/utils/tools.hpp:8-14)."""
+    return ((dim + 63) // 64) * 64
+
+
+def rotation_matrix(D: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Seeded random orthonormal D×D via QR (P2, inc/index/Rotator.hpp:14-19;
+    deterministic here, unlike Eigen's implicit global seed)."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((D, D))
+    Q, R = np.linalg.qr(A)
+    # Sign-fix so the decomposition is unique → fully deterministic.
+    Q = Q * np.sign(np.diag(R))
+    return np.ascontiguousarray(Q.astype(np.float64))
+
+
+def fast_quantize_batch(O_abs: np.ndarray, ex_bits: int) -> np.ndarray:
+    """Q2: optimal-scale magnitude codes for a batch of |unit residuals|.
+
+    For each row u (non-negative, unit-norm), pick grid scale t maximizing
+    ⟨v, u⟩/‖v‖ with v[j] = min(floor(t·u[j]), M−1) + 0.5, by sweeping all
+    breakpoints t=(c+1)/u[j] ascending with cumulative-sum updates
+    (vectorized form of the reference's heap sweep,
+    inc/index/Quantizer.hpp:138-219).  Returns int codes in [0, M−1],
+    M = 2^ex_bits.  ex_bits=0 → all-zero codes (pure sign quantization).
+    """
+    n, D = O_abs.shape
+    M = 1 << ex_bits
+    codes = np.zeros((n, D), dtype=np.int32)
+    if ex_bits == 0:
+        return codes
+    for i in range(n):
+        u = O_abs[i]
+        nz = u > 1e-12
+        if not nz.any():
+            continue
+        uz = u[nz]
+        # breakpoints: code of dim j increments c→c+1 at t=(c+1)/u[j]
+        cs = np.arange(1, M, dtype=np.float64)  # c+1 for c in 0..M-2
+        bp_t = (cs[None, :] / uz[:, None]).ravel()  # (nnz*(M-1),)
+        bp_u = np.repeat(uz, M - 1)
+        bp_c = np.tile(cs, len(uz))  # new code value after increment
+        order = np.argsort(bp_t, kind="stable")
+        bp_t, bp_u, bp_c = bp_t[order], bp_u[order], bp_c[order]
+        # state at t→0+: all codes 0, v[j]=0.5
+        S1_0 = 0.5 * uz.sum()  # ⟨v,u⟩ (zero dims contribute 0 to ⟨v,u⟩)
+        S2_0 = 0.25 * D  # ‖v‖² counts every dim incl. zeros
+        S1 = S1_0 + np.cumsum(bp_u)
+        # increment c-1→c changes v[j]² by (c+0.5)²−(c−0.5)² = 2c
+        S2 = S2_0 + np.cumsum(2.0 * bp_c)
+        obj = S1 / np.sqrt(S2)
+        best = int(np.argmax(obj))
+        if obj[best] <= S1_0 / math.sqrt(S2_0):
+            continue  # all-zero codes already optimal
+        t_best = bp_t[best]
+        t_next = bp_t[best + 1] if best + 1 < len(bp_t) else t_best * (1 + 1e-9)
+        t_mid = 0.5 * (t_best + t_next) if t_next > t_best else t_best * (1 + 1e-9)
+        codes[i, nz] = np.minimum(np.floor(t_mid * uz), M - 1).astype(np.int32)
+    return codes
+
+
+def quantize_rows(
+    X: np.ndarray, C: np.ndarray, P: np.ndarray, total_bits: int
+) -> dict[str, np.ndarray]:
+    """Quantize a batch: rows X (n×dim) against per-row centroids C (n×dim),
+    rotation P (D×D, D=pad64(dim)).  Returns combined codes + factors.
+
+    Behavioral parity: DataQuantizer::quantize
+    (inc/index/Quantizer.hpp:233-311) — pad/rotate/residual/normalize →
+    sign bits → ex codes → factors; float guards reproduced.
+    """
+    n, dim = X.shape
+    D = P.shape[0]
+    ex_bits = total_bits - 1
+    M = 1 << ex_bits
+    R = np.zeros((n, D), dtype=np.float64)
+    R[:, :dim] = X.astype(np.float64) - C.astype(np.float64)
+    R = R @ P.T  # rotated residuals
+    x2 = (R * R).sum(axis=1)
+    xnorm = np.sqrt(x2)
+    safe = xnorm > 1e-20
+    O = np.where(safe[:, None], R / np.where(xnorm[:, None] == 0, 1.0, xnorm[:, None]),
+                 1.0 / math.sqrt(D))  # zero-norm fallback (space.hpp:773-777)
+    signs = (O > 0).astype(np.int32)  # strict >: exact zeros → bit 0
+    ex_codes = fast_quantize_batch(np.abs(O), ex_bits)
+    # combined code in [0, 2^B−1]: bit=1 → M+c ; bit=0 → (M−1)−c  (Q3 sign
+    # restore, behaviorally inc/index/Quantizer.hpp:480-485)
+    code = np.where(signs == 1, M + ex_codes, (M - 1) - ex_codes).astype(np.int16)
+    s = code.astype(np.float64) + 0.5 - M  # reconstruction
+    s_norm = np.sqrt((s * s).sum(axis=1))
+    ip_so = (s * O).sum(axis=1)  # ⟨s, o⟩
+    X0 = ip_so / np.where(s_norm == 0, 1.0, s_norm)  # cosine(s, o)
+    # non-finite / degenerate guard (Quantizer.hpp:417-420 uses 0.8)
+    X0 = np.where(np.isfinite(X0) & (X0 > 1e-6), X0, 0.8)
+    ip_so = np.where(np.isfinite(ip_so) & (np.abs(ip_so) > 1e-12), ip_so, 1.0)
+    f_ip_ex = 2.0 * xnorm / ip_so
+    f_err = 2.0 * xnorm * np.sqrt(np.maximum(1.0 - X0 * X0, 0.0)) / (X0 * math.sqrt(D - 1))
+    return {"code": code, "x2": x2, "f_ip_ex": f_ip_ex, "f_err": f_err}
+
+
+# --------------------------------------------------------------------------
+# Index build / save / load (S4/S5)
+# --------------------------------------------------------------------------
+
+
+def build_index(
+    base: DataFrame,
+    centroids: DataFrame,
+    total_bits: int = 4,
+    seed: int = DEFAULT_SEED,
+    id_: str = "id",
+    vec: str = "vec",
+) -> tuple[DataFrame, dict]:
+    """IVF+RaBitQ index build (create_index end-to-end,
+    src/create_index.cpp:10-54).
+
+    base: (id, vec); centroids: (cluster_id, centroid).  Returns the index
+    DataFrame ``(cluster_id, id, code ARRAY<SMALLINT>, x2, f_ip_ex,
+    f_err DOUBLE)`` and a meta dict (dim, D, total_bits, seed).  Assignment
+    (J2) happens here; the quantization runs as one Arrow-batched
+    ``mapInPandas`` pass after ``repartition(cluster_id)`` — the Spark
+    analog of the per-cluster OpenMP loop (inc/index/IVF.hpp:142-148).
+    """
+    from .ivf import assign_clusters
+
+    spark = base.sparkSession
+    dim = len(base.select(vec).first()[0])
+    D = pad64(dim)
+    P = rotation_matrix(D, seed)
+    bP = spark.sparkContext.broadcast(P)
+    cent_rows = centroids.select("cluster_id", "centroid").collect()
+    cmap = {int(r[0]): np.array(r[1], dtype=np.float64) for r in cent_rows}
+    bC = spark.sparkContext.broadcast(cmap)
+
+    assigned = assign_clusters(base, centroids, id_=id_, vec=vec)
+    assigned = assigned.repartition("cluster_id")
+
+    def quantize_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P_ = bP.value
+        C_ = bC.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec].tolist(), dtype=np.float64)
+            C = np.stack([C_[int(c)] for c in pdf["cluster_id"]])
+            out = quantize_rows(X, C, P_, total_bits)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": pdf["cluster_id"].to_numpy(),
+                    "id": pdf[id_].to_numpy(),
+                    "code": list(out["code"]),
+                    "x2": out["x2"],
+                    "f_ip_ex": out["f_ip_ex"],
+                    "f_err": out["f_err"],
+                }
+            )
+
+    schema = (
+        "cluster_id int, id long, code array<smallint>, "
+        "x2 double, f_ip_ex double, f_err double"
+    )
+    index_df = assigned.mapInPandas(quantize_part, schema)
+    meta = {"dim": dim, "D": D, "total_bits": total_bits, "seed": seed}
+    return index_df, meta
+
+
+def save_index(index_df: DataFrame, centroids: DataFrame, meta: dict, path: str) -> None:
+    """S4: persist codes partitioned by cluster_id (partition pruning ≡
+    cluster pointer slicing, inc/index/IVF.hpp:219-252) + rotated-centroid
+    side table + meta JSON."""
+    index_df.write.mode("overwrite").partitionBy("cluster_id").parquet(f"{path}/codes")
+    spark = index_df.sparkSession
+    P = rotation_matrix(meta["D"], meta["seed"])
+    rows = centroids.collect()
+    dim = meta["dim"]
+    data = []
+    for r in rows:
+        c = np.zeros(meta["D"])
+        c[:dim] = np.array(r["centroid"], dtype=np.float64)
+        crot = c @ P.T
+        data.append((int(r["cluster_id"]), [float(x) for x in r["centroid"]],
+                     [float(x) for x in crot]))
+    spark.createDataFrame(
+        data, "cluster_id int, centroid array<double>, centroid_rot array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """S5: reload (codes, centroids, meta) (inc/index/IVF.hpp:254-293)."""
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(f"{path}/codes")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return codes, centroids, meta
+
+
+# --------------------------------------------------------------------------
+# Search (E1/E2/E3 + W1/J3/W3)
+# --------------------------------------------------------------------------
+
+
+def rotate_queries(queries: DataFrame, meta: dict, qid: str = "qid", qvec: str = "qvec") -> DataFrame:
+    """P2 on the query side: pad + rotate all queries in one Arrow-batched
+    matmul (≡ the reference's single batch rotation,
+    src/test_search.cpp:83-92).  → (qid, qrot ARRAY<DOUBLE>)."""
+    spark = queries.sparkSession
+    P = rotation_matrix(meta["D"], meta["seed"])
+    bP = spark.sparkContext.broadcast(P)
+    dim, D = meta["dim"], meta["D"]
+
+    def rot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P_ = bP.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.zeros((len(pdf), D), dtype=np.float64)
+            Q[:, :dim] = np.array(pdf[qvec].tolist(), dtype=np.float64)
+            QR = Q @ P_.T
+            yield pd.DataFrame({"qid": pdf[qid].to_numpy(), "qrot": list(QR)})
+
+    return queries.mapInPandas(rot, "qid long, qrot array<double>")
+
+
+def rabitq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    nprobe: int,
+    k: int,
+    refine: int = 4,
+    rerank_base: DataFrame | None = None,
+    qid: str = "qid",
+    qvec: str = "qvec",
+) -> DataFrame:
+    """Full two-phase Extended-RaBitQ search → (qid, rank, id, est_dist).
+
+    Stage 0: probe selection (W1) on raw centroids — exact top-nprobe.
+    Stage 1: per (query, probed cluster): rotated residual qr, y2, Σqr —
+        the per-cluster query prep of HASearcher::search_cluster
+        (inc/index/HASearcher.hpp:82-113), as a tiny nprobe×NQ DataFrame.
+    Stage 2: candidate equi-join on cluster_id (partition-pruned on a
+        saved index) + JVM-side 1-bit lower-bound estimate (E1) — the
+        sign bit of dim j is ``code[j] >= 2^(B−1)``.
+    Stage 3: rank cut to γ·k per query on the lower bound (E2 as top-γk,
+        §4.2.2), then B-bit re-rank (E3) and final top-k (W3).
+
+    Everything after stage 1 is pure column arithmetic (codegen'd
+    zip_with/aggregate) — no Python on the candidate hot path.
+    """
+    D = meta["D"]
+    M = 1 << (meta["total_bits"] - 1)
+    qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
+    probes = select_probes(queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec)
+    # Stage 1: per-(qid, cluster) rotated residual + moments
+    qprobe = (
+        probes.join(qrot, on="qid")
+        .join(F.broadcast(centroids.select("cluster_id", "centroid_rot")), on="cluster_id")
+        .select(
+            "qid",
+            "cluster_id",
+            F.expr("zip_with(qrot, centroid_rot, (a, b) -> a - b)").alias("qr"),
+        )
+        .select(
+            "qid",
+            "cluster_id",
+            "qr",
+            F.expr(V.l2sq_self("qr")).alias("y2"),
+            F.expr(V.vec_sum("qr")).alias("sum_qr"),
+        )
+    )
+    cand = codes.join(qprobe, on="cluster_id", how="inner")
+    # ⟨s, qr⟩ = Σ (code+0.5−M)·qr.  The C++ decomposes this into a bit-IP
+    # plus Σqr terms to fit the integer LUT domain
+    # (inc/index/Searcher.hpp:222-233); in codegen we evaluate it directly —
+    # same associative sum, no 8-bit budget games (SURVEY Q5/Q6).
+    ip_s_qr = (
+        f"aggregate(zip_with(code, qr, (c, v) -> (CAST(c AS DOUBLE) + 0.5 - {M}.0) * v), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cand = cand.withColumn("ip_s_qr", F.expr(ip_s_qr)).select(
+        "qid", "id", "y2", "f_err",
+        (F.col("x2") + F.col("y2") - F.col("f_ip_ex") * F.col("ip_s_qr")).alias("est_dist"),
+    )
+    # E2 as a rank cut: the sequential distk threshold becomes "keep the
+    # γ·k best error-bound lower bounds per query" (§4.2.2) — here a cheap
+    # same-row column, so the cut costs one partial WindowGroupLimit.
+    cand = cand.withColumn("est_lb", F.col("est_dist") - F.col("f_err") * F.sqrt("y2"))
+    w_lb = Window.partitionBy("qid").orderBy(F.col("est_lb").asc(), F.col("id").asc())
+    shortlist = cand.withColumn("_r", F.row_number().over(w_lb)).where(
+        F.col("_r") <= refine * k
+    )
+    if rerank_base is not None:
+        # E4-style exact re-rank (the EX_BITS=0 degenerate path of SURVEY
+        # §7 phase 3): join raw vectors for the shortlist only.
+        exact = shortlist.select("qid", "id").join(rerank_base, on="id").join(
+            F.broadcast(queries.select(qid, qvec)), on="qid"
+        )
+        from .knn import distance_col
+
+        shortlist = exact.select(
+            "qid", "id", distance_col("l2", qvec, "vec").alias("est_dist")
+        )
+    w = Window.partitionBy("qid").orderBy(F.col("est_dist").asc(), F.col("id").asc())
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "id", "est_dist")
+    )

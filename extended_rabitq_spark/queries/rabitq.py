@@ -1,0 +1,141 @@
+"""Registered Extended-RaBitQ queries (SURVEY §2.7, §2.2 P6/P7).
+
+``knn_rabitq*`` are rows-only for the driver (quantization runs in
+mapInPandas → not ANSI-SQL-expressible; Q2's optimal-scale search is
+property-tested in tests/test_rabitq.py instead, per SURVEY §5.2).
+The scalar query-quantization operators (P6/P7) ARE SQL-expressible and
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import metrics
+from .. import oracle as O
+from ..operators import ivf, knn, rabitq
+from ..registry import register
+from ..tables import NQ
+from .ann import K, _base_df, _queries_df
+from .ivf import NPROBE
+
+TOTAL_BITS = 4
+
+
+def _build(spark: SparkSession, sf_dir: str):
+    base = _base_df(spark, sf_dir)
+    cents = ivf.label_centroids(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
+    )
+    index_df, meta = rabitq.build_index(base, cents, total_bits=TOTAL_BITS)
+    # attach rotated centroids (what save_index persists; computed inline
+    # here because queries() builds the fixture-sized index on the fly)
+    import numpy as np
+
+    P = rabitq.rotation_matrix(meta["D"], meta["seed"])
+    rows = cents.collect()
+    data = []
+    for r in rows:
+        c = np.zeros(meta["D"])
+        c[: meta["dim"]] = np.array(r["centroid"], dtype=np.float64)
+        data.append(
+            (int(r["cluster_id"]), [float(x) for x in r["centroid"]],
+             [float(x) for x in (c @ P.T)])
+        )
+    cents_full = spark.createDataFrame(
+        data, "cluster_id int, centroid array<double>, centroid_rot array<double>"
+    )
+    return base, index_df, cents_full, meta
+
+
+@register("knn_rabitq")
+def knn_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Extended-RaBitQ ANN (build + two-phase search), B=4,
+    nprobe=3 — the flagship accelerated pipeline
+    (src/test_search.cpp:23-153 as one Spark job)."""
+    base, index_df, cents, meta = _build(spark, sf_dir)
+    res = rabitq.rabitq_search(
+        _queries_df(spark, sf_dir), index_df, cents, meta, nprobe=NPROBE, k=K
+    )
+    return res.select("qid", "rank", "id", F.round("est_dist", 4).alias("est_dist_r"))
+
+
+@register("rabitq_recall")
+def rabitq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the quantized pipeline vs exact GT (J4 over the
+    accelerated results) — the reference's primary quality metric."""
+    base, index_df, cents, meta = _build(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    res = rabitq.rabitq_search(qs, index_df, cents, meta, nprobe=NPROBE, k=K)
+    gt = knn.exact_knn(qs, base, k=K)
+    return metrics.recall_per_query(res, gt, K)
+
+
+_P6_BITS = 8
+
+_P6_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {NQ}),
+     rng AS (SELECT qid, qvec,
+                    CAST(list_min(qvec) AS DOUBLE) AS vl,
+                    CAST(list_max(qvec) AS DOUBLE) AS vr FROM q),
+     qq AS (SELECT qid,
+                   CASE WHEN vr = vl THEN CAST(0 AS BIGINT)
+                        ELSE CAST(list_reduce(list_transform(qvec, v ->
+                             floor((CAST(v AS DOUBLE) - vl) / ((vr - vl) / {(1 << _P6_BITS) - 1}.0) + 0.5)),
+                             (x, y) -> x + y) AS BIGINT) END AS code_sum
+            FROM rng)
+SELECT qid, code_sum FROM qq
+"""
+
+
+@register("query_quantize_uniform", _P6_ORACLE)
+def query_quantize_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: uniform B-bit scalar quantization of each query over its own
+    [min,max] range — code = ⌊(v−vl)/width + 0.5⌋
+    (inc/utils/space.hpp:608-694).  Emitted as Σcodes per query (integer,
+    hash-exact)."""
+    qs = _queries_df(spark, sf_dir)
+    steps = (1 << _P6_BITS) - 1
+    vl = "CAST(array_min(qvec) AS DOUBLE)"
+    vr = "CAST(array_max(qvec) AS DOUBLE)"
+    code_sum = (
+        f"CASE WHEN {vr} = {vl} THEN CAST(0 AS BIGINT) ELSE CAST(aggregate(transform(qvec, v -> "
+        f"floor((CAST(v AS DOUBLE) - {vl}) / (({vr} - {vl}) / {steps}.0) + 0.5)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS BIGINT) END"
+    )
+    return qs.select("qid", F.expr(code_sum).alias("code_sum"))
+
+
+_P7_BITS = 14
+
+_P7_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {NQ}),
+     d AS (SELECT qid, qvec,
+                  CAST(list_max(list_transform(qvec, v -> abs(CAST(v AS DOUBLE)))) AS DOUBLE)
+                    / {(1 << (_P7_BITS - 1)) - 1}.0 AS delta
+           FROM q)
+SELECT qid,
+       CASE WHEN delta = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(list_reduce(list_transform(qvec, v ->
+                 floor(CAST(v AS DOUBLE) / delta + 0.5)), (x, y) -> x + y) AS BIGINT) END
+         AS code_sum
+FROM d
+"""
+
+
+@register("query_quantize_symmetric", _P7_ORACLE)
+def query_quantize_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: symmetric signed 14-bit quantization — Δ = max|q|/(2^13−1),
+    code = ⌊q/Δ + 0.5⌋ (inc/utils/space.hpp:695-711), as Σcodes."""
+    qs = _queries_df(spark, sf_dir)
+    delta = (
+        f"CAST(array_max(transform(qvec, v -> abs(CAST(v AS DOUBLE)))) AS DOUBLE)"
+        f" / {(1 << (_P7_BITS - 1)) - 1}.0"
+    )
+    code_sum = (
+        f"CASE WHEN ({delta}) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(aggregate(transform(qvec, v -> "
+        f"floor(CAST(v AS DOUBLE) / ({delta}) + 0.5)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS BIGINT) END"
+    )
+    return qs.select("qid", F.expr(code_sum).alias("code_sum"))
