@@ -1,0 +1,246 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+surface; BASELINE.json).  No reference counterpart — built from the same
+KNN/hash primitives, designed for 100 TB:
+
+- exact:      one hash-groupBy shuffle on a 16-byte key; map-side partial
+              aggregation applies.
+- n-gram Jaccard: shingle-explode → self equi-join on shingle → pair
+              aggregation.  Never materializes the O(N²) pair space —
+              only pairs sharing ≥1 shingle, and a document-frequency cap
+              drops stop-shingles that would quadratically blow up a
+              common-shingle join (the classic skew guard).
+- MinHash+LSH: per-doc signatures (groupBy-min per seed, partial-agg
+              friendly) → band keys → equi-join per band → verify exact
+              Jaccard only on band-collided candidates.
+- SimHash:    token-hash bit-vote per doc (explode + sum, partial-agg) →
+              fingerprint; pair scan restricted to candidates (here全:
+              fixture-sized; banding by fingerprint prefix at scale).
+- embedding cosine: exact O(N²) declarative baseline (oracle-checkable)
+              + the scale path is the IVF/RaBitQ ANN join (knn_rabitq).
+
+All hashing uses the md5-based portable 60-bit hash so the DuckDB oracle
+reproduces signatures exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vector as V
+
+DF_CAP = 100  # shingle document-frequency cap (skew guard)
+
+
+def normalized(docs: DataFrame, text: str = "text") -> DataFrame:
+    return docs.withColumn("_norm", F.expr(T.norm_text(text)))
+
+
+def exact_dedup(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact dedup by content hash → (content_hash, keep_doc_id, dup_count).
+
+    keep = min doc_id per group (deterministic survivor policy)."""
+    d = normalized(docs, text)
+    return (
+        d.select(F.col(id_), F.md5("_norm").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_).alias("keep_doc_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def shingle_table(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct word-3-shingles, stop-shingles (df >
+    DF_CAP) removed."""
+    d = normalized(docs, text).select(
+        F.col(id_).alias("doc_id"), F.expr(T.shingles3(T.tokens("_norm"))).alias("sh")
+    )
+    sh = d.select("doc_id", F.explode("sh").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return sh.join(freq.where(F.col("df") <= DF_CAP), on="shingle").select(
+        "doc_id", "shingle"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, id_: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by word-shingle Jaccard ≥ threshold →
+    (doc_a, doc_b, jaccard_r)."""
+    sh = shingle_table(docs, id_, text)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jac"),
+        )
+    )
+    return j.where(F.col("jac") >= threshold).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard_r")
+    )
+
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 2
+
+
+def minhash_signatures(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): sig_i = min over shingles of
+    hash60('i:' || shingle).  A groupBy-min per seed — partial-agg
+    friendly, one shuffle."""
+    sh = shingle_table(docs, id_, text)
+    aggs = [
+        F.min(F.expr(T.hash60(f"concat('{i}:', shingle)"))).alias(f"sig_{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.4, id_: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """MinHash-LSH near-dup: band-collision candidates verified with exact
+    Jaccard → (doc_a, doc_b, jaccard_r).  Only collided pairs are scored."""
+    sigs = minhash_signatures(docs, id_, text)
+    rows = N_MINHASH // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"sig_{bi * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify: exact jaccard on collided candidates only
+    sh = shingle_table(docs, id_, text)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, on="doc_a").join(sb, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        cand.join(inter, on=["doc_a", "doc_b"], how="left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("jac"),
+        )
+    )
+    return j.where(F.col("jac") >= threshold).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard_r")
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def simhash(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """48-bit SimHash per doc → (doc_id, simhash).
+
+    Token (with multiplicity) hash bits vote ±1 per position; fingerprint
+    bit j = majority sign.  48 bits keeps every intermediate in signed-64
+    range on both engines."""
+    d = normalized(docs, text)
+    tok = d.select(
+        F.col(id_).alias("doc_id"), F.explode(F.expr(T.tokens("_norm"))).alias("tok")
+    )
+    th = tok.select("doc_id", F.expr(T.hash60("tok")).alias("h"))
+    votes = th.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BITS - 1}), "
+                f"j -> struct(j AS j, CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END AS v))"
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.j").alias("j"), F.col("bv.v").alias("v"))
+    bits = votes.groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 8, id_: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming →
+    (doc_a, doc_b, hamming).  Fixture-sized all-pairs comparison; at scale
+    band by fingerprint prefix first (same LSH shape as MinHash)."""
+    s = simhash(docs, id_, text)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.9, id_: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold → (id_a, id_b, cos_r).
+
+    Exact all-pairs form (the oracle-checkable baseline).  Scale path:
+    replace the cross join with the IVF/RaBitQ ANN candidate join."""
+    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
+    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+    )

@@ -1,0 +1,121 @@
+"""Multimodal binary-column plumbing (north-star surface; BASELINE.json).
+
+Images/audio/video are opaque ``BINARY`` columns with typed metadata
+structs.  The Spark-side plumbing — schemas, Arrow batch shapes,
+``mapInPandas`` signatures, partitioning — is real and tested; the codec
+step itself is stubbed (no image/audio libs in this container) behind
+:func:`register_decoder`: a deterministic fake decoder ships for tests,
+and ``NotImplementedError`` marks the seam where PIL/ffmpeg decoders plug
+in on a real cluster.
+
+Scale notes: binary payloads dominate row size → keep
+``spark.sql.files.maxPartitionBytes`` small enough that a partition of
+blobs fits executor memory; metadata-only transformations select away the
+``content`` column so parquet column pruning skips the blob bytes
+entirely (verify ReadSchema in the plan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, content binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {}
+
+
+def register_decoder(kind: str, fn: Callable[[bytes], np.ndarray]) -> None:
+    _DECODERS[kind] = fn
+
+
+def _fake_decode(content: bytes) -> np.ndarray:
+    """Deterministic fake decoder: sha256-seeded 8×8 'image'.  Stands in
+    for PIL/libav so the batch plumbing is testable in this container."""
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+
+
+register_decoder("fake", _fake_decode)
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: wrap document text bytes as a media table with the
+    canonical schema (media_id, kind, content BINARY, meta struct)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("fake").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.expr(
+            "named_struct('width', 8, 'height', 8, 'sample_rate', CAST(NULL AS INT), "
+            "'n_frames', CAST(NULL AS INT))"
+        ).alias("meta"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata-only pass: sizes + content hash WITHOUT decoding.  Selects
+    prune to (media_id, kind, content) → blob column read once, no Python."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha256"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+def extract_features(media: DataFrame, out_dim: int = 16) -> DataFrame:
+    """Decode + feature-extract via Arrow-batched ``mapInPandas`` →
+    (media_id, feat ARRAY<FLOAT>).
+
+    The per-kind decoder is looked up in the registry; unknown kinds raise
+    ``NotImplementedError`` at the task (the deliberate stub seam).  The
+    'feature' is a mean-pooled pixel histogram — deterministic, so tests
+    pin exact values.  Output embeds straight into the ANN index
+    (build_index) — the multimodal→vector bridge.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for kind, content in zip(pdf["kind"], pdf["content"]):
+                dec = _DECODERS.get(kind)
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no decoder registered for media kind {kind!r}; "
+                        "register one with multimodal.register_decoder"
+                    )
+                arr = dec(bytes(content)).astype(np.float64).ravel()
+                hist, _ = np.histogram(arr, bins=out_dim, range=(0, 256))
+                feats.append((hist / max(arr.size, 1)).astype(np.float32))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feat": feats})
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, "media_id long, feat array<float>"
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes metadata through with the new target dims;
+    the pixel transform is the stubbed codec step (NotImplementedError on
+    non-fake kinds at execution, same seam as extract_features)."""
+    return media.withColumn(
+        "meta",
+        F.expr(
+            f"named_struct('width', {width}, 'height', {height}, "
+            "'sample_rate', meta.sample_rate, 'n_frames', meta.n_frames)"
+        ),
+    )

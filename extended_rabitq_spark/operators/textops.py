@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines (north-star
+surface; BASELINE.json): language-ID, quality scoring, token counting,
+document fingerprinting.  All pure column expressions (codegen, no UDFs)
+— at 100 TB these run as a single map-only pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "se"],
+    "de": ["der", "die", "das", "und", "den", "von", "zu", "mit"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie-break priority
+
+
+def _arr_lit(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def lang_scores_exprs(toks: str) -> dict[str, str]:
+    return {
+        lang: f"size(filter({toks}, t -> array_contains({_arr_lit(STOPWORDS[lang])}, t)))"
+        for lang in LANG_ORDER
+    }
+
+
+def lang_id(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """Heuristic language-ID: stopword hit count per language, argmax with
+    fixed priority tie-break → (doc_id, lang_pred, lang_score)."""
+    scores = lang_scores_exprs("_toks")
+    best = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANG_ORDER
+    )
+    d = (
+        docs.select(F.col(id_).alias("doc_id"), F.expr(T.tokens(text)).alias("_toks"))
+        .select(
+            "doc_id",
+            *[F.expr(e).cast("long").alias(f"s_{lang}") for lang, e in scores.items()],
+        )
+        .withColumn("best", F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER]))
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"CASE {best} END").alias("lang_pred"),
+        F.col("best").alias("lang_score"),
+    )
+
+
+def text_quality(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """Quality metrics → (doc_id, n_tokens, n_chars_norm, avg_token_len_r,
+    stopword_ratio_r, distinct_ratio_r).  distinct_ratio (type/token) is
+    the cheap repetition detector."""
+    en = _arr_lit(STOPWORDS["en"])
+    toks = "_toks"
+    return docs.select(
+        F.col(id_).alias("doc_id"),
+        F.expr(T.norm_text(text)).alias("_nrm"),
+        F.expr(T.tokens(text)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(length(_nrm) AS BIGINT)").alias("n_chars_norm"),
+        F.round(
+            F.expr(
+                f"aggregate({toks}, CAST(0.0 AS DOUBLE), (acc, t) -> acc + length(t)) / size({toks})"
+            ),
+            6,
+        ).alias("avg_token_len_r"),
+        F.round(
+            F.expr(
+                f"CAST(size(filter({toks}, t -> array_contains({en}, t))) AS DOUBLE) / size({toks})"
+            ),
+            6,
+        ).alias("stopword_ratio_r"),
+        F.round(
+            F.expr(f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"), 6
+        ).alias("distinct_ratio_r"),
+    )
+
+
+def token_count(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    ([a-z0-9]+ word pieces) → (doc_id, ws_tokens, re_tokens)."""
+    toks = T.tokens(text)
+    return docs.select(
+        F.col(id_).alias("doc_id"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("ws_tokens"),
+        F.expr(f"CAST(regexp_count({T.norm_text(text)}, '[a-z0-9]+') AS BIGINT)").alias(
+            "re_tokens"
+        ),
+    )
+
+
+FP_K = 5  # char k-gram size
+FP_W = 4  # winnowing window
+
+
+def doc_fingerprint(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """Winnowing fingerprint (rolling char-5-gram hashes, min per window
+    of 4, distinct) → (doc_id, n_fp, min_fp, max_fp).
+
+    Standard MOSS-style scheme; emitted as scalar summaries so the oracle
+    hash-compares exactly."""
+    # Materialize each stage as a column: a lambda body re-evaluates any
+    # embedded subexpression PER ELEMENT (no CSE inside higher-order
+    # functions), so inlining `grams` into the window transform would cost
+    # O(len² ) md5 calls per document.  Catalyst keeps these projections
+    # separate because the aliases are referenced multiple times.
+    norm = T.norm_text(text)
+    grams = (
+        f"transform(sequence(1, greatest(length(_nrm) - {FP_K - 1}, 1)), "
+        f"i -> {T.hash60(f'substring(_nrm, i, {FP_K})')})"
+    )
+    wins = (
+        f"CASE WHEN size(_grams) < {FP_W} THEN array_distinct(_grams) "
+        f"ELSE array_distinct(transform(sequence(1, size(_grams) - {FP_W - 1}), "
+        f"i -> array_min(slice(_grams, i, {FP_W})))) END"
+    )
+    return (
+        docs.select(F.col(id_).alias("doc_id"), F.expr(norm).alias("_nrm"))
+        .select("doc_id", F.expr(grams).alias("_grams"))
+        .select("doc_id", F.expr(wins).alias("_wins"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(_wins) AS BIGINT)").alias("n_fp"),
+            F.expr("array_min(_wins)").alias("min_fp"),
+            F.expr("array_max(_wins)").alias("max_fp"),
+        )
+    )

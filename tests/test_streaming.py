@@ -1,0 +1,76 @@
+"""Structured Streaming equivalence tests: the streaming windowed
+aggregation under Trigger.AvailableNow must produce exactly the batch
+twin's rows (same expressions, real micro-batch machinery)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+from extended_rabitq_spark.streaming.stream_ops import (
+    batch_windowed_event_counts,
+    read_events_stream,
+    windowed_event_counts,
+)
+
+
+def test_stream_matches_batch(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT window_start, window_end, event_type, n_events, sum_value FROM win_counts"
+        ).collect()
+    }
+    want = {tuple(r) for r in batch_windowed_event_counts(spark, SF_SMOKE).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_knn_foreachbatch(spark, tmp_path):
+    """Micro-batch ANN serving: queries streamed through foreachBatch
+    against a saved index produce the same top-k as the batch search."""
+    import pyspark.sql.functions as F
+
+    from extended_rabitq_spark.operators import ivf, rabitq
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+    index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+    path = str(tmp_path / "idx")
+    rabitq.save_index(index_df, cents, meta, path)
+    codes, cents_full, meta2 = rabitq.load_index(spark, path)
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch_res = {
+        tuple(r[:3])
+        for r in rabitq.rabitq_search(queries, codes, cents_full, meta2, nprobe=3, k=5).collect()
+    }
+
+    # stream the queries as one micro-batch via an in-memory rate-like source
+    collected = []
+
+    def serve(bdf, _epoch):
+        res = rabitq.rabitq_search(bdf, codes, cents_full, meta2, nprobe=3, k=5)
+        collected.extend(tuple(r[:3]) for r in res.collect())
+
+    qdir = str(tmp_path / "qstream")
+    queries.coalesce(1).write.parquet(qdir)
+    qstream = spark.readStream.schema(queries.schema).parquet(qdir)
+    sq = qstream.writeStream.foreachBatch(serve).trigger(availableNow=True).start()
+    sq.awaitTermination(120)
+    assert set(collected) == batch_res and len(batch_res) > 0
