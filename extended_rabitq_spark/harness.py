@@ -1,0 +1,125 @@
+"""Benchmark/acceptance harness (SURVEY §2.5 W5, §2.4 A5) — the Spark
+analog of the reference's sweep loop (``src/test_search.cpp:61-79``
+builds the nprobe grid; ``:155-199`` sweeps until recall > 0.997 or a
+plateau; ``:97-134`` averages rounds).
+
+This is driver-side control flow over Spark jobs, exactly like the
+reference's main() — the per-setting work is fully distributed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import metrics
+from .operators import ivf as ivf_ops
+from .operators import knn as knn_ops
+from .operators import rabitq as rabitq_ops
+
+DEFAULT_GRID = [1, 2, 3, 5, 8, 12, 16]
+RECALL_SATURATION = 0.997  # src/test_search.cpp:190-196
+PLATEAU_EPS = 1e-5
+
+
+@dataclass
+class SweepRow:
+    nprobe: int
+    recall: float
+    ratio: float
+    qps: float
+    wall_sec: float
+
+
+def nprobe_sweep(
+    queries: DataFrame,
+    base: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    grid: list[int] | None = None,
+    mode: str = "ivf",
+    index_df: DataFrame | None = None,
+    centroids_full: DataFrame | None = None,
+    meta: dict | None = None,
+    rounds: int = 1,
+) -> list[SweepRow]:
+    """Sweep the nprobe grid ascending; stop at recall saturation or
+    plateau.  mode='ivf' scans exact distances over probed clusters;
+    mode='rabitq' runs the quantized two-phase search (requires index_df,
+    centroids_full, meta from build_index/save_index).
+
+    Returns one row per executed setting with recall@k, mean distance
+    ratio, and end-to-end queries/sec (whole-batch wall clock — the
+    honest Spark analog of the reference's sequential QPS,
+    BASELINE.md interpretation note).
+    """
+    grid = grid or DEFAULT_GRID
+    nq = queries.count()
+    gt = knn_ops.exact_knn(queries, base, k=k)
+    gt.persist().count()
+    indexed = None
+    if mode == "ivf":
+        indexed = ivf_ops.assign_clusters(base, centroids)
+        indexed.persist().count()
+    out: list[SweepRow] = []
+    prev_recall = -1.0
+    try:
+        for nprobe in grid:
+            walls = []
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                if mode == "ivf":
+                    res = ivf_ops.ivf_search(queries, indexed, centroids, nprobe, k)
+                else:
+                    res = rabitq_ops.rabitq_search(
+                        queries, index_df, centroids_full, meta, nprobe=nprobe, k=k
+                    )
+                if "est_dist" in res.columns:
+                    # E4: the ratio metric compares EXACT distances of the
+                    # returned ids (inc/utils/tools.hpp:28-33 recomputes true
+                    # L2; estimates may undershoot and give ratio < 1).
+                    res = (
+                        res.drop("est_dist")
+                        .join(base.select("id", "vec"), on="id")
+                        .join(F.broadcast(queries.select("qid", "qvec")), on="qid")
+                        .select(
+                            "qid",
+                            "rank",
+                            "id",
+                            knn_ops.distance_col("l2", "qvec", "vec").alias("dist"),
+                        )
+                    )
+                res.persist().count()
+                walls.append(time.perf_counter() - t0)
+            rec = (
+                metrics.recall_per_query(res, gt, k)
+                .agg(F.avg("recall").alias("r"))
+                .first()["r"]
+            )
+            rat_row = (
+                metrics.ratio_per_query(res, gt, k).agg(F.avg("ratio").alias("x")).first()
+            )
+            rat = rat_row["x"] if rat_row["x"] is not None else float("nan")
+            wall = sum(walls) / len(walls)
+            out.append(SweepRow(nprobe, float(rec), float(rat), nq / wall, wall))
+            res.unpersist()
+            if rec > RECALL_SATURATION or abs(rec - prev_recall) < PLATEAU_EPS:
+                break
+            prev_recall = rec
+    finally:
+        gt.unpersist()
+        if indexed is not None:
+            indexed.unpersist()
+    return out
+
+
+def sweep_to_df(spark: SparkSession, rows: list[SweepRow]) -> DataFrame:
+    """A5/S7: sweep results as a DataFrame for the CSV sink
+    (src/test_search.cpp:136-150)."""
+    return spark.createDataFrame(
+        [(r.nprobe, round(r.recall, 6), round(r.ratio, 6), round(r.qps, 2)) for r in rows],
+        "nprobe int, recall double, ratio double, qps double",
+    )

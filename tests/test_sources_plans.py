@@ -1,0 +1,137 @@
+"""Tests for S1-S3 vector file IO, plan-property assertions, and the
+nprobe sweep harness (W5/A5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from extended_rabitq_spark.plans import inspect
+from extended_rabitq_spark.sources import vecs_io
+
+RNG = np.random.default_rng(3)
+
+
+class TestVecsIO:
+    def test_fvecs_roundtrip(self, tmp_path):
+        mat = RNG.standard_normal((10, 7)).astype(np.float32)
+        p = str(tmp_path / "x.fvecs")
+        vecs_io.write_fvecs(p, mat)
+        assert (vecs_io.read_fvecs(p) == mat).all()
+
+    def test_ivecs_roundtrip(self, tmp_path):
+        mat = RNG.integers(0, 1000, (5, 3)).astype(np.int32)
+        p = str(tmp_path / "x.ivecs")
+        vecs_io.write_ivecs(p, mat)
+        assert (vecs_io.read_ivecs(p) == mat).all()
+
+    def test_fbin_roundtrip(self, tmp_path):
+        mat = RNG.standard_normal((6, 4)).astype(np.float32)
+        p = str(tmp_path / "x.fbin")
+        vecs_io.write_fbin(p, mat)
+        assert (vecs_io.read_fbin(p) == mat).all()
+
+    def test_ingest_to_parquet(self, spark, tmp_path):
+        mat = RNG.standard_normal((20, 8)).astype(np.float32)
+        src = str(tmp_path / "base.fvecs")
+        vecs_io.write_fvecs(src, mat)
+        df = vecs_io.ingest_file(spark, src, str(tmp_path / "base.parquet"))
+        rows = {r["id"]: r["vec"] for r in df.collect()}
+        assert len(rows) == 20
+        assert np.allclose(rows[3], mat[3], atol=1e-6)
+
+    def test_ingest_dir_contiguous_ids(self, spark, tmp_path):
+        a, b = RNG.standard_normal((4, 5)).astype(np.float32), RNG.standard_normal((3, 5)).astype(np.float32)
+        vecs_io.write_fvecs(str(tmp_path / "s0.fvecs"), a)
+        vecs_io.write_fvecs(str(tmp_path / "s1.fvecs"), b)
+        df = vecs_io.ingest_dir(spark, str(tmp_path / "s*.fvecs"), str(tmp_path / "all.parquet"))
+        ids = sorted(r["id"] for r in df.collect())
+        assert ids == list(range(7))
+
+
+class TestPlanProperties:
+    """The engine's performance contract, asserted on real plans."""
+
+    def test_knn_exact_broadcasts_and_partial_topk(self, spark):
+        from extended_rabitq_spark.registry import QUERIES
+
+        df = QUERIES["knn_exact"](spark, SF_SMOKE)
+        assert inspect.has_broadcast_join(df)
+        assert not inspect.has_shuffle_join(df)
+        assert inspect.has_partial_topk(df)
+        assert inspect.python_eval_nodes(df) == []  # pure JVM path
+
+    def test_knn_exact_pushes_filters(self, spark):
+        from extended_rabitq_spark.registry import QUERIES
+
+        df = QUERIES["knn_exact"](spark, SF_SMOKE)
+        assert inspect.pushed_filters(df), "query/base split must push to parquet scan"
+
+    def test_ivf_search_no_shuffle_join(self, spark):
+        from extended_rabitq_spark.registry import QUERIES
+
+        df = QUERIES["knn_ivf"](spark, SF_SMOKE)
+        assert inspect.has_broadcast_join(df)
+        assert not inspect.has_shuffle_join(df)
+
+    def test_rabitq_query_path_jvm_only(self, spark, tmp_path):
+        """After the index is SAVED, the search plan must contain no
+        Python nodes except the tiny query-rotation mapInPandas."""
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+        path = str(tmp_path / "idx")
+        rabitq.save_index(index_df, cents, meta, path)
+        codes, cents_full, meta2 = rabitq.load_index(spark, path)
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        res = rabitq.rabitq_search(queries, codes, cents_full, meta2, nprobe=3, k=10)
+        py_nodes = inspect.python_eval_nodes(res)
+        assert len(py_nodes) <= 2, py_nodes  # rotation only (NQ rows)
+        assert inspect.has_partial_topk(res)
+
+    def test_index_scan_prunes_probed_partitions(self, spark, tmp_path):
+        """The saved index is partitioned by cluster_id; a probe filter
+        must prune partitions in the scan."""
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+        path = str(tmp_path / "idx")
+        rabitq.save_index(index_df, cents, meta, path)
+        codes, _, _ = rabitq.load_index(spark, path)
+        probed = codes.where(F.col("cluster_id").isin([1, 3]))
+        plan = inspect.physical_plan(probed)
+        assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+class TestSweep:
+    def test_nprobe_sweep_monotone_recall(self, spark):
+        from extended_rabitq_spark.harness import nprobe_sweep
+        from extended_rabitq_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        rows = nprobe_sweep(queries, base, cents, k=10, grid=[1, 3, 10])
+        recalls = [r.recall for r in rows]
+        assert recalls == sorted(recalls), "recall must not decrease with nprobe"
+        assert recalls[-1] > 0.99  # nprobe = K (all clusters) ≡ exact
+        assert all(r.qps > 0 for r in rows)
