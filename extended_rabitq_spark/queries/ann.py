@@ -99,3 +99,55 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(V.vec_sum("embedding")), 6).alias("vsum_r"),
         F.expr(V.popcount("embedding")).alias("positive_dims"),
     )
+
+
+_IP_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {NQ}),
+     b AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= {NQ}),
+     d AS (SELECT q.qid, b.id, -({O.dot('q.qvec', 'b.vec')}) AS dist FROM b CROSS JOIN q),
+     r AS (SELECT qid, id, dist,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS BIGINT) AS rank
+           FROM d)
+SELECT qid, rank, id, dist FROM r WHERE rank <= {K}
+"""
+
+
+@register("knn_ip", _IP_ORACLE)
+def knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-inner-product top-k (the reference's IP metric surface,
+    SURVEY §2.10; MIP as min of negated IP, bitwise dist parity)."""
+    return knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K, metric="ip")
+
+
+_RESIDUAL_ORACLE = f"""
+WITH ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
+            FROM embeddings WHERE vec_id >= {NQ}),
+pd AS (SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS c FROM ex GROUP BY label, pos),
+cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM pd GROUP BY label),
+r AS (SELECT e.vec_id,
+             {O.l2sq('e.embedding', 'c.centroid')} AS r2,
+             {O.vec_sum('e.embedding')} - {O.vec_sum('c.centroid')} AS rsum
+      FROM embeddings e JOIN cent c ON e.label = c.label
+      WHERE e.vec_id >= {NQ})
+SELECT vec_id, round(sqrt(r2), 6) AS res_norm_r, round(rsum, 6) AS res_sum_r FROM r
+"""
+
+
+@register("residual_stats", _RESIDUAL_ORACLE)
+def residual_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 residual (x − centroid) statistics per vector: residual norm and
+    component sum (inc/index/Quantizer.hpp:344-350; the padding P1 is a
+    no-op on norms since pad components are exactly 0)."""
+    from ..operators.ivf import label_centroids
+    from ..tables import base_vectors
+
+    base = base_vectors(spark, sf_dir)
+    cents = label_centroids(base).withColumnRenamed("cluster_id", "label")
+    joined = base.join(F.broadcast(cents), on="label")
+    return joined.select(
+        "vec_id",
+        F.round(F.sqrt(F.expr(V.l2sq("embedding", "centroid"))), 6).alias("res_norm_r"),
+        F.round(
+            F.expr(V.vec_sum("embedding")) - F.expr(V.vec_sum("centroid")), 6
+        ).alias("res_sum_r"),
+    )
