@@ -171,3 +171,51 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _COS_TOPN)
         .select("rnk", "id_a", "id_b", F.round("cos", 6).alias("cos_r"))
     )
+
+
+_DOC_SIM_TOPN = 3
+
+_DOC_SIM_ORACLE = f"""
+WITH de AS (SELECT d.doc_id, d.lang, e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.lang AS lang_b,
+             {O.cosine_sim('a.embedding', 'b.embedding')} AS cos
+      FROM de a JOIN de b ON a.doc_id <> b.doc_id
+      WHERE a.doc_id < 10),
+r AS (SELECT doc_a, doc_b, lang_b, cos,
+             CAST(row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b) AS BIGINT) AS rnk
+      FROM p)
+SELECT doc_a, rnk, doc_b, lang_b, round(cos, 6) AS cos_r FROM r WHERE rnk <= {_DOC_SIM_TOPN}
+"""
+
+
+@register("doc_similarity", _DOC_SIM_ORACLE)
+def doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level similarity search: join documents to their embeddings
+    (doc_id ≡ vec_id in the fixtures) and rank the top-N most similar
+    documents for the first 10 docs — the doc-centric face of the ANN
+    engine (exact baseline; knn_rabitq is the scale path)."""
+    from pyspark.sql import Window
+
+    from ..functions import vector as V
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    de = docs.join(emb, docs.doc_id == emb.vec_id).select("doc_id", "lang", "embedding")
+    a = de.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("doc_a"), F.col("embedding").alias("va")
+    )
+    b = de.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(a))
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "lang_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.col("cos").desc(), F.col("doc_b").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _DOC_SIM_TOPN)
+        .select("doc_a", "rnk", "doc_b", "lang_b", F.round("cos", 6).alias("cos_r"))
+    )

@@ -104,3 +104,35 @@ def streaming_knn_serve(
         res.write.format("noop").mode("overwrite").save()
 
     return query_stream, _serve  # caller wires: stream.writeStream.foreachBatch(_serve)
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup: drop repeat (user_id, event_type) pairs
+    arriving within the watermark window — Spark's built-in stateful
+    dedup operator (StateStore-backed), the streaming analog of
+    operators/dedup.exact_dedup.  At scale the state is partitioned by
+    key across executors; the watermark bounds state size."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def sessionize_user_activity(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based) — F.session_window, the
+    stateful custom-window op → (user_id, session_start, session_end,
+    n_events, sum_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -74,3 +74,46 @@ def test_streaming_knn_foreachbatch(spark, tmp_path):
     sq = qstream.writeStream.foreachBatch(serve).trigger(availableNow=True).start()
     sq.awaitTermination(120)
     assert set(collected) == batch_res and len(batch_res) > 0
+
+
+def test_streaming_dedup_drops_repeats(spark):
+    from extended_rabitq_spark.streaming.stream_ops import read_events_stream, streaming_dedup
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, event_type, count(*) AS c FROM dedup_stream GROUP BY 1,2")
+    assert got.where("c > 1").count() == 0  # at most one event per key
+    n_keys_stream = got.count()
+    from extended_rabitq_spark.tables import load_events
+
+    n_keys_batch = load_events(spark, SF_SMOKE).select("user_id", "event_type").distinct().count()
+    assert n_keys_stream == n_keys_batch  # every key survives exactly once
+
+
+def test_session_windows(spark):
+    from extended_rabitq_spark.streaming.stream_ops import (
+        read_events_stream,
+        sessionize_user_activity,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    q = (
+        sessionize_user_activity(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) > 0
+    assert all(r.session_end > r.session_start and r.n_events >= 1 for r in rows)
