@@ -151,3 +151,32 @@ def residual_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(V.vec_sum("embedding")) - F.expr(V.vec_sum("centroid")), 6
         ).alias("res_sum_r"),
     )
+
+
+_NORM_ORACLE = f"""
+WITH n AS (SELECT vec_id,
+                  CASE WHEN {O.norm('embedding')} < 1e-20
+                       THEN list_transform(embedding, x -> 1.0 / sqrt(CAST(len(embedding) AS DOUBLE)))
+                       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / {O.norm('embedding')}) END
+                    AS nv
+           FROM embeddings)
+SELECT vec_id,
+       round({O.norm('nv')}, 6) AS unit_norm_r,
+       round({O.vec_sum('nv')}, 6) AS nsum_r
+FROM n
+"""
+
+
+@register("normalize_vectors", _NORM_ORACLE)
+def normalize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 row L2-normalization with the reference's zero-norm → 1/√D
+    fallback (inc/utils/space.hpp:749-778; python/utils/preprocess.py:3-5
+    uses this to reduce cosine to L2).  Emits the unit-norm check and
+    component sum."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = emb.select("vec_id", F.expr(V.l2_normalize("embedding")).alias("nv"))
+    return d.select(
+        "vec_id",
+        F.round(F.expr(V.norm("nv")), 6).alias("unit_norm_r"),
+        F.round(F.expr(V.vec_sum("nv")), 6).alias("nsum_r"),
+    )

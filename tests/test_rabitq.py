@@ -124,3 +124,41 @@ class TestEndToEnd:
         mean_rq = sum(rec_rabitq.values()) / len(rec_rabitq)
         mean_ivf = sum(rec_ivf.values()) / len(rec_ivf)
         assert mean_rq >= 0.9 * mean_ivf, (mean_rq, mean_ivf)
+
+
+@pytest.mark.usefixtures("spark")
+class TestCosineMetric:
+    def test_cosine_via_normalized_l2(self, spark):
+        """The reference reduces cosine to L2 by pre-normalizing rows
+        (python/utils/preprocess.py:3-5).  Verify: L2 ranking on
+        normalized vectors == direct cosine ranking."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.functions import vector as V
+        from extended_rabitq_spark.operators import knn
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        norm = emb.select(
+            "vec_id", F.expr(V.l2_normalize("embedding")).alias("nv"), "label"
+        )
+        base_n = norm.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("nv").alias("vec")
+        )
+        q_n = norm.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("nv").alias("qvec")
+        )
+        via_l2 = {
+            (r.qid, r.rank): r.id for r in knn.exact_knn(q_n, base_n, k=10).collect()
+        }
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        direct = {
+            (r.qid, r.rank): r.id
+            for r in knn.exact_knn(qs, base, k=10, metric="cosine").collect()
+        }
+        assert via_l2 == direct

@@ -117,3 +117,56 @@ def test_session_windows(spark):
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert len(rows) > 0
     assert all(r.session_end > r.session_start and r.n_events >= 1 for r in rows)
+
+
+def test_streaming_topk_pool_matches_batch(spark, tmp_path):
+    """The stateful result pool (Pool.hpp as applyInPandasWithState) over
+    candidates split across micro-batches must converge to the batch
+    top-k."""
+    import pyspark.sql.functions as F
+
+    from extended_rabitq_spark.streaming.state_ops import streaming_topk_pool
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    from extended_rabitq_spark.functions import vector as V
+
+    cand = base.crossJoin(F.broadcast(queries)).select(
+        "qid", "id", F.expr(V.l2sq("qvec", "vec")).alias("dist")
+    )
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    cdir = str(tmp_path / "cands")
+    cand.repartition(2).write.parquet(cdir)
+    stream = (
+        spark.readStream.schema(cand.schema).option("maxFilesPerTrigger", 1).parquet(cdir)
+    )
+    q = (
+        streaming_topk_pool(stream, k=5)
+        .writeStream.format("memory")
+        .queryName("pool")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted pool per qid == batch top-5
+    from pyspark.sql import Window
+
+    from extended_rabitq_spark.operators import knn
+
+    got = {
+        (r.qid, r.rank): (r.id, round(r.dist, 9))
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY qid, rank ORDER BY dist) rn FROM pool) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        (r.qid, r.rank): (r.id, round(r.dist, 9))
+        for r in knn.exact_knn(queries, base, k=5).collect()
+    }
+    assert got == want and len(want) == 15
