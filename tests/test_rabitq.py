@@ -162,3 +162,46 @@ class TestCosineMetric:
             for r in knn.exact_knn(qs, base, k=10, metric="cosine").collect()
         }
         assert via_l2 == direct
+
+
+class TestPackedCodes:
+    def test_pack_unpack_roundtrip(self):
+        from extended_rabitq_spark.operators.rabitq import pack_codes, unpack_codes
+
+        for B in [2, 3, 4, 8]:
+            codes = RNG.integers(0, 1 << B, (17, 64)).astype(np.int32)
+            packed = pack_codes(codes, B)
+            assert packed.shape == (17, 64 * B // 8)
+            assert (unpack_codes(packed, B, 64) == codes).all()
+
+    def test_packed_index_search_identical(self, spark, tmp_path):
+        """A packed (Q4) index must return the exact same top-k as the
+        unpacked one, at ~1/4 the storage."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+        index_df = index_df.persist()
+        p1, p2 = str(tmp_path / "plain"), str(tmp_path / "packed")
+        rabitq.save_index(index_df, cents, meta, p1, packed=False)
+        rabitq.save_index(index_df, cents, meta, p2, packed=True)
+        c1, cf1, m1 = rabitq.load_index(spark, p1)
+        c2, cf2, m2 = rabitq.load_index(spark, p2)
+        r1 = {(r.qid, r.rank): r.id for r in rabitq.rabitq_search(queries, c1, cf1, m1, 3, 10).collect()}
+        r2 = {(r.qid, r.rank): r.id for r in rabitq.rabitq_search(queries, c2, cf2, m2, 3, 10).collect()}
+        assert r1 == r2 and len(r1) == 100
+        # NOTE: no size assertion — measured at 100k vectors, parquet's
+        # dict/RLE encoding stores the unpacked SMALLINT codes at 62 B/vec
+        # vs 64 B/vec for the (incompressible) packed binary, and packed
+        # search pays unpack overhead.  Q4 packing exists for format
+        # parity; plain arrays are the recommended layout (COVERAGE.md).
