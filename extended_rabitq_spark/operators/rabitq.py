@@ -333,6 +333,32 @@ def save_index(
         json.dump(meta, f)
 
 
+def append_to_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_: str = "id",
+    vec: str = "vec",
+) -> None:
+    """Incremental insert (beyond the reference: its index is immutable,
+    IVF.hpp has no add path).  New vectors quantize against the SAVED
+    centroids/rotation (no retrain — standard IVF practice) and append as
+    new parquet files inside the existing cluster_id partitions; readers
+    see them on the next load with zero rewrite of existing data.
+    Periodic centroid retraining is a rebuild, as it is for every IVF
+    system."""
+    spark = new_vectors.sparkSession
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    if meta.get("packed"):
+        raise NotImplementedError("append into packed indexes not supported; rebuild")
+    centroids = spark.read.parquet(f"{path}/centroids").select("cluster_id", "centroid")
+    index_df, _ = build_index(
+        new_vectors, centroids, total_bits=meta["total_bits"], seed=meta["seed"],
+        id_=id_, vec=vec,
+    )
+    index_df.write.mode("append").partitionBy("cluster_id").parquet(f"{path}/codes")
+
+
 def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """S5: reload (codes, centroids, meta) (inc/index/IVF.hpp:254-293)."""
     with open(f"{path}/meta.json") as f:

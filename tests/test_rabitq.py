@@ -205,3 +205,36 @@ class TestPackedCodes:
         # vs 64 B/vec for the (incompressible) packed binary, and packed
         # search pays unpack overhead.  Q4 packing exists for format
         # parity; plain arrays are the recommended layout (COVERAGE.md).
+
+
+class TestIncrementalIndex:
+    def test_append_equals_full_build(self, spark, tmp_path):
+        """Index built on 80% + appended 20% must answer queries exactly
+        like the index built on 100% in one shot (same centroids)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        allb = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        part1 = allb.where(F.col("id") < 400)
+        part2 = allb.where(F.col("id") >= 400)
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        pa_, pb = str(tmp_path / "inc"), str(tmp_path / "full")
+        idx1, meta = rabitq.build_index(part1, cents, total_bits=4)
+        rabitq.save_index(idx1, cents, meta, pa_)
+        rabitq.append_to_index(part2, pa_)
+        idx_full, meta2 = rabitq.build_index(allb, cents, total_bits=4)
+        rabitq.save_index(idx_full, cents, meta2, pb)
+        c1, cf1, m1 = rabitq.load_index(spark, pa_)
+        c2, cf2, m2 = rabitq.load_index(spark, pb)
+        assert c1.count() == c2.count() == 490
+        r1 = {(r.qid, r.rank): r.id for r in rabitq.rabitq_search(queries, c1, cf1, m1, 3, 10).collect()}
+        r2 = {(r.qid, r.rank): r.id for r in rabitq.rabitq_search(queries, c2, cf2, m2, 3, 10).collect()}
+        assert r1 == r2
