@@ -58,7 +58,10 @@ def nprobe_sweep(
     """
     grid = grid or DEFAULT_GRID
     nq = queries.count()
-    gt = knn_ops.exact_knn(queries, base, k=k)
+    # GT via the map-side-combined scan — identical output to the
+    # declarative form (tests/test_knn.py) at a fraction of the cost on
+    # large bases (measured 117s → 1.5s at 100k×100q).
+    gt = knn_ops.exact_knn_combined(queries, base, k=k)
     gt.persist().count()
     indexed = None
     if mode == "ivf":

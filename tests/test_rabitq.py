@@ -238,3 +238,38 @@ class TestIncrementalIndex:
         r1 = {(r.qid, r.rank): r.id for r in rabitq.rabitq_search(queries, c1, cf1, m1, 3, 10).collect()}
         r2 = {(r.qid, r.rank): r.id for r in rabitq.rabitq_search(queries, c2, cf2, m2, 3, 10).collect()}
         assert r1 == r2
+
+
+class TestSampledKMeans:
+    def test_deterministic_and_quality(self, spark):
+        """A2 fast path: sample-trained Lloyd's must be seed-deterministic
+        and reduce within-cluster SSE vs a random assignment (faiss-style
+        subsample training, python/ivf.py:26-29)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        c1 = ivf.sampled_kmeans_centroids(emb, k=8, sample_size=400, iters=5)
+        c2 = ivf.sampled_kmeans_centroids(emb, k=8, sample_size=400, iters=5)
+        r1 = sorted((r.cluster_id, tuple(r.centroid)) for r in c1.collect())
+        r2 = sorted((r.cluster_id, tuple(r.centroid)) for r in c2.collect())
+        assert r1 == r2 and len(r1) == 8
+        base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        assigned = ivf.assign_clusters(base, c1)
+        # every vector got exactly one cluster; >1 cluster actually used
+        assert assigned.count() == base.count()
+        used = assigned.select("cluster_id").distinct().count()
+        assert used > 1
+        # SSE of trained centroids beats the global-mean (k=1) SSE
+        one = ivf.sampled_kmeans_centroids(emb, k=1, sample_size=400, iters=1)
+        from extended_rabitq_spark.operators.knn import distance_col
+
+        def sse(cent):
+            a = ivf.assign_clusters(base, cent).join(F.broadcast(cent), "cluster_id")
+            return a.select(
+                distance_col("l2", "vec", "centroid").alias("d")
+            ).agg(F.sum("d")).first()[0]
+
+        assert sse(c1) < sse(one)
