@@ -233,6 +233,66 @@ def simhash_pairs(
     )
 
 
+def simhash_banded_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Scale form of :func:`simhash_pairs`: LSH banding by pigeonhole.
+
+    Split the 48-bit fingerprint into ``max_hamming + 1`` bands; a pair
+    within Hamming distance ``max_hamming`` differs in at most
+    ``max_hamming`` bit positions, so at least one band is bit-identical
+    (pigeonhole).  Candidate generation is therefore an equi-join on
+    ``(band, key)`` — a hash shuffle on a small key instead of the O(N²)
+    cross join — and the post-filter on true Hamming distance makes the
+    output EXACTLY equal to the all-pairs form (which is this query's
+    DuckDB oracle).  At 100 TB the band join is the only shuffle and its
+    key space (2^width per band) keeps partitions balanced; a hot band
+    (e.g. all-zero fingerprints from empty docs) is the one skew risk —
+    AQE skew-join handles it, or pre-filter degenerate docs.
+    """
+    nb = max_hamming + 1
+    s = simhash(docs, id_, text)
+    widths = [SIMHASH_BITS // nb + (1 if i < SIMHASH_BITS % nb else 0) for i in range(nb)]
+    offs = [sum(widths[:i]) for i in range(nb)]
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {offs[i]}) & {(1 << widths[i]) - 1}"
+                        ).alias("key"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(y, on=["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, threshold: float = 0.9, id_: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:

@@ -107,7 +107,8 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-_SIMHASH_ORACLE = f"""
+def _simhash_oracle(max_hamming: int) -> str:
+    return f"""
 WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents),
 th AS (SELECT doc_id, {T.d_hash60('tok')} AS h FROM tok),
 votes AS (SELECT doc_id, j.j,
@@ -121,14 +122,24 @@ fp AS (SELECT doc_id,
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-@register("dedup_simhash", _SIMHASH_ORACLE)
+@register("dedup_simhash", _simhash_oracle(8))
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(48-bit) near-dup pairs at Hamming ≤ 8."""
     return dedup.simhash_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@register("dedup_simhash_banded", _simhash_oracle(3))
+def dedup_simhash_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup at Hamming ≤ 3 via LSH banding (pigeonhole over
+    4 bands) — the scale path.  The oracle is the all-pairs form: banding
+    is provably lossless at nb = h+1, so values must match exactly."""
+    return dedup.simhash_banded_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=3
+    )
 
 
 from .. import oracle as O  # noqa: E402

@@ -49,6 +49,23 @@ def test_simhash_near_dup(docs):
     assert (3, 4) not in pairs
 
 
+def test_simhash_banded_equals_all_pairs(spark):
+    """Pigeonhole losslessness: banded candidate generation must return
+    EXACTLY the all-pairs result at every max_hamming (nb = h+1 bands),
+    including uneven band widths (48 % nb != 0)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for h in (0, 3, 4):
+        full = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dedup.simhash_pairs(docs, max_hamming=h).collect()
+        }
+        banded = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dedup.simhash_banded_pairs(docs, max_hamming=h).collect()
+        }
+        assert banded == full, h
+
+
 def test_embedding_cosine_pairs(spark):
     emb = spark.createDataFrame(
         [
