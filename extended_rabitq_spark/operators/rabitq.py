@@ -274,6 +274,32 @@ def build_index(
     return index_df, meta
 
 
+def _pack_index_df(index_df: DataFrame, total_bits: int) -> DataFrame:
+    """Q4 compaction as a map-only pass: ARRAY<SMALLINT> codes → BINARY."""
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["code"].tolist(), dtype=np.int32)
+            pb = pack_codes(codes, total_bits)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": pdf["cluster_id"].to_numpy(),
+                    "id": pdf["id"].to_numpy(),
+                    "code_packed": [row.tobytes() for row in pb],
+                    "x2": pdf["x2"].to_numpy(),
+                    "f_ip_ex": pdf["f_ip_ex"].to_numpy(),
+                    "f_err": pdf["f_err"].to_numpy(),
+                }
+            )
+
+    return index_df.mapInPandas(
+        _pack,
+        "cluster_id int, id long, code_packed binary, x2 double, f_ip_ex double, f_err double",
+    )
+
+
 def save_index(
     index_df: DataFrame, centroids: DataFrame, meta: dict, path: str, packed: bool = False
 ) -> None:
@@ -285,33 +311,7 @@ def save_index(
     Packed indexes are searched by the Arrow scorer (the default), which
     unpacks batches vectorized; the SQL scorer needs unpacked arrays.
     """
-    total_bits = meta["total_bits"]
-    if packed:
-        import pyspark.sql.functions as _F
-
-        def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                codes = np.array(pdf["code"].tolist(), dtype=np.int32)
-                pb = pack_codes(codes, total_bits)
-                yield pd.DataFrame(
-                    {
-                        "cluster_id": pdf["cluster_id"].to_numpy(),
-                        "id": pdf["id"].to_numpy(),
-                        "code_packed": [row.tobytes() for row in pb],
-                        "x2": pdf["x2"].to_numpy(),
-                        "f_ip_ex": pdf["f_ip_ex"].to_numpy(),
-                        "f_err": pdf["f_err"].to_numpy(),
-                    }
-                )
-
-        out = index_df.mapInPandas(
-            _pack,
-            "cluster_id int, id long, code_packed binary, x2 double, f_ip_ex double, f_err double",
-        )
-    else:
-        out = index_df
+    out = _pack_index_df(index_df, meta["total_bits"]) if packed else index_df
     meta = dict(meta, packed=packed)
     out.write.mode("overwrite").partitionBy("cluster_id").parquet(f"{path}/codes")
     spark = index_df.sparkSession
@@ -349,13 +349,13 @@ def append_to_index(
     spark = new_vectors.sparkSession
     with open(f"{path}/meta.json") as f:
         meta = json.load(f)
-    if meta.get("packed"):
-        raise NotImplementedError("append into packed indexes not supported; rebuild")
     centroids = spark.read.parquet(f"{path}/centroids").select("cluster_id", "centroid")
     index_df, _ = build_index(
         new_vectors, centroids, total_bits=meta["total_bits"], seed=meta["seed"],
         id_=id_, vec=vec,
     )
+    if meta.get("packed"):
+        index_df = _pack_index_df(index_df, meta["total_bits"])
     index_df.write.mode("append").partitionBy("cluster_id").parquet(f"{path}/codes")
 
 

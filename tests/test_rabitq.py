@@ -238,6 +238,15 @@ class TestIncrementalIndex:
         r1 = {(r.qid, r.rank): r.id for r in rabitq.rabitq_search(queries, c1, cf1, m1, 3, 10).collect()}
         r2 = {(r.qid, r.rank): r.id for r in rabitq.rabitq_search(queries, c2, cf2, m2, 3, 10).collect()}
         assert r1 == r2
+        # packed variant: append must pack the new rows the same way
+        pp = str(tmp_path / "inc_packed")
+        rabitq.save_index(idx1, cents, meta, pp, packed=True)
+        rabitq.append_to_index(part2, pp)
+        c3, cf3, m3 = rabitq.load_index(spark, pp)
+        assert m3["packed"] and c3.count() == 490
+        assert "code_packed" in c3.columns and "code" not in c3.columns
+        r3 = {(r.qid, r.rank): r.id for r in rabitq.rabitq_search(queries, c3, cf3, m3, 3, 10).collect()}
+        assert r3 == r1
 
 
 class TestSampledKMeans:
