@@ -140,6 +140,27 @@ def main() -> None:
         if name in qmap:
             timed(name, lambda n=name: qmap[n](spark, sf_dir).count())
 
+    # ---- optional: full recall/QPS curve (BASELINE.md shape comparison) ----
+    # Off by default to keep the driver's per-round bench fast; set
+    # SPARK_GRAFT_SWEEP=1 to append the swept curve.
+    if os.environ.get("SPARK_GRAFT_SWEEP"):
+        from extended_rabitq_spark import harness
+
+        rows = harness.nprobe_sweep(
+            bench_queries,
+            base,
+            cents,
+            k=10,
+            mode="rabitq",
+            index_df=index_df,
+            centroids_full=cents_full,
+            meta=meta,
+        )
+        extras["sweep"] = [
+            [r.nprobe, round(r.recall, 4), round(r.ratio, 4), round(r.qps, 2)]
+            for r in rows
+        ]
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),

@@ -570,10 +570,12 @@ def rabitq_search(
     )
     if rerank_base is not None:
         # E4-style exact re-rank (the EX_BITS=0 degenerate path of SURVEY
-        # §7 phase 3): join raw vectors for the shortlist only.
-        exact = shortlist.select("qid", "id").join(rerank_base, on="id").join(
-            F.broadcast(queries.select(qid, qvec)), on="qid"
-        )
+        # §7 phase 3): join raw vectors for the shortlist only.  The
+        # shortlist (NQ·γk rows) is broadcast so the raw-vector table —
+        # the 100 TB side — is scanned in place, never shuffled.
+        exact = rerank_base.join(
+            F.broadcast(shortlist.select("qid", "id")), on="id"
+        ).join(F.broadcast(queries.select(qid, qvec)), on="qid")
         from .knn import distance_col
 
         shortlist = exact.select(

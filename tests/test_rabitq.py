@@ -282,3 +282,48 @@ class TestSampledKMeans:
             ).agg(F.sum("d")).first()[0]
 
         assert sse(c1) < sse(one)
+
+
+class TestExactRerank:
+    def test_rerank_matches_exact_ivf(self, spark):
+        """E4 path: with refine covering every candidate, the exact
+        re-rank over raw vectors must reproduce ivf_search exactly
+        (same probes, same distances, same tie-break)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        idx, meta = rabitq.build_index(base, cents, total_bits=4)
+        P = rabitq.rotation_matrix(meta["D"], meta["seed"])
+        import numpy as np
+
+        cents_full = spark.createDataFrame(
+            [
+                (int(r["cluster_id"]), [float(x) for x in r["centroid"]],
+                 [float(x) for x in (np.pad(np.array(r["centroid"]), (0, meta["D"] - meta["dim"])) @ P.T)])
+                for r in cents.collect()
+            ],
+            "cluster_id int, centroid array<double>, centroid_rot array<double>",
+        )
+        got = {
+            (r.qid, r.rank): (r.id, round(r.est_dist, 9))
+            for r in rabitq.rabitq_search(
+                queries, idx, cents_full, meta, nprobe=3, k=10,
+                refine=10_000, rerank_base=base,
+            ).collect()
+        }
+        indexed = idx.select("cluster_id", "id").join(base, on="id")
+        want = {
+            (r.qid, r.rank): (r.id, round(r.dist, 9))
+            for r in ivf.ivf_search(queries, indexed, cents, nprobe=3, k=10).collect()
+        }
+        assert got == want and len(got) == 100
