@@ -106,6 +106,92 @@ def streaming_knn_serve(
     return query_stream, _serve  # caller wires: stream.writeStream.foreachBatch(_serve)
 
 
+def synthetic_query_stream(
+    spark: SparkSession, rows_per_batch: int, dim: int, num_partitions: int = 2
+) -> DataFrame:
+    """Deterministic query-load generator → streaming (qid, qvec).
+
+    Uses the ``rate-micro-batch`` source (built for reproducible streaming
+    tests: exactly ``rows_per_batch`` rows per micro-batch, monotonically
+    increasing ``value``).  Vectors derive from qid entirely JVM-side
+    (sin-hash per dimension — no Python in the generator), so a run is
+    bit-reproducible.  A Kafka source would slot in here unchanged
+    (same (qid, qvec) schema); the container has no broker, so the rate
+    source is the load generator for the latency benchmark.
+    """
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", num_partitions)
+        .load()
+        .select(
+            F.col("value").alias("qid"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), "
+                f"j -> CAST(sin(value * 73856093.0 + j * 19349663.0) AS DOUBLE))"
+            ).alias("qvec"),
+        )
+    )
+
+
+def serve_latency_benchmark(
+    spark: SparkSession,
+    index_path: str,
+    rows_per_batch: int = 50,
+    n_batches: int = 3,
+    nprobe: int = 3,
+    k: int = 10,
+    timeout_sec: float = 120.0,
+) -> list[dict]:
+    """Rate-limited ANN-serving latency benchmark: drive the saved index
+    with the synthetic query stream and record per-micro-batch wall time
+    and result counts.  Returns one dict per completed batch:
+    ``{"batch": i, "n_queries": n, "n_results": m, "latency_sec": s}``.
+
+    The per-batch work is the same two-phase search as batch mode (the
+    index side is persisted once, probe artifacts broadcast per batch) —
+    micro-batch latency ≈ job-scheduling floor + search time, the honest
+    Spark serving number (BASELINE.json note on real-time infra).
+    """
+    import time
+
+    from ..operators.rabitq import load_index, rabitq_search
+
+    codes, centroids, meta = load_index(spark, index_path)
+    codes = codes.persist()
+    codes.count()
+    dim = meta["dim"]
+    stream = synthetic_query_stream(spark, rows_per_batch, dim)
+    stats: list[dict] = []
+
+    def _serve(batch_df: DataFrame, epoch: int) -> None:
+        t0 = time.perf_counter()
+        n_q = batch_df.count()
+        if n_q == 0:
+            return
+        res = rabitq_search(batch_df, codes, centroids, meta, nprobe=nprobe, k=k)
+        n_r = res.count()
+        stats.append(
+            {
+                "batch": int(epoch),
+                "n_queries": int(n_q),
+                "n_results": int(n_r),
+                "latency_sec": round(time.perf_counter() - t0, 4),
+            }
+        )
+
+    q = stream.writeStream.foreachBatch(_serve).start()
+    t_start = time.time()
+    try:
+        while len(stats) < n_batches and time.time() - t_start < timeout_sec:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+        codes.unpersist()
+    return stats
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup: drop repeat (user_id, event_type) pairs
     arriving within the watermark window — Spark's built-in stateful

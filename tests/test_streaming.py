@@ -170,3 +170,30 @@ def test_streaming_topk_pool_matches_batch(spark, tmp_path):
         for r in knn.exact_knn(queries, base, k=5).collect()
     }
     assert got == want and len(want) == 15
+
+
+def test_serve_latency_benchmark(spark, tmp_path):
+    """Rate-source serving benchmark: deterministic micro-batches flow
+    through the saved index; every batch reports k results per query."""
+    import pyspark.sql.functions as F
+
+    from extended_rabitq_spark.operators import ivf, rabitq
+    from extended_rabitq_spark.streaming.stream_ops import serve_latency_benchmark
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+    index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+    path = str(tmp_path / "idx")
+    rabitq.save_index(index_df, cents, meta, path)
+
+    stats = serve_latency_benchmark(
+        spark, path, rows_per_batch=20, n_batches=2, nprobe=3, k=5
+    )
+    assert len(stats) >= 2
+    for s in stats[:2]:
+        assert s["n_queries"] == 20
+        assert s["n_results"] == 20 * 5  # k per query
+        assert s["latency_sec"] > 0
