@@ -119,6 +119,35 @@ def knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K, metric="ip")
 
 
+_FILTERED_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {NQ}),
+     b AS (SELECT e.vec_id AS id, e.embedding AS vec
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           WHERE e.vec_id >= {NQ} AND d.lang = 'en'),
+     d AS (SELECT q.qid, b.id, {O.l2sq('q.qvec', 'b.vec')} AS dist FROM b CROSS JOIN q),
+     r AS (SELECT qid, id, dist,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS BIGINT) AS rank
+           FROM d)
+SELECT qid, rank, id, dist FROM r WHERE rank <= {K}
+"""
+
+
+@register("knn_filtered", _FILTERED_ORACLE)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN (standard vector-DB surface beyond the
+    reference): restrict the base to vectors whose document metadata
+    matches a predicate (here lang='en'), then top-k.  The filter is a
+    LEFT SEMI join — at scale it prunes the candidate space BEFORE the
+    probe/scan (pre-filtering), so the filtered index scan reads only
+    matching rows; the alternative post-filter (search then drop) loses
+    recall under selective predicates.  Scale path: the same semi join
+    composes in front of ivf_search/rabitq_search unchanged."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
+    base = _base_df(spark, sf_dir).join(keep, on="id", how="left_semi")
+    return knn.exact_knn(_queries_df(spark, sf_dir), base, k=K)
+
+
 _RESIDUAL_ORACLE = f"""
 WITH ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
             FROM embeddings WHERE vec_id >= {NQ}),
