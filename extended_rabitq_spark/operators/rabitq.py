@@ -359,6 +359,34 @@ def append_to_index(
     index_df.write.mode("append").partitionBy("cluster_id").parquet(f"{path}/codes")
 
 
+def compact_index(spark: SparkSession, path: str) -> None:
+    """Index maintenance: rewrite the codes table to one file per
+    cluster_id partition (hash-clustered shuffle, so every cluster's rows
+    land in a single write task).
+
+    Repeated :func:`append_to_index` calls accumulate small files per
+    partition (every append writes ≥1 file per touched cluster) — the
+    classic streaming-ingest small-files problem; at 100 TB unbounded
+    file counts degrade scan planning and open() overhead.  Search
+    results are unchanged (same rows, same values) — verified by test.
+    Writes to a temp subdir then swaps, so a concurrent reader never sees
+    a half-written table."""
+    import shutil
+
+    codes = spark.read.parquet(f"{path}/codes")
+    tmp = f"{path}/codes_compacting"
+    (
+        codes.repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(tmp)
+    )
+    old = f"{path}/codes_old"
+    os.rename(f"{path}/codes", old)
+    os.rename(tmp, f"{path}/codes")
+    shutil.rmtree(old)
+
+
 def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """S5: reload (codes, centroids, meta) (inc/index/IVF.hpp:254-293)."""
     with open(f"{path}/meta.json") as f:

@@ -327,3 +327,76 @@ class TestExactRerank:
             for r in ivf.ivf_search(queries, indexed, cents, nprobe=3, k=10).collect()
         }
         assert got == want and len(got) == 100
+
+
+class TestCompaction:
+    def test_compact_preserves_results_reduces_files(self, spark, tmp_path):
+        import glob
+
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        allb = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        path = str(tmp_path / "idx")
+        idx, meta = rabitq.build_index(allb.where(F.col("id") < 300), cents, total_bits=4)
+        rabitq.save_index(idx, cents, meta, path)
+        # two appends → extra files in touched partitions
+        rabitq.append_to_index(allb.where((F.col("id") >= 300) & (F.col("id") < 400)), path)
+        rabitq.append_to_index(allb.where(F.col("id") >= 400), path)
+        n_files_before = len(glob.glob(f"{path}/codes/cluster_id=*/*.parquet"))
+        c, cf, m = rabitq.load_index(spark, path)
+        before = {
+            (r.qid, r.rank): r.id
+            for r in rabitq.rabitq_search(queries, c, cf, m, 3, 10).collect()
+        }
+        rabitq.compact_index(spark, path)
+        n_files_after = len(glob.glob(f"{path}/codes/cluster_id=*/*.parquet"))
+        c2, cf2, m2 = rabitq.load_index(spark, path)
+        after = {
+            (r.qid, r.rank): r.id
+            for r in rabitq.rabitq_search(queries, c2, cf2, m2, 3, 10).collect()
+        }
+        assert after == before and len(after) == 100
+        n_clusters = c2.select("cluster_id").distinct().count()
+        assert n_files_after == n_clusters < n_files_before
+
+
+class TestFilteredIVF:
+    def test_semi_filter_composes_with_ivf_search(self, spark):
+        """knn_filtered's docstring claim: the metadata semi-join composes
+        in front of ivf_search unchanged, and equals exact KNN over the
+        filtered base when every cluster is probed."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, knn
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        keep = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        ).join(keep, on="id", how="left_semi")
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        nclusters = cents.count()
+        indexed = ivf.assign_clusters(base, cents)
+        got = {
+            (r.qid, r.rank): r.id
+            for r in ivf.ivf_search(queries, indexed, cents, nprobe=nclusters, k=10).collect()
+        }
+        want = {
+            (r.qid, r.rank): r.id for r in knn.exact_knn(queries, base, k=10).collect()
+        }
+        assert got == want and len(got) == 100
