@@ -293,6 +293,79 @@ def simhash_banded_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def embedding_ann_pairs(
+    emb: DataFrame,
+    top_n: int = 20,
+    nprobe: int | None = None,
+    k_per_query: int = 40,
+    total_bits: int = 4,
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    n_clusters: int = 16,
+) -> DataFrame:
+    """Embedding near-dup via a distributed ANN self-join — the scale path
+    of :func:`embedding_cosine_pairs` → (rnk, id_a, id_b, cos_r) global
+    top-N most-similar pairs.
+
+    Pipeline: L2-normalize (cosine ≡ L2 on the unit sphere,
+    python/utils/preprocess.py:3-5) → build the IVF+RaBitQ index → every
+    vector queries the index (SQL scorer: the query side is a DataFrame
+    end-to-end, NO driver collect — this is what lets the self-join run
+    with N = corpus size) → exact re-rank on raw vectors → pair
+    normalization (a<b) → global top-N by exact cosine.
+
+    Losslessness at full probes: a pair in the global top-N has fewer
+    than N pairs above it, so each endpoint has < N nearer neighbors —
+    per-query k ≥ N+1 captures every top-N pair (pigeonhole on ranks).
+    With ``nprobe < n_clusters`` the search is approximate and the recall
+    knob is (nprobe, k_per_query), exactly like query serving.
+    """
+    from pyspark.sql import Window
+
+    from .ivf import sampled_kmeans_centroids
+    from .rabitq import build_index, centroids_with_rotation, rabitq_search
+
+    spark = emb.sparkSession
+    norm = emb.select(
+        F.col(id_).alias("id"), F.expr(V.l2_normalize(vec)).alias("vec")
+    )
+    cents = sampled_kmeans_centroids(norm, k=n_clusters, vec="vec")
+    index_df, meta = build_index(norm, cents, total_bits=total_bits)
+    cents_full = centroids_with_rotation(spark, cents, meta)
+    if nprobe is None:
+        nprobe = n_clusters
+    res = rabitq_search(
+        norm.select(F.col("id").alias("qid"), F.col("vec").alias("qvec")),
+        index_df,
+        cents_full,
+        meta,
+        nprobe=nprobe,
+        k=k_per_query + 1,  # +1: self-match rides along and is dropped
+        rerank_base=norm,
+        scorer="sql",
+    )
+    pairs = (
+        res.where(F.col("qid") != F.col("id"))
+        .select(
+            F.least("qid", "id").alias("id_a"),
+            F.greatest("qid", "id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
+    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
+    scored = (
+        pairs.join(a, on="id_a").join(b, on="id_b")
+        .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_n)
+        .select("rnk", "id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, threshold: float = 0.9, id_: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:

@@ -359,6 +359,29 @@ def append_to_index(
     index_df.write.mode("append").partitionBy("cluster_id").parquet(f"{path}/codes")
 
 
+def centroids_with_rotation(
+    spark: SparkSession, centroids: DataFrame, meta: dict
+) -> DataFrame:
+    """(cluster_id, centroid, centroid_rot) side table for the SQL scorer
+    — the rotated-centroid artifact save_index persists, computed in
+    memory for unsaved indexes.  K is small by design; driver-side numpy
+    is the same move as the reference registering rotated centroids with
+    the initializer (inc/index/IVF.hpp:150)."""
+    P = rotation_matrix(meta["D"], meta["seed"])
+    dim, D = meta["dim"], meta["D"]
+    data = []
+    for r in centroids.select("cluster_id", "centroid").collect():
+        c = np.zeros(D)
+        c[:dim] = np.array(r["centroid"], dtype=np.float64)
+        data.append(
+            (int(r["cluster_id"]), [float(x) for x in r["centroid"]],
+             [float(x) for x in (c @ P.T)])
+        )
+    return spark.createDataFrame(
+        data, "cluster_id int, centroid array<double>, centroid_rot array<double>"
+    )
+
+
 def compact_index(spark: SparkSession, path: str) -> None:
     """Index maintenance: rewrite the codes table to one file per
     cluster_id partition (hash-clustered shuffle, so every cluster's rows

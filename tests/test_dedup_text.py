@@ -97,3 +97,20 @@ def test_fingerprint_dups_share_fp(docs):
     out = {r.doc_id: (r.n_fp, r.min_fp, r.max_fp) for r in textops.doc_fingerprint(docs).collect()}
     assert out[0] == out[1] == out[5]  # normalization-equal docs → same fingerprints
     assert out[0] != out[3]
+
+
+def test_embedding_ann_pairs_approximate_recall(spark):
+    """With nprobe < n_clusters the ANN self-join is approximate; its
+    top-N pair recall vs the exact form stays high (deterministic
+    fixture: ≥ 70% at nprobe=4/16)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_ann_pairs(emb, top_n=10).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_ann_pairs(emb, top_n=10, nprobe=4).collect()
+    }
+    assert len(exact) == 10
+    assert len(exact & approx) >= 7
