@@ -22,9 +22,11 @@ PIPELINE_QUERIES = [
     "knn_exact",
     "knn_exact_combined",
     "knn_ivf",
+    "knn_filtered",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash_banded",
     "text_quality",
     "text_fingerprint",
     "events_windowed",

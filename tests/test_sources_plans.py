@@ -69,6 +69,17 @@ class TestPlanProperties:
         df = QUERIES["knn_exact"](spark, SF_SMOKE)
         assert inspect.pushed_filters(df), "query/base split must push to parquet scan"
 
+    def test_knn_filtered_semi_join_pushdown(self, spark):
+        """Metadata filter must be a broadcast LEFT SEMI join with the
+        lang predicate pushed into the documents scan (2-column read)."""
+        from extended_rabitq_spark.registry import QUERIES
+
+        df = QUERIES["knn_filtered"](spark, SF_SMOKE)
+        plan = inspect.physical_plan(df)
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert any("lang" in f for f in inspect.pushed_filters(df))
+        assert not inspect.has_shuffle_join(df)
+
     def test_ivf_search_no_shuffle_join(self, spark):
         from extended_rabitq_spark.registry import QUERIES
 
