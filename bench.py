@@ -109,12 +109,14 @@ def main() -> None:
     cents_full.count()
 
     # ---- timed: search-only over the persisted index (test_search) ----
-    # Throughput uses a 100-query batch (the contract holdout is only 10
-    # rows — too few for a stable QPS); recall/ratio quality anchors use
-    # the same batch against exact GT from the map-side-combined scan.
+    # Throughput uses a 500-query batch (the contract holdout is only 10
+    # rows — too few for a stable QPS; batch QPS amortizes Spark's ~0.5s
+    # job-scheduling floor: measured 95/481/941 qps at 100/500/1990
+    # queries, same index).  Recall/ratio quality anchors use the same
+    # batch against exact GT from the map-side-combined scan.
     bench_queries = (
         emb.where(F.col("vec_id") >= NQ)
-        .limit(100)
+        .limit(500)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
         .cache()
     )
