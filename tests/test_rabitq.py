@@ -400,3 +400,26 @@ class TestFilteredIVF:
             (r.qid, r.rank): r.id for r in knn.exact_knn(queries, base, k=10).collect()
         }
         assert got == want and len(got) == 100
+
+
+class TestMLlibKMeans:
+    def test_kmeans_centroids_end_to_end(self, spark):
+        """A2 production path: MLlib k-means centroids feed the same
+        assignment + index build pipeline (seed-deterministic)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        c1 = ivf.kmeans_centroids(emb, k=8, max_iter=5)
+        c2 = ivf.kmeans_centroids(emb, k=8, max_iter=5)
+        r1 = sorted((r.cluster_id, tuple(round(x, 9) for x in r.centroid)) for r in c1.collect())
+        r2 = sorted((r.cluster_id, tuple(round(x, 9) for x in r.centroid)) for r in c2.collect())
+        assert r1 == r2 and len(r1) == 8
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        idx, meta = rabitq.build_index(base, c1, total_bits=4)
+        assert idx.count() == base.count()
+        assert idx.select("cluster_id").distinct().count() > 1
