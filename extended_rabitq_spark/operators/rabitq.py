@@ -70,13 +70,27 @@ def pad64(dim: int) -> int:
 
 def rotation_matrix(D: int, seed: int = DEFAULT_SEED) -> np.ndarray:
     """Seeded random orthonormal D×D via QR (P2, inc/index/Rotator.hpp:14-19;
-    deterministic here, unlike Eigen's implicit global seed)."""
+    deterministic here, unlike Eigen's implicit global seed).
+
+    Memoized per (D, seed): the QR costs ~1 s at D=1536 and every
+    build/search entry point needs P — callers must treat the returned
+    array as read-only (it is shared and broadcast)."""
+    return _rotation_matrix_cached(D, seed)
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=8)
+def _rotation_matrix_cached(D: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     A = rng.standard_normal((D, D))
     Q, R = np.linalg.qr(A)
     # Sign-fix so the decomposition is unique → fully deterministic.
     Q = Q * np.sign(np.diag(R))
-    return np.ascontiguousarray(Q.astype(np.float64))
+    Q = np.ascontiguousarray(Q.astype(np.float64))
+    Q.setflags(write=False)
+    return Q
 
 
 def fast_quantize_batch(O_abs: np.ndarray, ex_bits: int) -> np.ndarray:
