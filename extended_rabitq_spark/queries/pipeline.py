@@ -1,0 +1,101 @@
+"""Composed training-data pipeline query (north-star surface): the
+operators of this engine chained the way a 100 TB corpus-cleaning job
+chains them, in ONE declarative plan with a full DuckDB oracle.
+
+Stages (all SQL-expressible, so the driver's t2 gate checks the whole
+composition end-to-end):
+
+1. exact dedup     — md5(normalized text) groupBy, min-doc_id survivor;
+2. quality filter  — token count + type/token distinct ratio thresholds;
+3. near-dup prune  — embedding-cosine pairs ≥ τ among survivors, drop
+                     the higher doc_id (keep-lowest policy, same as
+                     stage 1);
+4. output          — the cleaned corpus with per-doc quality columns.
+
+Scale notes: stage 1 is one hash shuffle with map-side partial agg;
+stage 2 is a map-only projection; stage 3 here is the exact all-pairs
+form (fixture-sized, oracle-checkable) — at corpus scale swap in
+``dedup.embedding_ann_pairs`` (distributed ANN self-join) or
+``dedup.simhash_banded_pairs``, both value-tested against their exact
+twins; stage 4 is a broadcast anti-join on the (small) drop list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import oracle as O
+from ..functions import text as T
+from ..functions import vector as V
+from ..operators import dedup as dedup_ops
+from ..operators import textops
+from ..registry import register
+
+MIN_TOKENS = 8
+MIN_DISTINCT_RATIO = 0.3
+COS_TAU = 0.45
+
+_D_NORM = T.d_norm_text("text")
+_D_TOKS = T.d_tokens("text")
+
+_PIPELINE_ORACLE = f"""
+WITH surv AS (
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5({_D_NORM})
+),
+q AS (
+    SELECT d.doc_id, d.lang,
+           CAST(len({_D_TOKS}) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct({_D_TOKS})) AS DOUBLE) / len({_D_TOKS}), 6)
+             AS distinct_ratio_r
+    FROM documents d JOIN surv USING (doc_id)
+),
+kept AS (
+    SELECT q.doc_id, q.lang, q.n_tokens, q.distinct_ratio_r, e.embedding
+    FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+    WHERE q.n_tokens >= {MIN_TOKENS} AND q.distinct_ratio_r >= {MIN_DISTINCT_RATIO}
+),
+drops AS (
+    SELECT DISTINCT b.doc_id
+    FROM kept a JOIN kept b ON a.doc_id < b.doc_id
+    WHERE {O.cosine_sim('a.embedding', 'b.embedding')} >= {COS_TAU}
+)
+SELECT k.doc_id, k.lang, k.n_tokens, k.distinct_ratio_r
+FROM kept k LEFT JOIN drops USING (doc_id)
+WHERE drops.doc_id IS NULL
+"""
+
+
+@register("pipeline_clean_corpus", _PIPELINE_ORACLE)
+def pipeline_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup → quality filter → embedding near-dup prune, composed
+    as one plan.  See module docstring for the per-stage scale story."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    surv = dedup_ops.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    quality = textops.text_quality(docs).select("doc_id", "n_tokens", "distinct_ratio_r")
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(surv, on="doc_id", how="left_semi")
+        .join(quality, on="doc_id")
+        .where(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("distinct_ratio_r") >= MIN_DISTINCT_RATIO)
+        )
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), on="doc_id")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("va"))
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    drops = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.expr(V.cosine_sim("va", "vb")) >= COS_TAU)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(F.broadcast(drops), on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "n_tokens", "distinct_ratio_r"
+    )
