@@ -101,6 +101,58 @@ def assign_clusters(
     )
 
 
+def assign_clusters_combined(
+    base: DataFrame,
+    centroids: DataFrame,
+    id_: str = "id",
+    vec: str = "vec",
+) -> DataFrame:
+    """J2 scale path: BLAS argmin inside an Arrow ``mapInPandas`` pass.
+
+    The declarative :func:`assign_clusters` materializes N×K candidate
+    rows before its window — at K=4096 that is a 4096× row blowup no
+    cluster survives.  Here the K×dim centroid matrix is broadcast and
+    each Arrow batch computes ``argmin_c (‖c‖² − 2⟨x,c⟩)`` as ONE matmul:
+    map-only, no join, no shuffle, no per-row Python.  Ties break to the
+    lowest cluster_id (same total order as the declarative form — equality
+    is asserted in tests).  This is the same fused assignment
+    ``rabitq.build_index`` uses internally (L2 metric).
+    Output: (id, vec, cluster_id).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = base.sparkSession
+    cent_rows = sorted(
+        (int(r[0]), np.array(r[1], dtype=np.float64))
+        for r in centroids.select("cluster_id", "centroid").collect()
+    )
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.stack([v for _, v in cent_rows])
+    bC = spark.sparkContext.broadcast((cids, cmat))
+
+    from pyspark.sql.types import IntegerType
+
+    out_schema = base.select(id_, vec).schema.add("cluster_id", IntegerType())
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids_, cmat_ = bC.value
+        c_sq = (cmat_ * cmat_).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec].tolist(), dtype=np.float64)
+            d = c_sq[None, :] - 2.0 * (X @ cmat_.T)
+            nearest = np.argmin(d, axis=1)  # ties → first = lowest cid
+            pdf = pdf.copy()
+            pdf["cluster_id"] = cids_[nearest].astype(np.int32)
+            yield pdf
+
+    return base.select(id_, vec).mapInPandas(assign, out_schema)
+
+
 def select_probes(
     queries: DataFrame,
     centroids: DataFrame,

@@ -423,3 +423,20 @@ class TestMLlibKMeans:
         idx, meta = rabitq.build_index(base, c1, total_bits=4)
         assert idx.count() == base.count()
         assert idx.select("cluster_id").distinct().count() > 1
+
+
+class TestArrowAssignment:
+    def test_combined_equals_declarative(self, spark):
+        """J2 scale path ≡ declarative argmin join, row for row (ties →
+        lowest cluster_id on both)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        cents = ivf.label_centroids(emb)
+        a = {r.id: r.cluster_id for r in ivf.assign_clusters(base, cents).collect()}
+        b = {r.id: r.cluster_id for r in ivf.assign_clusters_combined(base, cents).collect()}
+        assert a == b and len(a) == 500
