@@ -65,7 +65,8 @@ def nprobe_sweep(
     gt.persist().count()
     indexed = None
     if mode == "ivf":
-        indexed = ivf_ops.assign_clusters(base, centroids)
+        # scale assignment (≡ declarative assign_clusters by test)
+        indexed = ivf_ops.assign_clusters_combined(base, centroids)
         indexed.persist().count()
     out: list[SweepRow] = []
     prev_recall = -1.0
