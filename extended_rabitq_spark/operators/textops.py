@@ -98,6 +98,78 @@ def token_count(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> Dat
     )
 
 
+# PII patterns — shared verbatim by the Spark ops and the DuckDB oracle
+# (Java regex and RE2 agree on this subset: char classes, +, {m,}, no
+# lookarounds).  Counts are measured on the RAW text (pre-redaction) so
+# the three counters are independent of replacement order.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_URL = r"https?://[^ \t\n\r]+"  # explicit class: Java \s ⊃ RE2 \s (\x0B)
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """PII redaction for training corpora → (doc_id, n_urls, n_emails,
+    n_phones, clean_text).
+
+    URLs are redacted first (they may embed '@' and digits), then emails,
+    then phone-like digit runs.  Pure column expressions — at 100 TB this
+    is a map-only pass fused into the same stage as any other per-doc
+    cleaning."""
+    c = F.col(text)
+    return docs.select(
+        F.col(id_).alias("doc_id"),
+        F.regexp_count(c, F.lit(PII_URL)).cast("long").alias("n_urls"),
+        F.regexp_count(c, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, PII_URL, "<URL>"), PII_EMAIL, "<EMAIL>"
+            ),
+            PII_PHONE,
+            "<PHONE>",
+        ).alias("clean_text"),
+    )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) corpus profile → counts + char-length stats.
+
+    One partial-agg-friendly groupBy over the metadata columns — the
+    shape of every corpus-composition report at 100 TB (low-cardinality
+    keys, map-side combine does almost all the work)."""
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars_r"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+TOPK_TOKENS = 10
+
+
+def token_topk(docs: DataFrame, k: int = TOPK_TOKENS, text: str = "text") -> DataFrame:
+    """Heavy-hitter analysis: top-k tokens per language by frequency →
+    (lang, rnk, token, cnt).
+
+    explode → groupBy(lang, token) (map-side combine collapses the token
+    stream before the shuffle) → per-lang top-k window (partial
+    WindowGroupLimit pushes the cut before the final sort)."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "lang", F.explode(F.expr(T.tokens(text))).alias("token")
+    )
+    cnt = tok.groupBy("lang", "token").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("lang", "rnk", "token", "cnt")
+    )
+
+
 FP_K = 5  # char k-gram size
 FP_W = 4  # winnowing window
 

@@ -70,6 +70,59 @@ def text_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+_PII_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textops.PII_URL}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{textops.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{textops.PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{textops.PII_URL}', '<URL>', 'g'),
+           '{textops.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{textops.PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM documents
+"""
+
+
+@register("text_pii_scrub", _PII_ORACLE)
+def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (URLs → emails → phones) with pre-redaction counts."""
+    return textops.pii_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_STATS_ORACLE = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars_r,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("corpus_stats", _STATS_ORACLE)
+def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus composition profile."""
+    return textops.corpus_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_TOPK_ORACLE = f"""
+WITH tok AS (SELECT lang, unnest({_D_TOKS}) AS token FROM documents),
+cnt AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
+r AS (SELECT lang, token, cnt,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+      FROM cnt)
+SELECT lang, rnk, token, cnt FROM r WHERE rnk <= {textops.TOPK_TOKENS}
+"""
+
+
+@register("token_topk", _TOPK_ORACLE)
+def token_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language (heavy-hitter corpus analysis)."""
+    return textops.token_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 _K, _W = textops.FP_K, textops.FP_W
 _D_GRAMS = (
     f"list_transform(range(1, greatest(length(nrm) - {_K - 1}, 1) + 1), "

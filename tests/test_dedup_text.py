@@ -114,3 +114,49 @@ def test_embedding_ann_pairs_approximate_recall(spark):
     }
     assert len(exact) == 10
     assert len(exact & approx) >= 7
+
+
+def test_pii_scrub_planted(spark, duck):
+    """Planted PII: counts, redaction, and cross-engine parity on data
+    that actually contains emails/URLs/phones (the parquet corpus has
+    none, so the registered-query oracle alone can't exercise matches)."""
+    rows = [
+        (0, "contact me at john.doe@example.com or visit https://example.com/a?b=1 soon"),
+        (1, "call +1 (555) 123-4567 now"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.co c@d.org and http://x.io/path#frag"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.pii_scrub(sdf).collect()}
+    assert out[0].n_emails == 1 and out[0].n_urls == 1 and out[0].n_phones == 0
+    assert "<EMAIL>" in out[0].clean_text and "<URL>" in out[0].clean_text
+    assert out[1].n_phones == 1 and "<PHONE>" in out[1].clean_text
+    assert out[2].clean_text == "no pii here at all"
+    assert out[3].n_emails == 2 and out[3].n_urls == 1
+
+    import pandas as pd
+
+    from extended_rabitq_spark.queries.text import _PII_ORACLE
+
+    duck.register("pii_docs_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    drows = duck.sql(_PII_ORACLE.replace("FROM documents", "FROM pii_docs_t")).fetchall()
+    dmap = {r[0]: r for r in drows}
+    for i, r in out.items():
+        d = dmap[i]
+        assert (r.n_urls, r.n_emails, r.n_phones, r.clean_text) == (d[1], d[2], d[3], d[4]), i
+
+
+def test_corpus_stats_and_token_topk(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = textops.corpus_stats(docs).collect()
+    assert sum(r.n_docs for r in stats) == docs.count()
+    assert all(r.min_chars <= r.avg_chars_r <= r.max_chars for r in stats)
+    top = textops.token_topk(docs).collect()
+    by_lang = {}
+    for r in top:
+        by_lang.setdefault(r.lang, []).append((r.rnk, r.cnt))
+    for lang, rows_ in by_lang.items():
+        rows_.sort()
+        cnts = [c for _, c in rows_]
+        assert cnts == sorted(cnts, reverse=True), lang  # ranked by freq
+        assert rows_[0][0] == 1
