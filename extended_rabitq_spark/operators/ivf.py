@@ -174,6 +174,101 @@ def select_probes(
     )
 
 
+def coarse_membership(
+    centroids: DataFrame, n_coarse: int, mode: str = "kmeans", seed: int = 42
+) -> DataFrame:
+    """Group the K centroids into ``n_coarse`` super-clusters →
+    (cluster_id, coarse_id).
+
+    ``mode='kmeans'``: k-means over the centroid vectors themselves — the
+    geometric grouping a production deployment wants.  ``mode='mod'``:
+    deterministic ``cluster_id % n_coarse`` — SQL-expressible, used by the
+    oracle-checked registered query (the two-level *semantics* are
+    identical; only the grouping geometry differs)."""
+    if mode == "mod":
+        return centroids.select(
+            "cluster_id", (F.col("cluster_id") % n_coarse).cast("int").alias("coarse_id")
+        )
+    cc = sampled_kmeans_centroids(centroids, k=n_coarse, vec="centroid", seed=seed)
+    asn = assign_clusters(
+        centroids.select(F.col("cluster_id").alias("id"), F.col("centroid").alias("vec")),
+        cc,
+    )
+    return asn.select(
+        F.col("id").alias("cluster_id"), F.col("cluster_id").alias("coarse_id")
+    )
+
+
+def coarse_centroid_table(centroids: DataFrame, membership: DataFrame) -> DataFrame:
+    """Per-coarse-group mean of member centroids → (coarse_id, centroid).
+    Rounded to 6 decimals (same cross-engine determinism argument as
+    :func:`label_centroids`)."""
+    ex = centroids.join(membership, on="cluster_id").select(
+        "coarse_id", F.posexplode("centroid").alias("pos", "val")
+    )
+    per_dim = ex.groupBy("coarse_id", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
+    )
+    return (
+        per_dim.groupBy("coarse_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("coarse_id", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+
+
+def select_probes_hier(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    n_coarse: int,
+    coarse_probe: int,
+    mode: str = "kmeans",
+    qid: str = "qid",
+    qvec: str = "qvec",
+    metric: str = "l2",
+    seed: int = 42,
+) -> DataFrame:
+    """W2 analog: two-level (hierarchical) probe selection for huge K.
+
+    The reference switches to HNSW over centroids when K ≥ 20000
+    (inc/index/IVF.hpp:157-161, inc/index/Initializer.hpp:103-115) because
+    a flat scan of K centroids per query stops being cheap.  The
+    Spark-native equivalent is a two-level IVF: rank ``n_coarse`` group
+    centroids (tiny, broadcast), keep the top ``coarse_probe`` groups,
+    then rank only the member centroids of those groups.  Per-query
+    centroid comparisons drop from K to n_coarse + coarse_probe·K/n_coarse
+    (minimized at n_coarse ≈ √(coarse_probe·K)); like the reference's HNSW
+    path this is approximate — a probe cluster is missed iff its group
+    centroid ranks below the cut — and ``coarse_probe = n_coarse``
+    degenerates to exact W1 (asserted in tests).
+
+    Output: (qid, probe_rank, cluster_id, cdist) — same contract as
+    :func:`select_probes`, so it drops into ivf_search/rabitq_search
+    unchanged."""
+    membership = coarse_membership(centroids, n_coarse, mode=mode, seed=seed)
+    ccent = coarse_centroid_table(centroids, membership)
+    csel = select_probes(
+        queries,
+        ccent.select(F.col("coarse_id").alias("cluster_id"), "centroid"),
+        coarse_probe,
+        qid=qid,
+        qvec=qvec,
+        metric=metric,
+    ).select(qid, F.col("cluster_id").alias("coarse_id"))
+    cand = (
+        csel.join(F.broadcast(membership), on="coarse_id")
+        .join(F.broadcast(centroids), on="cluster_id")
+        .join(queries.select(qid, qvec), on=qid)
+    )
+    dist = distance_col(metric, qvec, "centroid")
+    w = Window.partitionBy(qid).orderBy(F.col("cdist").asc(), F.col("cluster_id").asc())
+    return (
+        cand.select(F.col(qid), F.col("cluster_id"), dist.alias("cdist"))
+        .withColumn("probe_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("probe_rank") <= nprobe)
+    )
+
+
 def ivf_search(
     queries: DataFrame,
     indexed_base: DataFrame,

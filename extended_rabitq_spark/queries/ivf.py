@@ -103,6 +103,51 @@ def ivf_probes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("qid", "probe_rank", "cluster_id", F.round("cdist", 6).alias("cdist_r"))
 
 
+N_COARSE = 4
+COARSE_PROBE = 2
+
+_PROBES_HIER_ORACLE = f"""
+WITH {_ivf_ctes()},
+mem AS (SELECT cluster_id, CAST(cluster_id % {N_COARSE} AS INT) AS coarse_id FROM cent),
+cex AS (SELECT m.coarse_id, generate_subscripts(c.centroid, 1) - 1 AS pos, unnest(c.centroid) AS val
+        FROM cent c JOIN mem m USING (cluster_id)),
+cpd AS (SELECT coarse_id, pos, round(avg(CAST(val AS DOUBLE)), 6) AS c FROM cex GROUP BY coarse_id, pos),
+ccent AS (SELECT coarse_id, list(c ORDER BY pos) AS centroid FROM cpd GROUP BY coarse_id),
+csel AS (SELECT qid, coarse_id FROM
+         (SELECT q.qid, cc.coarse_id,
+                 row_number() OVER (PARTITION BY q.qid
+                                    ORDER BY {O.l2sq('q.qvec', 'cc.centroid')}, cc.coarse_id) AS rn
+          FROM q CROSS JOIN ccent cc)
+         WHERE rn <= {COARSE_PROBE}),
+hc AS (SELECT s.qid, c.cluster_id, {O.l2sq('q2.qvec', 'c.centroid')} AS cdist
+       FROM csel s JOIN mem m ON m.coarse_id = s.coarse_id
+                   JOIN cent c ON c.cluster_id = m.cluster_id
+                   JOIN q q2 ON q2.qid = s.qid),
+hp AS (SELECT qid, cluster_id, cdist,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY cdist, cluster_id) AS BIGINT)
+                AS probe_rank
+       FROM hc)
+SELECT qid, probe_rank, cluster_id, round(cdist, 6) AS cdist_r FROM hp WHERE probe_rank <= {NPROBE}
+"""
+
+
+@register("ivf_probes_hier", _PROBES_HIER_ORACLE)
+def ivf_probes_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 analog: two-level probe selection (coarse groups → member
+    centroids).  Registered with the deterministic 'mod' grouping so the
+    oracle reproduces it exactly; the kmeans grouping is the production
+    path (behavioral tests)."""
+    pr = ivf.select_probes_hier(
+        _queries_df(spark, sf_dir),
+        _centroids(spark, sf_dir),
+        NPROBE,
+        n_coarse=N_COARSE,
+        coarse_probe=COARSE_PROBE,
+        mode="mod",
+    )
+    return pr.select("qid", "probe_rank", "cluster_id", F.round("cdist", 6).alias("cdist_r"))
+
+
 _KNN_IVF_ORACLE = f"""
 WITH {_ivf_ctes()}
 SELECT qid, rank, id, dist FROM ivf WHERE rank <= {K}

@@ -440,3 +440,57 @@ class TestArrowAssignment:
         a = {r.id: r.cluster_id for r in ivf.assign_clusters(base, cents).collect()}
         b = {r.id: r.cluster_id for r in ivf.assign_clusters_combined(base, cents).collect()}
         assert a == b and len(a) == 500
+
+
+class TestHierProbes:
+    def test_full_coarse_probe_equals_exact(self, spark):
+        """W2 analog degenerates to exact W1 when every coarse group is
+        probed — same (qid, probe_rank, cluster_id) triples, both
+        grouping modes."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        exact = sorted(
+            (r.qid, r.probe_rank, r.cluster_id)
+            for r in ivf.select_probes(qs, cents, 3).collect()
+        )
+        for mode in ("mod", "kmeans"):
+            hier = sorted(
+                (r.qid, r.probe_rank, r.cluster_id)
+                for r in ivf.select_probes_hier(
+                    qs, cents, 3, n_coarse=4, coarse_probe=4, mode=mode
+                ).collect()
+            )
+            assert hier == exact, mode
+
+    def test_kmeans_grouping_probe_recall(self, spark):
+        """Approximate mode (coarse_probe < n_coarse) with geometric
+        (kmeans) grouping keeps high probe recall vs exact W1."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        exact = {}
+        for r in ivf.select_probes(qs, cents, 2).collect():
+            exact.setdefault(r.qid, set()).add(r.cluster_id)
+        hier = {}
+        for r in ivf.select_probes_hier(
+            qs, cents, 2, n_coarse=4, coarse_probe=2, mode="kmeans"
+        ).collect():
+            hier.setdefault(r.qid, set()).add(r.cluster_id)
+        hits = sum(len(exact[q] & hier.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= 0.7, (hits, total)
