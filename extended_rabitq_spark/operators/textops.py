@@ -146,6 +146,29 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_stats_rollup(docs: DataFrame) -> DataFrame:
+    """ROLLUP over (lang, source) with a distinct aggregation — the
+    subtotal/grand-total corpus report.  (SURVEY §2.4: the reference has
+    no grouping sets and no distinct aggs; both are table stakes for a
+    corpus pipeline and compile to partial-agg-friendly plans.)  Rolled-up
+    keys surface as '<ALL>' so the output is hash-stable."""
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<ALL>")).alias("lang_g"),
+            F.coalesce("source", F.lit("<ALL>")).alias("source_g"),
+            "n_docs",
+            "total_chars",
+            "n_sources",
+        )
+    )
+
+
 TOPK_TOKENS = 10
 
 

@@ -107,6 +107,23 @@ def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.corpus_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+_ROLLUP_ORACLE = """
+SELECT coalesce(lang, '<ALL>') AS lang_g,
+       coalesce(source, '<ALL>') AS source_g,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+@register("corpus_stats_rollup", _ROLLUP_ORACLE)
+def corpus_stats_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals + distinct-source aggregation per language."""
+    return textops.corpus_stats_rollup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 _TOPK_ORACLE = f"""
 WITH tok AS (SELECT lang, unnest({_D_TOKS}) AS token FROM documents),
 cnt AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
