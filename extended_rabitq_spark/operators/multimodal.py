@@ -108,6 +108,75 @@ def extract_features(media: DataFrame, out_dim: int = 16) -> DataFrame:
     )
 
 
+def docs_as_video(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the frame-sampling path: text bytes as fake
+    'video' blobs with a deterministic frame count derived from n_chars
+    (1..7 frames) so the sampler has real per-row variation."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("fake").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.expr(
+            "named_struct('width', 8, 'height', 8, 'sample_rate', CAST(NULL AS INT), "
+            "'n_frames', CAST(1 + n_chars % 7 AS INT))"
+        ).alias("meta"),
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling: every ``every_n``-th frame index per video →
+    (media_id, frame_idx, n_frames).
+
+    Pure metadata arithmetic (sequence + explode, no Python, no blob
+    read — column pruning drops ``content``): the selection plan for
+    which frames to decode.  Feed the result through
+    :func:`decode_frames` to materialize per-frame features; at 100 TB
+    the explode keeps blob bytes out of the shuffle because only
+    (media_id, frame_idx) rows move."""
+    return media.select(
+        "media_id",
+        F.explode(F.expr(f"sequence(0, meta.n_frames - 1, {every_n})")).alias("_fi"),
+        F.col("meta.n_frames").cast("long").alias("n_frames"),
+    ).select("media_id", F.col("_fi").cast("long").alias("frame_idx"), "n_frames")
+
+
+def decode_frames(media: DataFrame, every_n: int = 2, out_dim: int = 8) -> DataFrame:
+    """Decode the sampled frames via the decoder registry →
+    (media_id, frame_idx, feat ARRAY<FLOAT>).
+
+    The blob is decoded once per media row inside an Arrow batch and the
+    sampled frames are sliced from it (fake codec: frame f = decode of
+    content salted with f).  Same stub seam as :func:`extract_features` —
+    a real ffmpeg decoder slots into the registry unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_m, out_f, out_feat = [], [], []
+            for mid, kind, content, nf in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"], pdf["n_frames"]
+            ):
+                dec = _DECODERS.get(kind)
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no decoder registered for media kind {kind!r}; "
+                        "register one with multimodal.register_decoder"
+                    )
+                for f in range(0, int(nf), every_n):
+                    arr = dec(bytes(content) + f.to_bytes(4, "big")).astype(np.float64).ravel()
+                    hist, _ = np.histogram(arr, bins=out_dim, range=(0, 256))
+                    out_m.append(mid)
+                    out_f.append(f)
+                    out_feat.append((hist / max(arr.size, 1)).astype(np.float32))
+            yield pd.DataFrame({"media_id": out_m, "frame_idx": out_f, "feat": out_feat})
+
+    src = media.select(
+        "media_id", "kind", "content", F.col("meta.n_frames").alias("n_frames")
+    )
+    return src.mapInPandas(run, "media_id long, frame_idx long, feat array<float>")
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes metadata through with the new target dims;
     the pixel transform is the stubbed codec step (NotImplementedError on

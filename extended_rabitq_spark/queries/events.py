@@ -78,6 +78,23 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata(multimodal.docs_as_media(docs))
 
 
+_FRAMES_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, 1 + n_chars % 7, 2)) AS BIGINT) AS frame_idx,
+       CAST(1 + n_chars % 7 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+@register("multimodal_frames", _FRAMES_ORACLE)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over fake-video media: every-2nd frame index per
+    blob, metadata-only (no decode; blob column pruned).  decode_frames
+    materializes features for the sampled set (tests)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.sample_frames(multimodal.docs_as_video(docs), every_n=2)
+
+
 @register("multimodal_features")
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via mapInPandas with the deterministic

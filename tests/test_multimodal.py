@@ -62,3 +62,29 @@ def test_media_features_feed_ann_index(spark, media):
     )
     top = {r.qid: r.id for r in res.collect()}
     assert all(q == i for q, i in top.items())  # self is nearest (dist 0)
+
+
+def test_frame_sampling_and_decode(spark):
+    """sample_frames is pure metadata arithmetic (ceil(n_frames/2) rows
+    per video); decode_frames materializes one deterministic feature per
+    sampled frame via the registry stub."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(30)
+    video = multimodal.docs_as_video(docs)
+    nf = {r.media_id: r["meta"].n_frames for r in video.select("media_id", "meta").collect()}
+    sampled = multimodal.sample_frames(video, every_n=2).collect()
+    per_media = {}
+    for r in sampled:
+        per_media.setdefault(r.media_id, []).append(r.frame_idx)
+        assert r.n_frames == nf[r.media_id]
+    assert set(per_media) == set(nf)
+    for mid, idxs in per_media.items():
+        assert sorted(idxs) == list(range(0, nf[mid], 2))
+
+    feats = multimodal.decode_frames(video, every_n=2).collect()
+    assert len(feats) == len(sampled)
+    by_key = {(r.media_id, r.frame_idx): tuple(r.feat) for r in feats}
+    assert set(by_key) == {(r.media_id, r.frame_idx) for r in sampled}
+    feats2 = {(r.media_id, r.frame_idx): tuple(r.feat)
+              for r in multimodal.decode_frames(video, every_n=2).collect()}
+    assert by_key == feats2  # deterministic codec
+    assert all(len(v) == 8 and abs(sum(v) - 1.0) < 1e-6 for v in by_key.values())
