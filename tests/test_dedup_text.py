@@ -160,3 +160,22 @@ def test_corpus_stats_and_token_topk(spark):
         cnts = [c for _, c in rows_]
         assert cnts == sorted(cnts, reverse=True), lang  # ranked by freq
         assert rows_[0][0] == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted equi-join (hot side salted, small side replicated) returns
+    exactly the plain join's multiset of rows, including under a heavily
+    skewed key distribution and duplicate rows."""
+    from extended_rabitq_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(2000)]
+        + [(99990, "hot"), (99990, "hot")],  # duplicate rows on the hot key
+        "id long, k string",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("k10", 2.0), ("k20", 3.0), ("miss", 9.0)], "k string, v double"
+    )
+    plain = sorted(tuple(r) for r in big.join(small, on="k").collect())
+    salted = sorted(tuple(r) for r in salted_join(big, small, on="k", n_salts=8).collect())
+    assert salted == plain and len(plain) > 1800
