@@ -177,6 +177,55 @@ def decode_frames(media: DataFrame, every_n: int = 2, out_dim: int = 8) -> DataF
     return src.mapInPandas(run, "media_id long, frame_idx long, feat array<float>")
 
 
+def docs_as_audio(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the audio path: text bytes as fake PCM blobs
+    (1 byte = 1 sample) at a nominal 8 kHz sample rate."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("fake").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.expr(
+            "named_struct('width', CAST(NULL AS INT), 'height', CAST(NULL AS INT), "
+            "'sample_rate', 8000, 'n_frames', CAST(NULL AS INT))"
+        ).alias("meta"),
+    )
+
+
+def chunk_audio(media: DataFrame, chunk_samples: int = 2048) -> DataFrame:
+    """Audio chunking: fixed-size sample windows per blob →
+    (media_id, chunk_idx, start_samp, chunk_len, start_ms).
+
+    Metadata arithmetic only (byte length + sample rate; no decode) —
+    the chunk plan a feature extractor maps over.  Like
+    :func:`sample_frames`, only the tiny chunk-index rows shuffle; blob
+    bytes stay in place until a decoder needs them."""
+    src = media.select(
+        "media_id",
+        F.length("content").cast("long").alias("n_samp"),
+        F.col("meta.sample_rate").cast("long").alias("sr"),
+    )
+    return (
+        src.select(
+            "media_id",
+            "n_samp",
+            "sr",
+            F.explode(
+                F.expr(f"sequence(0, CAST(ceil(n_samp / {chunk_samples}.0) AS INT) - 1)")
+            ).alias("_ci"),
+        )
+        .select(
+            "media_id",
+            F.col("_ci").cast("long").alias("chunk_idx"),
+            (F.col("_ci") * chunk_samples).cast("long").alias("start_samp"),
+            F.least(
+                F.lit(chunk_samples).cast("long"),
+                F.col("n_samp") - F.col("_ci") * chunk_samples,
+            ).alias("chunk_len"),
+            F.expr(f"CAST(_ci * {chunk_samples} * 1000 div sr AS BIGINT)").alias("start_ms"),
+        )
+    )
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes metadata through with the new target dims;
     the pixel transform is the stubbed codec step (NotImplementedError on

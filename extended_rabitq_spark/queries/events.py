@@ -95,6 +95,32 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.docs_as_video(docs), every_n=2)
 
 
+_CHUNK = 128
+
+_AUDIO_ORACLE = f"""
+WITH a AS (SELECT doc_id AS media_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_samp,
+                  CAST(8000 AS BIGINT) AS sr
+           FROM documents),
+c AS (SELECT media_id, n_samp, sr,
+             unnest(range(0, CAST(ceil(n_samp / {_CHUNK}.0) AS BIGINT))) AS ci
+      FROM a)
+SELECT media_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * {_CHUNK} AS BIGINT) AS start_samp,
+       CAST(least({_CHUNK}, n_samp - ci * {_CHUNK}) AS BIGINT) AS chunk_len,
+       CAST(ci * {_CHUNK} * 1000 // sr AS BIGINT) AS start_ms
+FROM c
+"""
+
+
+@register("multimodal_audio_chunks", _AUDIO_ORACLE)
+def multimodal_audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk plan (fixed sample windows, metadata-only, no decode)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.chunk_audio(multimodal.docs_as_audio(docs), chunk_samples=_CHUNK)
+
+
 @register("multimodal_features")
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via mapInPandas with the deterministic

@@ -88,3 +88,23 @@ def test_frame_sampling_and_decode(spark):
               for r in multimodal.decode_frames(video, every_n=2).collect()}
     assert by_key == feats2  # deterministic codec
     assert all(len(v) == 8 and abs(sum(v) - 1.0) < 1e-6 for v in by_key.values())
+
+
+def test_audio_chunking(spark):
+    """Chunk plan covers every sample exactly once; last chunk is the
+    remainder; start_ms consistent with the sample rate."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(25)
+    audio = multimodal.docs_as_audio(docs)
+    n_samp = {r.media_id: r.n for r in audio.select("media_id", F.length("content").alias("n")).collect()}
+    rows = multimodal.chunk_audio(audio, chunk_samples=100).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r)
+        assert r.start_ms == r.start_samp * 1000 // 8000
+    assert set(per) == set(n_samp)
+    for mid, chunks in per.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert sum(c.chunk_len for c in chunks) == n_samp[mid]
+        assert all(c.chunk_len == 100 for c in chunks[:-1])
+        assert 1 <= chunks[-1].chunk_len <= 100
