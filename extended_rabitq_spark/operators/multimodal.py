@@ -179,14 +179,16 @@ def decode_frames(media: DataFrame, every_n: int = 2, out_dim: int = 8) -> DataF
 
 def docs_as_audio(docs: DataFrame) -> DataFrame:
     """Fixture adapter for the audio path: text bytes as fake PCM blobs
-    (1 byte = 1 sample) at a nominal 8 kHz sample rate."""
+    (1 byte = 1 sample) at a nominal 8 kHz sample rate.  For audio,
+    ``meta.n_frames`` carries the total sample count — like a real
+    container header, so chunk planning never touches the blob."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("fake").alias("kind"),
         F.encode("text", "UTF-8").alias("content"),
         F.expr(
             "named_struct('width', CAST(NULL AS INT), 'height', CAST(NULL AS INT), "
-            "'sample_rate', 8000, 'n_frames', CAST(NULL AS INT))"
+            "'sample_rate', 8000, 'n_frames', CAST(n_chars AS INT))"
         ).alias("meta"),
     )
 
@@ -195,13 +197,14 @@ def chunk_audio(media: DataFrame, chunk_samples: int = 2048) -> DataFrame:
     """Audio chunking: fixed-size sample windows per blob →
     (media_id, chunk_idx, start_samp, chunk_len, start_ms).
 
-    Metadata arithmetic only (byte length + sample rate; no decode) —
-    the chunk plan a feature extractor maps over.  Like
+    Metadata arithmetic only (sample count from the container header in
+    ``meta.n_frames``, never the blob — asserted on the plan's
+    ReadSchema) — the chunk plan a feature extractor maps over.  Like
     :func:`sample_frames`, only the tiny chunk-index rows shuffle; blob
     bytes stay in place until a decoder needs them."""
     src = media.select(
         "media_id",
-        F.length("content").cast("long").alias("n_samp"),
+        F.col("meta.n_frames").cast("long").alias("n_samp"),
         F.col("meta.sample_rate").cast("long").alias("sr"),
     )
     return (

@@ -99,7 +99,7 @@ _CHUNK = 128
 
 _AUDIO_ORACLE = f"""
 WITH a AS (SELECT doc_id AS media_id,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS n_samp,
+                  CAST(n_chars AS BIGINT) AS n_samp,
                   CAST(8000 AS BIGINT) AS sr
            FROM documents),
 c AS (SELECT media_id, n_samp, sr,

@@ -146,3 +146,22 @@ class TestSweep:
         assert recalls == sorted(recalls), "recall must not decrease with nprobe"
         assert recalls[-1] > 0.99  # nprobe = K (all clusters) ≡ exact
         assert all(r.qps > 0 for r in rows)
+
+
+class TestMultimodalPlans:
+    def test_frame_and_chunk_plans_prune_blob(self, spark):
+        """Frame sampling and audio chunking are metadata-only: the plan
+        must read only (doc_id, n_chars) — no text/blob bytes, no encode()
+        node survives column pruning."""
+        from extended_rabitq_spark.operators import multimodal
+        from extended_rabitq_spark.plans import inspect
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        for df in (
+            multimodal.sample_frames(multimodal.docs_as_video(docs)),
+            multimodal.chunk_audio(multimodal.docs_as_audio(docs)),
+        ):
+            plan = inspect.physical_plan(df)
+            assert "encode" not in plan
+            rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+            assert rs and all("text" not in ln for ln in rs)
