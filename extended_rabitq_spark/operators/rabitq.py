@@ -437,6 +437,27 @@ def compact_index(spark: SparkSession, path: str) -> None:
     shutil.rmtree(old)
 
 
+def index_stats(codes: DataFrame) -> DataFrame:
+    """Index health report → one row: (n_clusters, n_rows, min_cluster,
+    max_cluster, avg_cluster_r, imbalance_r).
+
+    ``imbalance_r = max/avg`` is the skew number that predicts probe-join
+    task stragglers at scale (a hot cluster = a hot partition); feed it
+    into the retrain-vs-append decision the same way the reference's
+    fixed K requires re-running ivf.py when the corpus drifts.  Two tiny
+    aggregations over (cluster_id) — runs on the 100 TB index in one
+    partial-agg pass."""
+    per = codes.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_cluster"),
+        F.max("n").cast("long").alias("max_cluster"),
+        F.round(F.avg("n"), 6).alias("avg_cluster_r"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("imbalance_r"),
+    )
+
+
 def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """S5: reload (codes, centroids, meta) (inc/index/IVF.hpp:254-293)."""
     with open(f"{path}/meta.json") as f:

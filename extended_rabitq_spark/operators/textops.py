@@ -169,6 +169,23 @@ def corpus_stats_rollup(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_length_quantiles(docs: DataFrame) -> DataFrame:
+    """Per-language document-length percentiles (p50/p90/p99) →
+    (lang, p50, p90, p99).
+
+    Uses EXACT `percentile` (linear interpolation — same definition as
+    DuckDB's `quantile_cont`, so the oracle matches bitwise after
+    rounding).  At 100 TB swap in `approx_percentile(n_chars, p, 10000)`
+    — the t-digest sketch computes in one pass with bounded memory and
+    partial aggregation, trading exactness for a fixed error budget; the
+    exact form here is the oracle-checkable twin."""
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+    )
+
+
 TOPK_TOKENS = 10
 
 

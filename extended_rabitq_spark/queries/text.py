@@ -124,6 +124,25 @@ def corpus_stats_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.corpus_stats_rollup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+_QUANTILES_ORACLE = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("corpus_length_quantiles", _QUANTILES_ORACLE)
+def corpus_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length percentiles (exact; approx_percentile is the
+    documented 100 TB path)."""
+    return textops.corpus_length_quantiles(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 _TOPK_ORACLE = f"""
 WITH tok AS (SELECT lang, unnest({_D_TOKS}) AS token FROM documents),
 cnt AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),

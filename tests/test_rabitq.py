@@ -494,3 +494,21 @@ class TestHierProbes:
         hits = sum(len(exact[q] & hier.get(q, set())) for q in exact)
         total = sum(len(v) for v in exact.values())
         assert hits / total >= 0.7, (hits, total)
+
+
+class TestIndexStats:
+    def test_stats_consistent_with_index(self, spark):
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        idx, _ = rabitq.build_index(base, ivf.label_centroids(emb.where(F.col("vec_id") >= 10)))
+        r = rabitq.index_stats(idx).first()
+        assert r.n_rows == base.count() and r.n_clusters == 10
+        assert r.min_cluster <= r.avg_cluster_r <= r.max_cluster
+        assert abs(r.imbalance_r - r.max_cluster / r.avg_cluster_r) < 1e-6
