@@ -512,3 +512,36 @@ class TestIndexStats:
         assert r.n_rows == base.count() and r.n_clusters == 10
         assert r.min_cluster <= r.avg_cluster_r <= r.max_cluster
         assert abs(r.imbalance_r - r.max_cluster / r.avg_cluster_r) < 1e-6
+
+
+class TestArrowScorer:
+    def test_arrow_scorer_matches_sql_scorer(self, spark):
+        """The cluster-batched BLAS scorer must produce the same ranking
+        as the declarative SQL scorer (distances agree to float-matmul
+        tolerance; ranks identical on tie-free fixture data)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        idx, meta = rabitq.build_index(base, cents, total_bits=4)
+        idx = idx.persist()
+        cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
+        a = rabitq.rabitq_search(qs, idx, cents_full, meta, nprobe=3, k=10, scorer="arrow")
+        s = rabitq.rabitq_search(qs, idx, cents_full, meta, nprobe=3, k=10, scorer="sql")
+        arows = {(r.qid, r.rank): (r.id, r.est_dist) for r in a.collect()}
+        srows = {(r.qid, r.rank): (r.id, r.est_dist) for r in s.collect()}
+        assert set(arows) == set(srows) and len(arows) == 100
+        for k_, (aid, ad) in arows.items():
+            sid, sd = srows[k_]
+            assert aid == sid, k_
+            assert abs(ad - sd) <= 1e-9 * max(1.0, abs(sd)), k_
+        idx.unpersist()
