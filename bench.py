@@ -54,6 +54,13 @@ def main() -> None:
     extras: dict[str, float] = {}
     total = 0.0
 
+    def run_full(df) -> None:
+        # Materialize EVERY column via a noop sink — .count() lets Spark
+        # prune computed columns (clean_text, dist projections) and
+        # understates real work (NOTES.md pitfall: benchmark with
+        # collect/noop, never count).
+        df.write.format("noop").mode("overwrite").save()
+
     def timed(name: str, fn) -> None:
         nonlocal total
         t0 = time.perf_counter()
@@ -82,30 +89,7 @@ def main() -> None:
     n_indexed = index_df.count()
     extras["index_build_sec"] = round(time.perf_counter() - t0, 3)
     extras["index_rows"] = n_indexed
-    import numpy as np
-
-    P = rabitq.rotation_matrix(meta["D"], meta["seed"])
-    crows = cents.collect()
-    cents_full = spark.createDataFrame(
-        [
-            (
-                int(r["cluster_id"]),
-                [float(x) for x in r["centroid"]],
-                [
-                    float(x)
-                    for x in (
-                        np.pad(
-                            np.array(r["centroid"], dtype=np.float64),
-                            (0, meta["D"] - meta["dim"]),
-                        )
-                        @ P.T
-                    )
-                ],
-            )
-            for r in crows
-        ],
-        "cluster_id int, centroid array<double>, centroid_rot array<double>",
-    ).cache()
+    cents_full = rabitq.centroids_with_rotation(spark, cents, meta).cache()
     cents_full.count()
 
     # ---- timed: search-only over the persisted index (test_search) ----
@@ -142,7 +126,7 @@ def main() -> None:
     qmap = entrymod.queries()
     for name in PIPELINE_QUERIES:
         if name in qmap:
-            timed(name, lambda n=name: qmap[n](spark, sf_dir).count())
+            timed(name, lambda n=name: run_full(qmap[n](spark, sf_dir)))
 
     # ---- optional: full recall/QPS curve (BASELINE.md shape comparison) ----
     # Off by default to keep the driver's per-round bench fast; set

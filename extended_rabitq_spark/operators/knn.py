@@ -113,12 +113,17 @@ def exact_knn_combined(
                 xn = np.sqrt((X * X).sum(axis=1))
                 d = 1.0 - (Q @ X.T) / (np.sqrt(q_sq)[:, None] * xn[None, :])
             kk = min(k, d.shape[1])
-            # per-query local top-k (argpartition = the bounded pool)
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            out_qid = np.repeat(QID, kk)
-            out_id = ids[part.ravel()]
-            out_d = np.take_along_axis(d, part, axis=1).ravel()
-            yield pd.DataFrame({"qid": out_qid, "id": out_id, "dist_np": out_d})
+            # Keep EVERY row at or below the k-th smallest distance (plus a
+            # relative epsilon for BLAS low-bit noise), not exactly k rows:
+            # with >kk ties at the boundary (duplicate vectors are common in
+            # dedup corpora) an exact argpartition picks arbitrarily and can
+            # drop a row the (dist, id) total order keeps.  The superset is
+            # bounded by the tie count; the declarative re-rank below
+            # restores the exact order.
+            kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+            thresh = kth + 1e-9 * np.maximum(np.abs(kth), 1.0)
+            qi, xi = np.nonzero(d <= thresh[:, None])
+            yield pd.DataFrame({"qid": QID[qi], "id": ids[xi], "dist_np": d[qi, xi]})
 
     cand = base.select(id_, vec).mapInPandas(partial_topk, "qid long, id long, dist_np double")
     # Recompute the distance declaratively on the tiny candidate set so the

@@ -419,8 +419,12 @@ def compact_index(spark: SparkSession, path: str) -> None:
     classic streaming-ingest small-files problem; at 100 TB unbounded
     file counts degrade scan planning and open() overhead.  Search
     results are unchanged (same rows, same values) — verified by test.
-    Writes to a temp subdir then swaps, so a concurrent reader never sees
-    a half-written table."""
+    Writes to a temp subdir then swaps via two renames, so no *torn*
+    table is ever visible on a POSIX FS — but the swap is not atomic:
+    a reader listing between the renames sees no codes directory, and a
+    scan in flight across the rmtree can lose files.  Run compaction in
+    a quiescent reader window (or on object stores, write to a new
+    versioned prefix and flip a pointer)."""
     import shutil
 
     codes = spark.read.parquet(f"{path}/codes")

@@ -37,7 +37,18 @@ def salted_join(
     Use when the small side is too big to broadcast outright but its
     n_salts-fold replication still shuffles less than the hot key's
     single-task pile-up costs.  Output columns = plain join's columns.
+
+    Only join types where an unmatched replicated small-side row can
+    never surface are allowed: with how='right'/'full' each unmatched
+    small-side row would be emitted n_salts times with nulls.
     """
+    _SAFE_HOW = {"inner", "left", "leftouter", "left_outer",
+                 "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in _SAFE_HOW:
+        raise ValueError(
+            f"salted_join: how={how!r} is not multiset-equal to the plain join "
+            f"under small-side replication; use one of {sorted(_SAFE_HOW)}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted_big = big.withColumn(
         "_salt", F.pmod(F.hash(F.struct(*[F.col(c) for c in big.columns])), F.lit(n_salts))

@@ -49,11 +49,14 @@ def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K)
 
 
-@register("knn_exact_combined")
+@register("knn_exact_combined", _KNN_ORACLE)
 def knn_exact_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path exact KNN (map-side partial top-k; same output as
-    knn_exact — oracle omitted because mapInPandas isn't SQL, but
-    tests/test_knn.py proves equality to the declarative form)."""
+    """Scale-path exact KNN (map-side partial top-k) — value-equal to
+    knn_exact, so it shares the same oracle: numpy only *selects* the
+    per-partition candidate superset (all rows at or below the k-th
+    distance, so BLAS-order ties can't drop a true neighbor); distances
+    are recomputed declaratively and the final top-k tie-breaks
+    (dist, id) exactly like the oracle."""
     return knn.exact_knn_combined(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K)
 
 

@@ -29,23 +29,9 @@ def _build(spark: SparkSession, sf_dir: str):
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
     )
     index_df, meta = rabitq.build_index(base, cents, total_bits=TOTAL_BITS)
-    # attach rotated centroids (what save_index persists; computed inline
-    # here because queries() builds the fixture-sized index on the fly)
-    import numpy as np
-
-    P = rabitq.rotation_matrix(meta["D"], meta["seed"])
-    rows = cents.collect()
-    data = []
-    for r in rows:
-        c = np.zeros(meta["D"])
-        c[: meta["dim"]] = np.array(r["centroid"], dtype=np.float64)
-        data.append(
-            (int(r["cluster_id"]), [float(x) for x in r["centroid"]],
-             [float(x) for x in (c @ P.T)])
-        )
-    cents_full = spark.createDataFrame(
-        data, "cluster_id int, centroid array<double>, centroid_rot array<double>"
-    )
+    # rotated centroids (what save_index persists), computed in memory
+    # because queries() builds the fixture-sized index on the fly
+    cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
     return base, index_df, cents_full, meta
 
 
