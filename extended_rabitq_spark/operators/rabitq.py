@@ -498,36 +498,94 @@ def rotate_queries(queries: DataFrame, meta: dict, qid: str = "qid", qvec: str =
     return queries.mapInPandas(rot, "qid long, qrot array<double>")
 
 
-def rabitq_search_arrow(
+# Fixed-X0 HIGH_ACC phase-1 bound constant: the reference bakes
+# const_bound = bound·0.8·√D/2 = 0.58 into the SIMD kernel
+# (inc/index/fastscan/FastScan.hpp:296,300 and the derivation comment at
+# :335-357); the 5/√D factor is 2·(1/0.8)·(2/√D).
+_HA_CONST_BOUND = 0.58
+
+
+def _decode_s(pdf: pd.DataFrame, packed: bool, total_bits: int, D: int) -> np.ndarray:
+    """Candidate batch → reconstruction matrix S = code + 0.5 − M."""
+    M = 1 << (total_bits - 1)
+    if packed:
+        pb = np.stack([np.frombuffer(b, dtype=np.uint8) for b in pdf["code_packed"]])
+        return unpack_codes(pb, total_bits, D).astype(np.float64) + 0.5 - M
+    return np.array(pdf["code"].tolist(), dtype=np.float64) + 0.5 - M
+
+
+def _score_cluster_np(
+    S: np.ndarray,
+    x2: np.ndarray,
+    fip: np.ndarray,
+    ferr: np.ndarray,
+    QR: np.ndarray,
+    y2: np.ndarray,
+    estimator: str,
+    D: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared numpy scoring kernel: (n codes) × (g queries) → est, lb.
+
+    ``estimator='searcher'``: est = x2+y2−f_ip_ex·⟨s,qr⟩, lb = est−f_err·y
+    (inc/index/Searcher.hpp:192-233).
+
+    ``estimator='high_acc'``: same est — the HASearcher re-rank
+    (inc/index/HASearcher.hpp:228-232) decomposes as
+    FAC_RESCALE·⟨x_b,q'⟩ + ⟨long_code,q'⟩ − (FAC_RESCALE−0.5)·Σq'
+    with combined code c = M·x_b + long_code, which is exactly
+    ⟨c+0.5−M, q'⟩ = ⟨s, qr⟩/y, and xipnorm = 2‖r‖/⟨v,u⟩ = f_ip_ex
+    (inc/index/Quantizer.hpp:474-476) — so the HA ex-distance is
+    algebraically this est.  The lb differs: the HA phase-1 bound uses
+    the SIGN BITS ONLY with a fixed X0 = 0.8 and a global const bound
+    (FastScan.hpp:295-357):
+        lb = x2 + y2 − (5/√D)·‖r‖·(⟨x_b, qr⟩ − 0.5·Σqr + 0.58·y).
+    """
+    IP = S @ QR.T  # (n, g) — ONE BLAS call per cluster chunk
+    y = np.sqrt(y2)
+    est = x2[:, None] + y2[None, :] - fip[:, None] * IP
+    if estimator == "high_acc":
+        Sb = (S > 0).astype(np.float64)  # x_b: sign bits of the code
+        ipb = Sb @ QR.T
+        sum_qr = QR.sum(axis=1)
+        lb = (
+            x2[:, None]
+            + y2[None, :]
+            - (5.0 / math.sqrt(D))
+            * np.sqrt(x2)[:, None]
+            * (ipb - 0.5 * sum_qr[None, :] + _HA_CONST_BOUND * y[None, :])
+        )
+    else:
+        lb = est - ferr[:, None] * y[None, :]
+    return est, lb
+
+
+_SCORED_SCHEMA = "qid long, id long, est_dist double, est_lb double"
+
+
+def _arrow_scored_broadcast(
     queries: DataFrame,
     codes: DataFrame,
     centroids: DataFrame,
     meta: dict,
     nprobe: int,
-    k: int,
-    qid: str = "qid",
-    qvec: str = "qvec",
+    qid: str,
+    qvec: str,
+    estimator: str,
 ) -> DataFrame:
-    """Arrow-vectorized two-phase search — the scale scorer.
+    """Small-batch Arrow scorer → (qid, id, est_dist, est_lb) candidates.
 
-    Probe selection runs driver-side in numpy (the reference materializes
-    the probe list the same way, inc/index/IVF.hpp:303-304; NQ is bounded
-    by contract), producing a broadcast ``cluster_id → (qids, QR matrix,
-    y2)`` map of the queries probing each cluster.  Codes are
-    LEFT-SEMI-joined with the tiny distinct-probed-cluster table (no row
-    duplication — the previous per-(qid,cluster) equi-join copied every
-    code row once per probing query through Arrow, a ~nprobe·NQ/K-fold
-    blowup for batch serving) and scored per cluster with ONE BLAS matmul
-    against the whole probing-query matrix: codes·QRᵀ → (n, g) estimates,
-    fanned out to (qid, id) rows inside numpy where rows are cheap.
-    Measured 2.6× over the per-group scorer on a 1M×64 index with 500
-    queries at nprobe=20 (and ~4× over the interpreted SQL scorer before
-    that); the gap grows with batch size.
+    Probe selection runs driver-side in numpy (the same move as the
+    reference materializing the probe list, inc/index/IVF.hpp:303-304),
+    producing a broadcast ``cluster_id → (qids, QR matrix, y2)`` map.
+    This bounds NQ by driver memory — rabitq_search auto-routes batches
+    above ``broadcast_max_queries`` to the cogroup scorer, which has no
+    driver bound.  Codes are LEFT-SEMI-joined with the tiny
+    distinct-probed-cluster table (no row duplication) and scored per
+    cluster with one BLAS matmul against the whole probing-query matrix.
     """
     spark = queries.sparkSession
     D = meta["D"]
     dim = meta["dim"]
-    M = 1 << (meta["total_bits"] - 1)
     P = rotation_matrix(D, meta["seed"])
     q_rows = queries.select(qid, qvec).collect()
     cent_rows = centroids.select("cluster_id", "centroid").collect()
@@ -570,11 +628,7 @@ def rabitq_search_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if packed:
-                pb = np.stack([np.frombuffer(b, dtype=np.uint8) for b in pdf["code_packed"]])
-                S = unpack_codes(pb, total_bits, D).astype(np.float64) + 0.5 - M
-            else:
-                S = np.array(pdf["code"].tolist(), dtype=np.float64) + 0.5 - M
+            S = _decode_s(pdf, packed, total_bits, D)
             x2 = pdf["x2"].to_numpy()
             fip = pdf["f_ip_ex"].to_numpy()
             ferr = pdf["f_err"].to_numpy()
@@ -583,9 +637,9 @@ def rabitq_search_arrow(
             for cid, idx in pdf.groupby("cluster_id", sort=False).indices.items():
                 qg, QR, y2 = qr_[int(cid)]
                 n, g = len(idx), len(qg)
-                IP = S[idx] @ QR.T  # (n, g) one BLAS call per cluster group
-                est = x2[idx, None] + y2[None, :] - fip[idx, None] * IP
-                lb = est - ferr[idx, None] * np.sqrt(y2)[None, :]
+                est, lb = _score_cluster_np(
+                    S[idx], x2[idx], fip[idx], ferr[idx], QR, y2, estimator, D
+                )
                 out_q.append(np.broadcast_to(qg, (n, g)).ravel())
                 out_i.append(np.repeat(ids[idx], g))
                 out_e.append(est.ravel())
@@ -599,55 +653,197 @@ def rabitq_search_arrow(
                 }
             )
 
-    scored = cand.mapInPandas(score, "qid long, id long, est_dist double, est_lb double")
-    w = Window.partitionBy("qid").orderBy(F.col("est_dist").asc(), F.col("id").asc())
+    return cand.mapInPandas(score, _SCORED_SCHEMA)
+
+
+def _arrow_scored_cogroup(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    nprobe: int,
+    qid: str,
+    qvec: str,
+    estimator: str,
+) -> DataFrame:
+    """Unbounded-batch Arrow scorer → (qid, id, est_dist, est_lb).
+
+    NO driver collect of the query side: probe selection (W1) and
+    per-(query, cluster) rotated residuals run as DataFrames (the same
+    stage-1 the SQL scorer uses), then codes and query-residuals are
+    COGROUPED on cluster_id — each task receives (codes of one cluster,
+    queries probing that cluster) and runs the identical BLAS kernel as
+    the broadcast scorer.  Scales in BOTH N and NQ: the only per-task
+    state is one cluster's codes and its probing queries, and the
+    100k-query broadcast dict (~25 GB at D=1536, nprobe=20) never
+    exists.
+
+    Cost vs the broadcast scorer: the probed codes shuffle once for the
+    cogroup (the broadcast path reads them in place).  At cluster scale
+    the codes table is written partitionBy(cluster_id) — registering it
+    as a bucketed table on cluster_id removes that shuffle; a hot
+    cluster's matmul is chunked internally so memory stays bounded
+    (skew shows up as task time, exactly like the reference's per-cluster
+    OpenMP loop).
+    """
+    D = meta["D"]
+    qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
+    probes = select_probes(
+        queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec
+    )
+    qprobe = (
+        probes.join(qrot, on="qid")
+        .join(F.broadcast(centroids.select("cluster_id", "centroid_rot")), on="cluster_id")
+        .select(
+            "qid",
+            "cluster_id",
+            F.expr("zip_with(qrot, centroid_rot, (a, b) -> a - b)").alias("qr"),
+        )
+    )
+    # partition pruning: only probed clusters' codes are read at all
+    keys = qprobe.select("cluster_id").distinct()
+    cand = codes.join(F.broadcast(keys), on="cluster_id", how="leftsemi")
+
+    packed = "code_packed" in codes.columns
+    total_bits = meta["total_bits"]
+
+    def score(key, code_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(code_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int64"),
+                    "id": pd.Series(dtype="int64"),
+                    "est_dist": pd.Series(dtype="float64"),
+                    "est_lb": pd.Series(dtype="float64"),
+                }
+            )
+        QR = np.array(q_pdf["qr"].tolist(), dtype=np.float64)  # g × D
+        y2 = (QR * QR).sum(axis=1)
+        qg = q_pdf["qid"].to_numpy()
+        S = _decode_s(code_pdf, packed, total_bits, D)
+        x2 = code_pdf["x2"].to_numpy()
+        fip = code_pdf["f_ip_ex"].to_numpy()
+        ferr = code_pdf["f_err"].to_numpy()
+        ids = code_pdf["id"].to_numpy()
+        n, g = len(ids), len(qg)
+        # chunk the code side so est/lb temporaries stay ≤ ~32 MB even for
+        # a hot cluster × huge query batch (memory, not correctness)
+        chunk = max(1, 4_000_000 // max(g, 1))
+        outs = []
+        for i in range(0, n, chunk):
+            est, lb = _score_cluster_np(
+                S[i : i + chunk], x2[i : i + chunk], fip[i : i + chunk],
+                ferr[i : i + chunk], QR, y2, estimator, D,
+            )
+            m = est.shape[0]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.broadcast_to(qg, (m, g)).ravel(),
+                        "id": np.repeat(ids[i : i + chunk], g),
+                        "est_dist": est.ravel(),
+                        "est_lb": lb.ravel(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "id", "est_dist")
+        cand.groupby("cluster_id")
+        .cogroup(qprobe.groupby("cluster_id"))
+        .applyInPandas(score, _SCORED_SCHEMA)
     )
 
 
-def rabitq_search(
+def rabitq_search_arrow(
     queries: DataFrame,
     codes: DataFrame,
     centroids: DataFrame,
     meta: dict,
     nprobe: int,
     k: int,
-    refine: int = 4,
-    rerank_base: DataFrame | None = None,
     qid: str = "qid",
     qvec: str = "qvec",
-    scorer: str = "arrow",
+    refine: int | None = None,
+    estimator: str = "searcher",
 ) -> DataFrame:
-    """Full two-phase Extended-RaBitQ search → (qid, rank, id, est_dist).
+    """Back-compat wrapper: broadcast Arrow scorer + top-k finalize.
 
-    ``scorer='arrow'`` (default) delegates to :func:`rabitq_search_arrow`
-    — one BLAS matmul per (query, cluster) candidate group, ~4-5× faster
-    and rank-identical; ``scorer='sql'`` keeps the pure-JVM column
-    pipeline below (used when a declarative plan is required, or with
-    ``rerank_base``).
+    ``refine=None`` (default) keeps the historical single-phase behavior
+    (exact top-k by est_dist over ALL probed candidates — a superset of
+    the two-phase result); pass an int to apply the same est_lb rank cut
+    as the SQL scorer.  Prefer :func:`rabitq_search`, which routes by
+    batch size."""
+    scored = _arrow_scored_broadcast(
+        queries, codes, centroids, meta, nprobe, qid, qvec, estimator
+    )
+    return _finalize_topk(scored, queries, k, refine, None, qid, qvec)
+
+
+def _finalize_topk(
+    scored: DataFrame,
+    queries: DataFrame,
+    k: int,
+    refine: int | None,
+    rerank_base: DataFrame | None,
+    qid: str,
+    qvec: str,
+) -> DataFrame:
+    """Shared phase-2: est_lb rank cut (E2, §4.2.2) → optional exact
+    re-rank (E4) → final top-k (W3) → (qid, rank, id, est_dist).
+
+    The cut keeps the γ·k best error-bound lower bounds per query — a
+    superset of the reference's sequential distk threshold at γ≥1.  With
+    ``rerank_base`` the raw vectors join ONLY the broadcast shortlist
+    (NQ·γk rows), so the 100 TB vector table is scanned in place, never
+    shuffled."""
+    shortlist = scored
+    if refine is not None:
+        w_lb = Window.partitionBy("qid").orderBy(F.col("est_lb").asc(), F.col("id").asc())
+        shortlist = (
+            scored.withColumn("_r", F.row_number().over(w_lb))
+            .where(F.col("_r") <= refine * k)
+            .drop("_r")
+        )
+    if rerank_base is not None:
+        exact = rerank_base.join(
+            F.broadcast(shortlist.select("qid", "id")), on="id"
+        ).join(F.broadcast(queries.select(qid, qvec)), on=qid)
+        from .knn import distance_col
+
+        shortlist = exact.select(
+            "qid", "id", distance_col("l2", qvec, "vec").alias("est_dist")
+        )
+    w = Window.partitionBy("qid").orderBy(F.col("est_dist").asc(), F.col("id").asc())
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "id", "est_dist")
+    )
+
+
+def _sql_scored(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    nprobe: int,
+    qid: str,
+    qvec: str,
+    estimator: str,
+) -> DataFrame:
+    """Pure-JVM candidate scorer → (qid, id, est_dist, est_lb).
 
     Stage 0: probe selection (W1) on raw centroids — exact top-nprobe.
     Stage 1: per (query, probed cluster): rotated residual qr, y2, Σqr —
         the per-cluster query prep of HASearcher::search_cluster
         (inc/index/HASearcher.hpp:82-113), as a tiny nprobe×NQ DataFrame.
     Stage 2: candidate equi-join on cluster_id (partition-pruned on a
-        saved index) + JVM-side 1-bit lower-bound estimate (E1) — the
-        sign bit of dim j is ``code[j] >= 2^(B−1)``.
-    Stage 3: rank cut to γ·k per query on the lower bound (E2 as top-γk,
-        §4.2.2), then B-bit re-rank (E3) and final top-k (W3).
-
-    Everything after stage 1 is pure column arithmetic (codegen'd
-    zip_with/aggregate) — no Python on the candidate hot path.
+        saved index) + codegen'd estimate columns — no Python on the
+        candidate hot path.
     """
-    if scorer == "arrow" and rerank_base is None:
-        return rabitq_search_arrow(
-            queries, codes, centroids, meta, nprobe, k, qid=qid, qvec=qvec
-        )
-    D = meta["D"]
     M = 1 << (meta["total_bits"] - 1)
+    D = meta["D"]
     qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
     probes = select_probes(queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec)
     # Stage 1: per-(qid, cluster) rotated residual + moments
@@ -676,34 +872,90 @@ def rabitq_search(
         f"aggregate(zip_with(code, qr, (c, v) -> (CAST(c AS DOUBLE) + 0.5 - {M}.0) * v), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    cand = cand.withColumn("ip_s_qr", F.expr(ip_s_qr)).select(
-        "qid", "id", "y2", "f_err",
-        (F.col("x2") + F.col("y2") - F.col("f_ip_ex") * F.col("ip_s_qr")).alias("est_dist"),
-    )
-    # E2 as a rank cut: the sequential distk threshold becomes "keep the
-    # γ·k best error-bound lower bounds per query" (§4.2.2) — here a cheap
-    # same-row column, so the cut costs one partial WindowGroupLimit.
-    cand = cand.withColumn("est_lb", F.col("est_dist") - F.col("f_err") * F.sqrt("y2"))
-    w_lb = Window.partitionBy("qid").orderBy(F.col("est_lb").asc(), F.col("id").asc())
-    shortlist = cand.withColumn("_r", F.row_number().over(w_lb)).where(
-        F.col("_r") <= refine * k
-    )
-    if rerank_base is not None:
-        # E4-style exact re-rank (the EX_BITS=0 degenerate path of SURVEY
-        # §7 phase 3): join raw vectors for the shortlist only.  The
-        # shortlist (NQ·γk rows) is broadcast so the raw-vector table —
-        # the 100 TB side — is scanned in place, never shuffled.
-        exact = rerank_base.join(
-            F.broadcast(shortlist.select("qid", "id")), on="id"
-        ).join(F.broadcast(queries.select(qid, qvec)), on="qid")
-        from .knn import distance_col
-
-        shortlist = exact.select(
-            "qid", "id", distance_col("l2", qvec, "vec").alias("est_dist")
+    cand = cand.withColumn("ip_s_qr", F.expr(ip_s_qr))
+    est = F.col("x2") + F.col("y2") - F.col("f_ip_ex") * F.col("ip_s_qr")
+    if estimator == "high_acc":
+        # HA phase-1 bound: sign bits only, fixed X0=0.8 + const bound
+        # (see _score_cluster_np; same algebra as FastScan.hpp:295-357)
+        ip_b = (
+            f"aggregate(zip_with(code, qr, (c, v) -> "
+            f"CASE WHEN c >= {M} THEN v ELSE CAST(0.0 AS DOUBLE) END), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-    w = Window.partitionBy("qid").orderBy(F.col("est_dist").asc(), F.col("id").asc())
-    return (
-        shortlist.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "id", "est_dist")
+        lb = (
+            F.col("x2")
+            + F.col("y2")
+            - (5.0 / math.sqrt(D))
+            * F.sqrt("x2")
+            * (F.expr(ip_b) - 0.5 * F.col("sum_qr") + _HA_CONST_BOUND * F.sqrt("y2"))
+        )
+    else:
+        lb = est - F.col("f_err") * F.sqrt("y2")
+    return cand.select(
+        "qid", "id", est.alias("est_dist"), lb.alias("est_lb")
     )
+
+
+def rabitq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    nprobe: int,
+    k: int,
+    refine: int | None = 4,
+    rerank_base: DataFrame | None = None,
+    qid: str = "qid",
+    qvec: str = "qvec",
+    scorer: str = "arrow",
+    estimator: str = "searcher",
+    broadcast_max_queries: int = 4096,
+) -> DataFrame:
+    """Full two-phase Extended-RaBitQ search → (qid, rank, id, est_dist).
+
+    Scorers (all produce identical (est_dist, est_lb) candidates, so the
+    result is rank-identical across them — asserted in tests):
+
+    - ``'arrow'`` (default): auto-route by batch size — the broadcast
+      Arrow scorer for NQ ≤ ``broadcast_max_queries`` (driver-prepped
+      probe map, the reference's own move at contract-sized NQ), the
+      cogroup Arrow scorer above it (DataFrame-native probe prep, no
+      driver collect of the query side — flagship batch serving scales
+      to unbounded NQ).  Routing costs one count() job over the qid
+      column.
+    - ``'arrow_broadcast'`` / ``'arrow_cogroup'``: force a variant.
+    - ``'sql'``: pure-JVM column pipeline (declarative plan end-to-end).
+
+    ``estimator='searcher'`` is the default Searcher estimator;
+    ``'high_acc'`` is the published exhaf4 configuration's HASearcher
+    phase-1 bound (HIGH_ACC compiled in, src/test_search.cpp:1) — the
+    re-rank estimate is algebraically identical (see _score_cluster_np).
+
+    Phase 2 (shared): keep the ``refine``·k best est_lb per query (E2 as
+    a rank cut — a superset of the reference's sequential distk
+    threshold at refine≥1, §4.2.2), then rank by the B-bit estimate (E3)
+    — or by the EXACT distance when ``rerank_base`` (id, vec) is given
+    (E4; the base joins only the broadcast shortlist, so the 100 TB
+    vector table never shuffles).  ``refine=None`` disables the cut:
+    single-phase exact-over-candidates ranking (a superset of the
+    two-phase result; marginally higher recall, more est evaluations
+    kept through the top-k window).
+    """
+    if scorer == "arrow":
+        nq = queries.select(qid).count()
+        scorer = "arrow_broadcast" if nq <= broadcast_max_queries else "arrow_cogroup"
+    if scorer == "arrow_broadcast":
+        scored = _arrow_scored_broadcast(
+            queries, codes, centroids, meta, nprobe, qid, qvec, estimator
+        )
+    elif scorer == "arrow_cogroup":
+        scored = _arrow_scored_cogroup(
+            queries, codes, centroids, meta, nprobe, qid, qvec, estimator
+        )
+    elif scorer == "sql":
+        scored = _sql_scored(
+            queries, codes, centroids, meta, nprobe, qid, qvec, estimator
+        )
+    else:
+        raise ValueError(f"rabitq_search: unknown scorer {scorer!r}")
+    return _finalize_topk(scored, queries, k, refine, rerank_base, qid, qvec)

@@ -545,3 +545,190 @@ class TestArrowScorer:
             assert aid == sid, k_
             assert abs(ad - sd) <= 1e-9 * max(1.0, abs(sd)), k_
         idx.unpersist()
+
+
+def _search_fixture(spark):
+    """(base, queries, idx, cents_full, meta) from the sf0.001 embeddings."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_SMOKE
+    from extended_rabitq_spark.operators import ivf, rabitq
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+    idx, meta = rabitq.build_index(base, cents, total_bits=4)
+    cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
+    return base, qs, idx.persist(), cents_full, meta
+
+
+def _res_map(df):
+    return {(r.qid, r.rank): (r.id, r.est_dist) for r in df.collect()}
+
+
+def _assert_rank_identical(a, b, tol=1e-9):
+    assert set(a) == set(b) and len(a) > 0
+    for key, (aid, ad) in a.items():
+        bid, bd = b[key]
+        assert aid == bid, key
+        assert abs(ad - bd) <= tol * max(1.0, abs(bd)), key
+
+
+class TestCogroupScorer:
+    def test_cogroup_matches_broadcast_nq5000(self, spark):
+        """VERDICT r1 #1 done-criterion: the driver-unbounded cogroup
+        scorer is rank-identical to the broadcast scorer at NQ=5000."""
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from extended_rabitq_spark.operators import rabitq
+
+        base, _, idx, cents_full, meta = _search_fixture(spark)
+        rng = np.random.default_rng(11)
+        dim = meta["dim"]
+        big_q = spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.standard_normal(dim)]) for i in range(5000)],
+            "qid long, qvec array<float>",
+        ).repartition(8)
+        a = rabitq.rabitq_search(
+            big_q, idx, cents_full, meta, nprobe=3, k=5, scorer="arrow_broadcast"
+        )
+        c = rabitq.rabitq_search(
+            big_q, idx, cents_full, meta, nprobe=3, k=5, scorer="arrow_cogroup"
+        )
+        am, cm = _res_map(a), _res_map(c)
+        assert len(am) == 5000 * 5
+        _assert_rank_identical(am, cm, tol=1e-6)  # float64 matmul assoc noise
+        idx.unpersist()
+
+    def test_cogroup_plan_has_no_driver_query_collect(self, spark):
+        """The query side must appear INSIDE the plan (cogroup node over
+        the probe-prep subtree), not as a driver-collected broadcast."""
+        from extended_rabitq_spark.operators import rabitq
+        from extended_rabitq_spark.plans import inspect as I
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        res = rabitq.rabitq_search(
+            qs, idx, cents_full, meta, nprobe=3, k=10, scorer="arrow_cogroup"
+        )
+        plan = I.physical_plan(res)
+        assert "FlatMapCoGroupsInPandas" in plan
+        # probe selection (query-side window) is part of the same plan
+        assert "row_number" in plan.lower() or "WindowGroupLimit" in plan
+        idx.unpersist()
+
+    def test_auto_routing_by_batch_size(self, spark):
+        """scorer='arrow' routes small batches to broadcast, big ones to
+        cogroup; both produce the same results."""
+        from extended_rabitq_spark.operators import rabitq
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        small = rabitq.rabitq_search(qs, idx, cents_full, meta, nprobe=3, k=10,
+                                     scorer="arrow", broadcast_max_queries=4096)
+        forced_cg = rabitq.rabitq_search(qs, idx, cents_full, meta, nprobe=3, k=10,
+                                         scorer="arrow", broadcast_max_queries=3)
+        _assert_rank_identical(_res_map(small), _res_map(forced_cg), tol=1e-6)
+        idx.unpersist()
+
+    def test_arrow_rerank_matches_sql_rerank(self, spark):
+        """VERDICT r1 #6: exact re-rank now works behind the Arrow paths
+        and matches the SQL scorer's re-ranked output exactly."""
+        from extended_rabitq_spark.operators import rabitq
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        kw = dict(nprobe=4, k=10, refine=4, rerank_base=base)
+        a = rabitq.rabitq_search(qs, idx, cents_full, meta, scorer="arrow_broadcast", **kw)
+        c = rabitq.rabitq_search(qs, idx, cents_full, meta, scorer="arrow_cogroup", **kw)
+        s = rabitq.rabitq_search(qs, idx, cents_full, meta, scorer="sql", **kw)
+        am, cm, sm = _res_map(a), _res_map(c), _res_map(s)
+        _assert_rank_identical(am, sm, tol=1e-9)  # exact dists: declarative both
+        _assert_rank_identical(cm, sm, tol=1e-9)
+        idx.unpersist()
+
+
+class TestHighAccEstimator:
+    def test_ha_rerank_identity_and_lb_transcription(self):
+        """Direct numpy transcription of the HASearcher math
+        (inc/index/HASearcher.hpp:228-232 re-rank; FastScan.hpp:295-357
+        phase-1 bound) must equal _score_cluster_np('high_acc')."""
+        import numpy as np
+
+        from extended_rabitq_spark.operators import rabitq
+
+        rng = np.random.default_rng(3)
+        dim, B = 48, 4
+        D = rabitq.pad64(dim)
+        M = 1 << (B - 1)
+        P = rabitq.rotation_matrix(D)
+        X = rng.standard_normal((40, dim))
+        C = np.zeros((40, dim))
+        out = rabitq.quantize_rows(X, C, P, total_bits=B)
+        S = out["code"].astype(np.float64) + 0.5 - M
+        qpad = np.zeros((3, D))
+        qpad[:, :dim] = rng.standard_normal((3, dim))
+        QR = qpad @ P.T
+        y2 = (QR * QR).sum(axis=1)
+        est, lb = rabitq._score_cluster_np(
+            S, out["x2"], out["f_ip_ex"], out["f_err"], QR, y2, "high_acc", D
+        )
+        # --- transcription, written from the C++ form ---
+        y = np.sqrt(y2)
+        qprime = QR / y[:, None]            # unit_q (q')
+        sumq = qprime.sum(axis=1)           # sumq
+        code = out["code"].astype(np.float64)
+        x_b = (code >= M).astype(np.float64)
+        long_code = code - M * x_b          # sign-reverted ex code
+        FAC_RESCALE = float(M)              # 1 << ex_bits (HASearcher.hpp:57)
+        ip_xb_qp = x_b @ qprime.T
+        ip_long_qp = long_code @ qprime.T
+        xipnorm = out["f_ip_ex"]            # ipnorm·2·√x2 (Quantizer.hpp:476)
+        ex_dist = (
+            out["x2"][:, None] + y2[None, :]
+            - xipnorm[:, None] * y[None, :]
+            * (FAC_RESCALE * ip_xb_qp + ip_long_qp - (FAC_RESCALE - 0.5) * sumq[None, :])
+        )
+        onorm = np.sqrt(out["x2"])
+        low_dist = (
+            y2[None, :] + out["x2"][:, None]
+            - 5.0 * y[None, :] / np.sqrt(D) * onorm[:, None]
+            * (ip_xb_qp - (0.5 * sumq[None, :] - 0.58))
+        )
+        assert np.allclose(est, ex_dist, rtol=1e-12, atol=1e-9)
+        assert np.allclose(lb, low_dist, rtol=1e-12, atol=1e-9)
+
+    def test_ha_rank_identical_across_scorers(self, spark):
+        from extended_rabitq_spark.operators import rabitq
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        kw = dict(nprobe=3, k=10, estimator="high_acc")
+        a = rabitq.rabitq_search(qs, idx, cents_full, meta, scorer="arrow_broadcast", **kw)
+        c = rabitq.rabitq_search(qs, idx, cents_full, meta, scorer="arrow_cogroup", **kw)
+        s = rabitq.rabitq_search(qs, idx, cents_full, meta, scorer="sql", **kw)
+        am, cm, sm = _res_map(a), _res_map(c), _res_map(s)
+        _assert_rank_identical(am, sm, tol=1e-6)
+        _assert_rank_identical(cm, sm, tol=1e-6)
+        idx.unpersist()
+
+    def test_ha_recall_close_to_searcher(self, spark):
+        """The HA fixed-bound phase-1 cut must not collapse recall vs the
+        per-row-bound searcher estimator at equal nprobe."""
+        import pyspark.sql.functions as F
+
+        from extended_rabitq_spark import metrics
+        from extended_rabitq_spark.operators import knn, rabitq
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        gt = knn.exact_knn(qs, base, k=10)
+        recalls = {}
+        for est in ("searcher", "high_acc"):
+            res = rabitq.rabitq_search(qs, idx, cents_full, meta, nprobe=4, k=10,
+                                       estimator=est, scorer="sql")
+            r = metrics.recall_per_query(res, gt, 10).agg(F.avg("recall")).first()[0]
+            recalls[est] = float(r)
+        assert recalls["high_acc"] >= recalls["searcher"] - 0.1, recalls
+        idx.unpersist()
