@@ -8,13 +8,15 @@ The reference's on-disk formats:
   (``python/utils/io.py:34-42``).
 
 Spark strategy: these are *ingest* formats — converted ONCE to parquet
-via numpy (same reshape trick as the reference's io.py), then every
-downstream stage reads parquet (columnar, splittable, predicate-pushdown).
-We deliberately do not build a Spark DataSource for them: a row-framed
-single binary file has no parallel split points without a scan, so a
-one-shot driver-side conversion is the honest distributed design — at
-100 TB the fleet of .fvecs shards maps to one conversion task per shard
-(``ingest_dir``).
+(same reshape trick as the reference's io.py), then every downstream
+stage reads parquet (columnar, splittable, predicate-pushdown).  A
+row-framed single binary file has no parallel split points without a
+scan, so the unit of parallelism is the SHARD: ``ingest_dir`` loads the
+shard fleet through Spark's ``binaryFile`` source (works on any
+Hadoop-compatible FS — local, HDFS, S3) and converts each shard to
+parquet rows in an executor-side Arrow pass, one task per shard.  Only
+8-byte headers are read on the driver (to assign contiguous id offsets);
+shard payloads never touch driver memory.
 """
 
 from __future__ import annotations
@@ -22,9 +24,12 @@ from __future__ import annotations
 import glob
 import os
 import struct
+from typing import Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_fvecs(path: str) -> np.ndarray:
@@ -93,6 +98,37 @@ _READERS = {
 }
 
 
+def _decode_bytes(ext: str, buf: bytes) -> np.ndarray:
+    """Decode one shard's payload (bytes, any FS) → matrix; mirrors the
+    file readers above, shared by the executor-side conversion."""
+    if ext in (".fvecs", ".ivecs"):
+        raw = np.frombuffer(buf, dtype=np.int32)
+        if raw.size == 0:
+            return np.zeros((0, 0), dtype=np.float32 if ext == ".fvecs" else np.int32)
+        d = int(raw[0])
+        mat = raw.reshape(-1, d + 1)[:, 1:]
+        return mat.view(np.float32) if ext == ".fvecs" else mat
+    n, d = struct.unpack("<ii", buf[:8])
+    dt = np.float32 if ext == ".fbin" else np.int32
+    return np.frombuffer(buf, dtype=dt, offset=8, count=n * d).reshape(n, d)
+
+
+def _shard_rows(path: str) -> int:
+    """Row count of a shard from its 8-byte header + file size ONLY —
+    the driver never reads shard payloads."""
+    ext = os.path.splitext(path)[1]
+    size = os.path.getsize(path)
+    if ext in (".fvecs", ".ivecs"):
+        if size < 4:
+            return 0
+        with open(path, "rb") as f:
+            d = struct.unpack("<i", f.read(4))[0]
+        return size // (4 * (d + 1)) if d > 0 else 0
+    with open(path, "rb") as f:
+        n, _ = struct.unpack("<ii", f.read(8))
+    return n
+
+
 def vectors_to_df(
     spark: SparkSession,
     mat: np.ndarray,
@@ -101,32 +137,100 @@ def vectors_to_df(
     vec_col: str = "vec",
 ) -> DataFrame:
     """numpy matrix → DataFrame(id BIGINT, vec ARRAY<FLOAT>) with explicit
-    row ids (the reference's implicit row position, inc/defines.hpp:15)."""
+    row ids (the reference's implicit row position, inc/defines.hpp:15).
+    Arrow-batched via pandas — no per-element Python row materialization."""
     elem = "float" if mat.dtype in (np.float32, np.float64) else "int"
-    rows = [(id_offset + i, [v.item() for v in row]) for i, row in enumerate(mat)]
-    return spark.createDataFrame(rows, f"{id_col} long, {vec_col} array<{elem}>")
+    pdf = pd.DataFrame(
+        {id_col: np.arange(id_offset, id_offset + len(mat), dtype=np.int64),
+         vec_col: list(mat)}
+    )
+    return spark.createDataFrame(pdf).select(
+        F.col(id_col).cast("long"), F.col(vec_col).cast(f"array<{elem}>")
+    )
 
 
 def ingest_file(spark: SparkSession, path: str, out_parquet: str, **kw) -> DataFrame:
     """S1/S2 one-shot ingest: binary vector file → parquet; returns the
-    DataFrame re-read from parquet (the steady-state source)."""
-    ext = os.path.splitext(path)[1]
-    mat = _READERS[ext](path)
-    vectors_to_df(spark, mat, **kw).write.mode("overwrite").parquet(out_parquet)
+    DataFrame re-read from parquet (the steady-state source).  Single
+    file ≡ single-shard :func:`ingest_dir`."""
+    return ingest_dir(spark, path, out_parquet, **kw)
+
+
+def ingest_dir(
+    spark: SparkSession,
+    pattern: str,
+    out_parquet: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Distributed sharded ingest (S1/S2): every file matching ``pattern``
+    converts in its own executor task, with a contiguous global id range
+    (ids = global row position, matching the reference's concatenated
+    base file, inc/utils/IO.hpp:53-83).
+
+    Driver work is metadata-only: list shards, read 8-byte headers to
+    compute per-shard id offsets.  Payloads flow through the
+    ``binaryFile`` source → Arrow ``mapInPandas`` (numpy reshape per
+    shard) → parquet, so a 100 TB fleet of .fvecs shards converts as a
+    single map-only distributed job — no shard ever enters driver
+    memory.  Shards must share one extension/dtype; each yields rows in
+    bounded chunks so task memory stays flat regardless of shard size.
+    """
+    df = convert_shards_df(spark, sorted(glob.glob(pattern)), pattern,
+                           id_col=id_col, vec_col=vec_col)
+    df.write.mode("overwrite").parquet(out_parquet)
     return spark.read.parquet(out_parquet)
 
 
-def ingest_dir(spark: SparkSession, pattern: str, out_parquet: str, **kw) -> DataFrame:
-    """Sharded ingest: each file matching ``pattern`` converts with a
-    contiguous id range (ids = global row position, matching the
-    reference's concatenated base file)."""
-    paths = sorted(glob.glob(pattern))
+def convert_shards_df(
+    spark: SparkSession,
+    paths: list[str],
+    pattern: str = "",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """The conversion plan of :func:`ingest_dir`, pre-write: binaryFile
+    scan → one Arrow conversion task per shard (AQE may pack tiny shards
+    together — that coalescing is the desired behavior at scale, where a
+    shard is hundreds of MB and keeps its own task)."""
+    if not paths:
+        raise ValueError(f"ingest_dir: no files match {pattern!r}")
+    exts = {os.path.splitext(p)[1] for p in paths}
+    if len(exts) > 1:
+        raise ValueError(f"ingest_dir: mixed shard formats {sorted(exts)}")
+    ext = exts.pop()
+    if ext not in _READERS:
+        raise ValueError(f"ingest_dir: unsupported format {ext!r}")
+    elem = "float" if ext in (".fvecs", ".fbin") else "int"
+    offsets: dict[str, int] = {}
     offset = 0
-    first = True
     for p in paths:
-        mat = _READERS[os.path.splitext(p)[1]](p)
-        df = vectors_to_df(spark, mat, id_offset=offset, **kw)
-        df.write.mode("overwrite" if first else "append").parquet(out_parquet)
-        offset += mat.shape[0]
-        first = False
-    return spark.read.parquet(out_parquet)
+        offsets[os.path.abspath(p)] = offset
+        offset += _shard_rows(p)
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    CHUNK = 65_536
+
+    def convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs = b_offsets.value
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                local = path[len("file:"):] if path.startswith("file:") else path
+                mat = _decode_bytes(ext, content)
+                off = offs[os.path.abspath(local)]
+                for i in range(0, len(mat), CHUNK):
+                    part = mat[i : i + CHUNK]
+                    yield pd.DataFrame(
+                        {
+                            id_col: np.arange(off + i, off + i + len(part), dtype=np.int64),
+                            vec_col: list(part),
+                        }
+                    )
+
+    shards = (
+        spark.read.format("binaryFile")
+        .load([os.path.abspath(p) for p in paths])
+        .select("path", "content")
+        .repartition(len(paths))
+    )
+    return shards.mapInPandas(convert, f"{id_col} long, {vec_col} array<{elem}>")
