@@ -45,6 +45,7 @@ def nprobe_sweep(
     centroids_full: DataFrame | None = None,
     meta: dict | None = None,
     rounds: int = 1,
+    estimator: str = "searcher",
 ) -> list[SweepRow]:
     """Sweep the nprobe grid ascending; stop at recall saturation or
     plateau.  mode='ivf' scans exact distances over probed clusters;
@@ -79,7 +80,8 @@ def nprobe_sweep(
                     res = ivf_ops.ivf_search(queries, indexed, centroids, nprobe, k)
                 else:
                     res = rabitq_ops.rabitq_search(
-                        queries, index_df, centroids_full, meta, nprobe=nprobe, k=k
+                        queries, index_df, centroids_full, meta, nprobe=nprobe, k=k,
+                        estimator=estimator,
                     )
                 if "est_dist" in res.columns:
                     # E4: the ratio metric compares EXACT distances of the

@@ -384,6 +384,70 @@ def embedding_ann_pairs(
     )
 
 
+def embedding_threshold_pairs_ann(
+    emb: DataFrame,
+    threshold: float,
+    k_per_query: int = 40,
+    nprobe: int | None = None,
+    total_bits: int = 4,
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    n_clusters: int = 16,
+) -> DataFrame:
+    """THRESHOLD-form ANN near-dup pairs → (id_a, id_b, cos_r) with
+    cosine ≥ threshold — the scale twin of
+    :func:`embedding_cosine_pairs` (which is all-pairs) for pipelines
+    that prune on a similarity cutoff rather than a global top-N.
+
+    Same distributed self-join as :func:`embedding_ann_pairs` (normalize
+    → IVF+RaBitQ index → every vector queries, SQL scorer so the query
+    side never collects → exact re-rank), then pairs keep cos ≥ τ.
+    Each pair has TWO chances to surface (both endpoints query); a pair
+    is missed only if BOTH endpoints have ≥ k_per_query strictly nearer
+    neighbors AND (when nprobe < n_clusters) both probes miss — on
+    near-dup thresholds (τ ≥ ~0.7) qualifying pairs are near the top of
+    both lists, so modest k_per_query suffices; fixture equality with
+    the exact form is value-tested."""
+    from .rabitq import build_index, centroids_with_rotation, rabitq_search
+    from .ivf import sampled_kmeans_centroids
+
+    spark = emb.sparkSession
+    norm = emb.select(
+        F.col(id_).alias("id"), F.expr(V.l2_normalize(vec)).alias("vec")
+    )
+    cents = sampled_kmeans_centroids(norm, k=n_clusters, vec="vec")
+    index_df, meta = build_index(norm, cents, total_bits=total_bits)
+    cents_full = centroids_with_rotation(spark, cents, meta)
+    if nprobe is None:
+        nprobe = n_clusters
+    res = rabitq_search(
+        norm.select(F.col("id").alias("qid"), F.col("vec").alias("qvec")),
+        index_df,
+        cents_full,
+        meta,
+        nprobe=nprobe,
+        k=k_per_query + 1,  # +1: self-match rides along and is dropped
+        rerank_base=norm,
+        scorer="sql",
+    )
+    pairs = (
+        res.where(F.col("qid") != F.col("id"))
+        .select(
+            F.least("qid", "id").alias("id_a"),
+            F.greatest("qid", "id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
+    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
+    return (
+        pairs.join(a, on="id_a").join(b, on="id_b")
+        .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, threshold: float = 0.9, id_: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:

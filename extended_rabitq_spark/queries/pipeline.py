@@ -71,7 +71,26 @@ WHERE drops.doc_id IS NULL
 @register("pipeline_clean_corpus", _PIPELINE_ORACLE)
 def pipeline_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup → quality filter → embedding near-dup prune, composed
-    as one plan.  See module docstring for the per-stage scale story."""
+    as one plan.  This registered form uses the exact all-pairs stage 3
+    (the oracle twin); :func:`pipeline_clean_corpus` exposes the
+    ``scale=True`` knob that swaps in the ANN near-dup prune."""
+    return pipeline_clean_corpus(spark, sf_dir, scale=False)
+
+
+def pipeline_clean_corpus(
+    spark: SparkSession, sf_dir: str, scale: bool = False
+) -> DataFrame:
+    """The composed cleaning pipeline with a documented scale knob.
+
+    ``scale=False``: stage 3 near-dup prune is the exact all-pairs
+    cosine join — O(N²), fixture-sized, oracle-checkable.
+
+    ``scale=True``: stage 3 runs
+    :func:`...operators.dedup.embedding_threshold_pairs_ann` — the
+    distributed ANN self-join (equi-joins only, query side never
+    collects) — so the whole composition is runnable at corpus scale.
+    Value-tested equal to the exact form on fixtures
+    (tests/test_dedup_text.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -87,15 +106,22 @@ def pipeline_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), on="doc_id")
     )
-    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("va"))
-    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("vb"))
-    drops = (
-        a.crossJoin(b)
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .where(F.expr(V.cosine_sim("va", "vb")) >= COS_TAU)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    if scale:
+        pairs = dedup_ops.embedding_threshold_pairs_ann(
+            kept.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            threshold=COS_TAU,
+        )
+        drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    else:
+        a = kept.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("va"))
+        b = kept.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("vb"))
+        drops = (
+            a.crossJoin(b)
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .where(F.expr(V.cosine_sim("va", "vb")) >= COS_TAU)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
     return kept.join(F.broadcast(drops), on="doc_id", how="left_anti").select(
         "doc_id", "lang", "n_tokens", "distinct_ratio_r"
     )

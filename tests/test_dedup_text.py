@@ -179,3 +179,31 @@ def test_salted_join_equals_plain_join(spark):
     plain = sorted(tuple(r) for r in big.join(small, on="k").collect())
     salted = sorted(tuple(r) for r in salted_join(big, small, on="k", n_salts=8).collect())
     assert salted == plain and len(plain) > 1800
+
+
+def test_embedding_threshold_pairs_ann_equals_exact(spark):
+    """VERDICT r1 #8: the threshold-form ANN pair finder (scale twin)
+    is value-equal to the exact all-pairs form on the fixture."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tau = 0.45
+    exact = {
+        (r.id_a, r.id_b, r.cos_r)
+        for r in dedup.embedding_cosine_pairs(emb, threshold=tau).collect()
+    }
+    ann = {
+        (r.id_a, r.id_b, r.cos_r)
+        for r in dedup.embedding_threshold_pairs_ann(emb, threshold=tau).collect()
+    }
+    assert exact and ann == exact
+
+
+def test_pipeline_scale_variant_equals_exact(spark):
+    """pipeline_clean_corpus(scale=True) swaps the all-pairs stage 3 for
+    the ANN self-join and must keep the same surviving docs on the
+    fixture."""
+    from extended_rabitq_spark.queries.pipeline import pipeline_clean_corpus
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in pipeline_clean_corpus(spark, sf, scale=False).collect()}
+    b = {tuple(r) for r in pipeline_clean_corpus(spark, sf, scale=True).collect()}
+    assert a and b == a
