@@ -130,13 +130,16 @@ def minhash_lsh_pairs(
     """MinHash-LSH near-dup: band-collision candidates verified with exact
     Jaccard → (doc_a, doc_b, jaccard_r).  Only collided pairs are scored.
 
-    The shingle table is computed ONCE and persisted: both the signature
-    aggregation and the candidate verification read it, and recomputing
-    the tokenize+shingle+window pass twice was the slowest part of the
-    whole dedup bench (measured ~2× on this query).  At corpus scale the
-    persist spills to local disk (MEMORY_AND_DESER default) — still far
-    cheaper than a second full corpus scan."""
-    sh = shingle_table(docs, id_, text).persist()
+    The shingle table appears TWICE in the plan (signatures;
+    verification) and is deliberately NOT persisted: measured at sf0.1,
+    caching the exploded table made the query ~65% SLOWER (1.9 s
+    recompute vs 3.1 s cached steady-state) — materializing tens of
+    shingle rows per doc as cache blocks costs more than re-running the
+    codegen'd tokenize+shingle pass, and the cache blocks column pruning
+    (the signature branch needs only hashes, the verify branch only
+    strings).  Recompute-in-lineage is also the safe default at 100 TB,
+    where the exploded table would not fit the cache tier anyway."""
+    sh = shingle_table(docs, id_, text)
     sigs = _signatures_from_shingles(sh)
     rows = N_MINHASH // N_BANDS
     bands = sigs.select(
@@ -166,7 +169,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify: exact jaccard on collided candidates only (reuses persisted sh)
+    # verify: exact jaccard on collided candidates only (sh recomputed in
+    # lineage — measured faster than caching it, see docstring)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

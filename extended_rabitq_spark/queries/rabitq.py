@@ -47,6 +47,21 @@ def knn_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "id", F.round("est_dist", 4).alias("est_dist_r"))
 
 
+@register("knn_rabitq_ha")
+def knn_rabitq_ha_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published exhaf4 configuration: Extended-RaBitQ search with
+    the HIGH_ACC phase-1 bound (estimator='high_acc'; HIGH_ACC compiled
+    in for the committed baseline, src/test_search.cpp:1,
+    inc/index/HASearcher.hpp:224-236).  Rows-only like knn_rabitq
+    (mapInPandas build)."""
+    base, index_df, cents, meta = _build(spark, sf_dir)
+    res = rabitq.rabitq_search(
+        _queries_df(spark, sf_dir), index_df, cents, meta, nprobe=NPROBE, k=K,
+        estimator="high_acc",
+    )
+    return res.select("qid", "rank", "id", F.round("est_dist", 4).alias("est_dist_r"))
+
+
 @register("rabitq_recall")
 def rabitq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the quantized pipeline vs exact GT (J4 over the
