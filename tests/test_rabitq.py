@@ -732,3 +732,29 @@ class TestHighAccEstimator:
             recalls[est] = float(r)
         assert recalls["high_acc"] >= recalls["searcher"] - 0.1, recalls
         idx.unpersist()
+
+
+class TestPackedCogroup:
+    def test_packed_index_cogroup_matches_broadcast(self, spark, tmp_path):
+        """The cogroup scorer must decode packed (Q4) codes identically to
+        the broadcast scorer."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+        p = str(tmp_path / "packed")
+        rabitq.save_index(index_df, cents, meta, p, packed=True)
+        codes, cf, m = rabitq.load_index(spark, p)
+        b = rabitq.rabitq_search(queries, codes, cf, m, 3, 10, scorer="arrow_broadcast")
+        c = rabitq.rabitq_search(queries, codes, cf, m, 3, 10, scorer="arrow_cogroup")
+        _assert_rank_identical(_res_map(b), _res_map(c), tol=1e-6)

@@ -1,0 +1,95 @@
+"""Bigger-fixture soak (VERDICT r1 #10): exercises the scale paths on a
+100k-row synthetic index so regressions in combined KNN, the cogroup
+scorer, and exact re-rank surface before the driver's gate does.
+
+Gated behind SPARK_GRAFT_SOAK=1 — adds ~3-4 min, not part of the
+per-round pytest budget."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SOAK"), reason="set SPARK_GRAFT_SOAK=1 to run"
+)
+
+N, DIM, NQ, KC = 100_000, 128, 200, 128
+
+
+@pytest.fixture(scope="module")
+def harness(spark):
+    from extended_rabitq_spark.operators import ivf, rabitq
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((KC, DIM)).astype(np.float32) * 2.0
+    lab = rng.integers(0, KC, N)
+    X = centers[lab] + 0.35 * rng.standard_normal((N, DIM)).astype(np.float32)
+    base = (
+        spark.createDataFrame(pd.DataFrame({"id": np.arange(N), "vec": list(X)}))
+        .select("id", F.col("vec").cast("array<float>").alias("vec"))
+        .repartition(16)
+        .persist()
+    )
+    base.count()
+    Q = X[rng.integers(0, N, NQ)] + 0.05 * rng.standard_normal((NQ, DIM)).astype(np.float32)
+    qs = (
+        spark.createDataFrame(pd.DataFrame({"qid": np.arange(NQ), "qvec": list(Q)}))
+        .select("qid", F.col("qvec").cast("array<float>").alias("qvec"))
+        .persist()
+    )
+    qs.count()
+    cents = ivf.sampled_kmeans_centroids(base, k=KC, vec="vec")
+    idx, meta = rabitq.build_index(base, cents, total_bits=4)
+    idx = idx.persist()
+    idx.count()
+    cf = rabitq.centroids_with_rotation(spark, cents, meta)
+    yield base, qs, idx, cf, meta
+    idx.unpersist(); qs.unpersist(); base.unpersist()
+
+
+def test_combined_knn_equals_declarative_sample(spark, harness):
+    """Map-side-combined GT == declarative on a query sample at 100k."""
+    from extended_rabitq_spark.operators import knn
+
+    base, qs, *_ = harness
+    sample = qs.limit(20)
+    a = [tuple(r) for r in knn.exact_knn(sample, base, k=10).orderBy("qid", "rank").collect()]
+    b = [tuple(r) for r in knn.exact_knn_combined(sample, base, k=10).orderBy("qid", "rank").collect()]
+    assert a == b
+
+
+def test_rerank_lifts_recall_above_est_plateau(spark, harness):
+    """Exact re-rank behind the Arrow scorer lifts np4 recall well above
+    the est-only level (measured .792 -> .9545 on this harness)."""
+    from extended_rabitq_spark import metrics
+    from extended_rabitq_spark.operators import knn, rabitq
+
+    base, qs, idx, cf, meta = harness
+    gt = knn.exact_knn_combined(qs, base, k=10).persist()
+    gt.count()
+    recalls = {}
+    for tag, rb in (("est", None), ("rerank", base)):
+        res = rabitq.rabitq_search(qs, idx, cf, meta, nprobe=4, k=10,
+                                   rerank_base=rb, scorer="arrow_broadcast")
+        r = metrics.recall_per_query(res, gt, 10).agg(F.avg("recall")).first()[0]
+        recalls[tag] = float(r)
+    gt.unpersist()
+    assert recalls["rerank"] >= recalls["est"] + 0.05, recalls
+    assert recalls["rerank"] >= 0.9, recalls
+
+
+def test_cogroup_scorer_at_scale(spark, harness):
+    """Cogroup scorer == broadcast scorer on the 100k index."""
+    from extended_rabitq_spark.operators import rabitq
+
+    base, qs, idx, cf, meta = harness
+    b = rabitq.rabitq_search(qs, idx, cf, meta, nprobe=4, k=10, scorer="arrow_broadcast")
+    c = rabitq.rabitq_search(qs, idx, cf, meta, nprobe=4, k=10, scorer="arrow_cogroup")
+    bm = {(r.qid, r.rank): r.id for r in b.collect()}
+    cm = {(r.qid, r.rank): r.id for r in c.collect()}
+    assert bm == cm and len(bm) == NQ * 10
