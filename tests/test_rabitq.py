@@ -758,3 +758,33 @@ class TestPackedCogroup:
         b = rabitq.rabitq_search(queries, codes, cf, m, 3, 10, scorer="arrow_broadcast")
         c = rabitq.rabitq_search(queries, codes, cf, m, 3, 10, scorer="arrow_cogroup")
         _assert_rank_identical(_res_map(b), _res_map(c), tol=1e-6)
+
+
+class TestCogroupPlan:
+    def test_cogroup_prunes_index_partitions(self, spark, tmp_path):
+        """On a saved (partitionBy cluster_id) index, the cogroup scorer's
+        codes scan must carry a dynamic partition-pruning filter from the
+        probed-cluster semi-join — at 100 TB only probed clusters' files
+        are read."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+        from extended_rabitq_spark.plans import inspect as I
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        idx, meta = rabitq.build_index(base, cents, total_bits=4)
+        p = str(tmp_path / "idx")
+        rabitq.save_index(idx, cents, meta, p)
+        codes, cf, m = rabitq.load_index(spark, p)
+        res = rabitq.rabitq_search(qs, codes, cf, m, nprobe=3, k=10, scorer="arrow_cogroup")
+        plan = I.physical_plan(res)
+        assert "dynamicpruning" in plan, "codes scan lost partition pruning"
+        assert I.has_partial_topk(res)
