@@ -32,6 +32,14 @@ PIPELINE_QUERIES = [
     "events_windowed",
 ]
 
+# Timed into extras (not the headline total): the composed corpus-clean
+# pipeline and the distributed ANN self-join dedup — the two largest
+# end-to-end compositions.
+EXTRA_QUERIES = [
+    "pipeline_clean_corpus",
+    "dedup_embedding_ann",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +135,18 @@ def main() -> None:
     for name in PIPELINE_QUERIES:
         if name in qmap:
             timed(name, lambda n=name: run_full(qmap[n](spark, sf_dir)))
+
+    # ---- extras: composed pipeline + flagship ANN dedup (not in the
+    # headline total, so round-over-round headline stays comparable) ----
+    for name in EXTRA_QUERIES:
+        if name in qmap:
+            t0 = time.perf_counter()
+            try:
+                run_full(qmap[name](spark, sf_dir))
+                extras[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                print(f"bench: extra {name} failed: {exc}", file=sys.stderr)
+                extras[f"{name}_sec"] = -1.0
 
     # ---- optional: full recall/QPS curve (BASELINE.md shape comparison) ----
     # Off by default to keep the driver's per-round bench fast; set
