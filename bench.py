@@ -164,6 +164,14 @@ def main() -> None:
             centroids_full=cents_full,
             meta=meta,
         )
+        results_dir = os.environ.get("SPARK_GRAFT_RESULTS_DIR")
+        if results_dir:
+            # the reference's committed CSV artifacts (S7):
+            # results/exrabitq/<ds>_<tag>.csv + results/indexing_time/<ds>.csv
+            harness.save_results_csv(rows, results_dir, f"sf{sf}", tag="exhaf4")
+            harness.save_indexing_time_csv(
+                results_dir, f"sf{sf}", extras["index_build_sec"] / 60.0
+            )
         extras["sweep"] = [
             [r.nprobe, round(r.recall, 4), round(r.ratio, 4), round(r.qps, 2)]
             for r in rows

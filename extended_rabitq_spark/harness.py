@@ -129,3 +129,44 @@ def sweep_to_df(spark: SparkSession, rows: list[SweepRow]) -> DataFrame:
         [(r.nprobe, round(r.recall, 6), round(r.ratio, 6), round(r.qps, 2)) for r in rows],
         "nprobe int, recall double, ratio double, qps double",
     )
+
+
+def save_results_csv(rows: list[SweepRow], results_dir: str, dataset: str,
+                     tag: str = "exhaf4") -> str:
+    """S7: the reference's committed results artifact —
+    ``results/exrabitq/<dataset>_<tag>.csv`` with header
+    ``nprobe,QPS,recall,ratio`` (results/exrabitq/openai1536_exhaf4.csv:1,
+    written by the sweep in src/test_search.cpp:136-150).  Driver-side
+    plain file: a sweep is < ~20 rows by construction (the grid), so a
+    distributed write would be pure overhead."""
+    import os
+
+    out_dir = os.path.join(results_dir, "exrabitq")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{dataset}_{tag}.csv")
+    with open(path, "w") as f:
+        f.write("nprobe,QPS,recall,ratio\n")
+        for r in rows:
+            f.write(f"{r.nprobe},{r.qps:.2f},{r.recall:.5f},{r.ratio:.5f}\n")
+    return path
+
+
+def save_indexing_time_csv(results_dir: str, dataset: str,
+                           minutes: float) -> str:
+    """S7: the reference's indexing-time artifact —
+    ``results/indexing_time/<dataset>.csv`` (the log path declared by
+    src/create_index.cpp:21,27; the value is the 'Indexing time: X
+    miniutes' figure printed at :52).  Appends one timestamped row so
+    successive builds accumulate a history."""
+    import os
+    import time as _time
+
+    out_dir = os.path.join(results_dir, "indexing_time")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{dataset}.csv")
+    new = not os.path.exists(path)
+    with open(path, "a") as f:
+        if new:
+            f.write("epoch_sec,indexing_minutes\n")
+        f.write(f"{int(_time.time())},{minutes:.4f}\n")
+    return path

@@ -189,6 +189,35 @@ class TestSweep:
         assert recalls[-1] > 0.99  # nprobe = K (all clusters) ≡ exact
         assert all(r.qps > 0 for r in rows)
 
+    def test_results_csv_sinks(self, tmp_path):
+        """S7: the reference's two committed CSV artifacts —
+        results/exrabitq/<ds>_<tag>.csv (header nprobe,QPS,recall,ratio,
+        results/exrabitq/openai1536_exhaf4.csv:1) and
+        results/indexing_time/<ds>.csv (src/create_index.cpp:21,27)."""
+        from extended_rabitq_spark.harness import (
+            SweepRow,
+            save_indexing_time_csv,
+            save_results_csv,
+        )
+
+        rows = [
+            SweepRow(5, 0.65296, 1.01544, 1237.09, 0.1),
+            SweepRow(8, 0.81, 1.004, 900.0, 0.2),
+        ]
+        p = save_results_csv(rows, str(tmp_path), "openai1536", tag="exhaf4")
+        lines = open(p).read().splitlines()
+        assert p.endswith("exrabitq/openai1536_exhaf4.csv")
+        assert lines[0] == "nprobe,QPS,recall,ratio"
+        assert lines[1] == "5,1237.09,0.65296,1.01544"
+
+        t = save_indexing_time_csv(str(tmp_path), "openai1536", 2.5)
+        t2 = save_indexing_time_csv(str(tmp_path), "openai1536", 3.0)
+        assert t == t2 and t.endswith("indexing_time/openai1536.csv")
+        tl = open(t).read().splitlines()
+        assert tl[0] == "epoch_sec,indexing_minutes"
+        assert len(tl) == 3  # header + two appended builds
+        assert tl[1].endswith(",2.5000") and tl[2].endswith(",3.0000")
+
 
 class TestMultimodalPlans:
     def test_frame_and_chunk_plans_prune_blob(self, spark):
