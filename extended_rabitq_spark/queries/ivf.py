@@ -103,6 +103,41 @@ def ivf_probes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("qid", "probe_rank", "cluster_id", F.round("cdist", 6).alias("cdist_r"))
 
 
+@register("ivf_probes_graph", _PROBES_ORACLE)
+def ivf_probes_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 real: beam search over the centroid M-NN graph — the Spark
+    analog of the reference's HNSW-over-centroids probe path
+    (inc/index/Initializer.hpp:80-115; engaged when K ≥ 20000,
+    inc/index/IVF.hpp:157-161).
+
+    Shares the exact-W1 oracle: at fixture K (< default ef = 768,
+    Initializer.hpp:106) the beam explores the whole connected graph, so
+    the selected probe set equals exact top-nprobe.  The graph pass only
+    SELECTS candidates (with a 2× margin); distances and ranks are then
+    recomputed declaratively — the same numpy-selects/Spark-scores split
+    as exact_knn_combined — so the output is bit-identical to the oracle.
+    """
+    from pyspark.sql import Window
+
+    qs = _queries_df(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    graph = ivf.build_centroid_graph(cents, M=8)
+    sel = ivf.graph_probes(qs, graph, nprobe=2 * NPROBE).select("qid", "cluster_id")
+    cand = sel.join(F.broadcast(cents), on="cluster_id").join(qs, on="qid")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cdist").asc(), F.col("cluster_id").asc()
+    )
+    return (
+        cand.select(
+            "qid", "cluster_id",
+            knn.distance_col("l2", "qvec", "centroid").alias("cdist"),
+        )
+        .withColumn("probe_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("probe_rank") <= NPROBE)
+        .select("qid", "probe_rank", "cluster_id", F.round("cdist", 6).alias("cdist_r"))
+    )
+
+
 N_COARSE = 4
 COARSE_PROBE = 2
 

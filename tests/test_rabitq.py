@@ -788,3 +788,111 @@ class TestCogroupPlan:
         plan = I.physical_plan(res)
         assert "dynamicpruning" in plan, "codes scan lost partition pruning"
         assert I.has_partial_topk(res)
+
+
+class TestGraphProbes:
+    """W2 real: graph-based probe selection (HNSW-over-centroids analog,
+    inc/index/Initializer.hpp:80-115)."""
+
+    def _fixture(self, spark):
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        return qs, cents
+
+    def test_contract_and_recall_at_default_ef(self, spark):
+        """Same output contract as select_probes; at default ef (≥ K here)
+        the beam search explores the whole connected graph, so the probe
+        set matches exact W1 on the smoke fixture."""
+        from extended_rabitq_spark.operators import ivf
+
+        qs, cents = self._fixture(spark)
+        graph = ivf.build_centroid_graph(cents, M=8)
+        got = ivf.graph_probes(qs, graph, nprobe=3).collect()
+        assert {r.qid for r in got} == set(range(10))
+        for r in got:
+            assert 1 <= r.probe_rank <= 3 and r.cdist >= 0.0
+        exact = {
+            (r.qid, r.probe_rank, r.cluster_id)
+            for r in ivf.select_probes(qs, cents, 3).collect()
+        }
+        approx = {(r.qid, r.probe_rank, r.cluster_id) for r in got}
+        # full exploration ⟹ identical probe choices (ranks and ids)
+        assert approx == exact
+
+    def test_synthetic_large_k_recall(self, spark):
+        """K=256 gaussian centroids, 20 queries: default-ef beam search
+        keeps probe recall ≥ 0.95 vs exact W1; a starved beam (ef=8)
+        degrades but still finds mostly-right probes — the documented
+        approximation trade."""
+        import numpy as np
+
+        from extended_rabitq_spark.operators import ivf
+
+        rng = np.random.default_rng(7)
+        K, D, NQ, NP = 256, 16, 20, 4
+        cent_rows = [(i, [float(x) for x in rng.normal(size=D)]) for i in range(K)]
+        cents = spark.createDataFrame(
+            cent_rows, "cluster_id int, centroid array<double>"
+        )
+        q_rows = [(i, [float(x) for x in rng.normal(size=D)]) for i in range(NQ)]
+        qs = spark.createDataFrame(q_rows, "qid long, qvec array<double>")
+        graph = ivf.build_centroid_graph(cents, M=12)
+        exact = {}
+        for r in ivf.select_probes(qs, cents, NP).collect():
+            exact.setdefault(r.qid, set()).add(r.cluster_id)
+
+        def recall(ef):
+            got = {}
+            for r in ivf.graph_probes(qs, graph, nprobe=NP, ef=ef).collect():
+                got.setdefault(r.qid, set()).add(r.cluster_id)
+            hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+            return hits / sum(len(v) for v in exact.values())
+
+        assert recall(None if False else 768) >= 0.95
+        assert recall(8) >= 0.5
+
+    def test_graph_probes_drop_into_ivf_search(self, spark):
+        """The probe DataFrame drops into the same downstream join as W1:
+        KNN restricted to graph-probed clusters ranks candidates
+        identically to exact-probed KNN when ef is ample (smoke K)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, knn
+
+        qs, cents = self._fixture(spark)
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        from pyspark.sql import Window
+
+        assigned = ivf.assign_clusters_combined(base, cents)
+        graph = ivf.build_centroid_graph(cents, M=8)
+        results = []
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        for probes in (
+            ivf.select_probes(qs, cents, 3),
+            ivf.graph_probes(qs, graph, nprobe=3),
+        ):
+            cand = assigned.join(
+                probes.select("qid", "cluster_id"), on="cluster_id"
+            ).join(qs, on="qid")
+            res = (
+                cand.select(
+                    "qid", "id", knn.distance_col("l2", "qvec", "vec").alias("dist")
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= 5)
+            )
+            results.append(sorted((r.qid, r.rank, r.id) for r in res.collect()))
+        # both probe providers produced the same ranked candidates
+        assert results[0] == results[1]
