@@ -148,6 +148,18 @@ def main() -> None:
                 print(f"bench: extra {name} failed: {exc}", file=sys.stderr)
                 extras[f"{name}_sec"] = -1.0
 
+    # The production (scale=True) composition: stage-3 near-dup prune via
+    # the distributed ANN self-join instead of the all-pairs oracle twin.
+    from extended_rabitq_spark.queries.pipeline import pipeline_clean_corpus
+
+    t0 = time.perf_counter()
+    try:
+        run_full(pipeline_clean_corpus(spark, sf_dir, scale=True))
+        extras["pipeline_clean_corpus_scale_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        print(f"bench: pipeline scale variant failed: {exc}", file=sys.stderr)
+        extras["pipeline_clean_corpus_scale_sec"] = -1.0
+
     # ---- optional: full recall/QPS curve (BASELINE.md shape comparison) ----
     # Off by default to keep the driver's per-round bench fast; set
     # SPARK_GRAFT_SWEEP=1 to append the swept curve.

@@ -130,15 +130,19 @@ def minhash_lsh_pairs(
     """MinHash-LSH near-dup: band-collision candidates verified with exact
     Jaccard → (doc_a, doc_b, jaccard_r).  Only collided pairs are scored.
 
-    The shingle table appears TWICE in the plan (signatures;
-    verification) and is deliberately NOT persisted: measured at sf0.1,
-    caching the exploded table made the query ~65% SLOWER (1.9 s
-    recompute vs 3.1 s cached steady-state) — materializing tens of
-    shingle rows per doc as cache blocks costs more than re-running the
-    codegen'd tokenize+shingle pass, and the cache blocks column pruning
-    (the signature branch needs only hashes, the verify branch only
-    strings).  Recompute-in-lineage is also the safe default at 100 TB,
-    where the exploded table would not fit the cache tier anyway."""
+    Pass structure (what makes this scale): the full corpus is
+    tokenized+shingled exactly ONCE (the signature branch).  The
+    candidate pair list — tiny by LSH construction — is materialized
+    with an eager localCheckpoint, which (a) stops the band join's
+    upstream from recomputing once per downstream reference, and (b)
+    lets verification semi-join the corpus down to only docs that
+    appear in some candidate pair BEFORE re-shingling, so the verify
+    passes tokenize ~|candidates| docs, not N.  (Persisting the full
+    exploded shingle table instead was measured ~65% SLOWER at sf0.1 —
+    cache materialization of tens of rows/doc beats codegen recompute,
+    and a generic cache defeats per-branch column pruning.  At 100 TB
+    the exploded table wouldn't fit the cache tier anyway; the
+    candidate list stays small.)"""
     sh = shingle_table(docs, id_, text)
     sigs = _signatures_from_shingles(sh)
     rows = N_MINHASH // N_BANDS
@@ -168,12 +172,20 @@ def minhash_lsh_pairs(
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)  # tiny pair list; single materialization
     )
-    # verify: exact jaccard on collided candidates only (sh recomputed in
-    # lineage — measured faster than caching it, see docstring)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # verify: exact jaccard on collided candidates only.  Re-shingle just
+    # the docs that appear in some candidate pair (semi-join first) — the
+    # full-corpus tokenize pass runs once, in the signature branch above.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_))
+        .union(cand.select(F.col("doc_b").alias(id_)))
+        .distinct()
+    )
+    sh_cand = shingle_table(docs.join(F.broadcast(cand_ids), on=id_, how="left_semi"), id_, text)
+    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.join(sa, on="doc_a").join(sb, on=["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
