@@ -488,3 +488,52 @@ def embedding_cosine_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark_ids: DataFrame,
+    id_: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination scan (beyond-reference north star): for
+    every non-benchmark doc, what fraction of its word-3-shingles also
+    occurs in ANY benchmark document →
+    (doc_id, n_shingles, n_contaminated, contamination_r).
+
+    This is the check a training pipeline runs before shipping a corpus:
+    eval-set n-gram overlap (the standard 'n-gram decontamination'
+    recipe).  Scale shape: the benchmark shingle set is DISTINCT shingles
+    of a small doc set → broadcast; the corpus side is one shingle pass +
+    a broadcast semi-join + one groupBy — no N² anywhere, no skew beyond
+    the DF_CAP guard already inside :func:`shingle_table`.
+
+    ``benchmark_ids``: one-column DataFrame of ``id_`` values.
+    """
+    bench = benchmark_ids.select(F.col(id_).alias("doc_id"))
+    sh = shingle_table(docs, id_, text)
+    bench_sh = (
+        sh.join(F.broadcast(bench), on="doc_id", how="left_semi")
+        .select("shingle")
+        .distinct()
+    )
+    target = sh.join(F.broadcast(bench), on="doc_id", how="left_anti")
+    tot = target.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        target.join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        tot.join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            ).alias("contamination_r"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Deterministic sampling / splitting operators (beyond-reference
+north-star surface: the selection stages of a training-data pipeline).
+
+All three are pure column expressions over the portable 60-bit md5 hash
+(functions/text.hash60), so every split is (a) reproducible across runs
+and engines — the DuckDB oracle computes the identical assignment — and
+(b) embarrassingly parallel: ``train_val_split`` and
+``stratified_sample`` are map-only (no shuffle at any corpus size);
+``quota_sample`` shuffles once on the group key.
+
+Why hash-based instead of ``rand()``/``TABLESAMPLE``: a 100 TB pipeline
+re-runs incrementally; membership of a document in train/val must be a
+pure function of its id, not of partition layout or row order, or every
+re-run leaks val docs into train.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# hash60 yields a uniform 60-bit value; bucket into 1e6 cells for
+# fraction arithmetic with 1e-6 resolution.
+_BUCKETS = 1_000_000
+
+
+def _bucket_expr(id_: str, salt: str) -> str:
+    """Deterministic bucket in [0, 1e6) from (id, salt)."""
+    keyed = f"concat(CAST({id_} AS STRING), ':{salt}')"
+    return f"{T.hash60(keyed)} % {_BUCKETS}"
+
+
+def train_val_split(
+    docs: DataFrame,
+    val_frac: float = 0.1,
+    salt: str = "split",
+    id_: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, split): 'val' for a deterministic ``val_frac`` of docs,
+    'train' for the rest.  Map-only; membership is a pure function of
+    (id, salt) so incremental re-runs never migrate documents."""
+    cut = int(round(val_frac * _BUCKETS))
+    return docs.select(
+        F.col(id_),
+        F.when(F.expr(_bucket_expr(id_, salt)) < cut, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum: str = "lang",
+    salt: str = "sample",
+    id_: str = "doc_id",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a hash-fraction of each
+    stratum (e.g. downsample dominant languages).  Map-only — the
+    per-stratum cut is a CASE expression, no shuffle."""
+    cut = F.lit(int(round(default_frac * _BUCKETS)))
+    for key, frac in sorted(fractions.items()):
+        cut = F.when(F.col(stratum) == key, int(round(frac * _BUCKETS))).otherwise(cut)
+    return docs.where(F.expr(_bucket_expr(id_, salt)) < cut)
+
+
+def quota_sample(
+    docs: DataFrame,
+    quota: int,
+    group: str = "lang",
+    salt: str = "quota",
+    id_: str = "doc_id",
+) -> DataFrame:
+    """At most ``quota`` docs per group, chosen by deterministic hash
+    order (a reproducible pseudo-random draw) → the input rows of the
+    survivors, plus their within-group pick_rank.
+
+    One shuffle (by group).  Scale note: the rank window sorts each
+    group; for quotas ≪ group size on skewed groups, pre-filter with a
+    generous hash cut first (keep ~4·quota·(1e6/|group|) buckets) to
+    bound the sorted volume — the exact top-``quota`` by hash survives
+    any such superset cut, so the result is unchanged.  The window
+    itself uses partial top-k (WindowGroupLimit) when followed by the
+    rank filter, so no full group materializes."""
+    w = Window.partitionBy(group).orderBy(
+        F.expr(_bucket_expr(id_, salt)).asc(), F.col(id_).asc()
+    )
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= quota)
+    )
+
+
+# -- DuckDB oracle fragments (textually parallel) ---------------------------
+
+
+def d_bucket_expr(id_: str, salt: str) -> str:
+    keyed = f"concat(CAST({id_} AS VARCHAR), ':{salt}')"
+    return f"{T.d_hash60(keyed)} % {_BUCKETS}"

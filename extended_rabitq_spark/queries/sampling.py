@@ -1,0 +1,105 @@
+"""Registered sampling/selection queries + DuckDB oracles (north-star
+surface: the deterministic selection stages of a training-data pipeline).
+
+Everything here is a pure function of the md5-based portable hash60, so
+the oracle reproduces each assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dedup_ops
+from ..operators import sampling
+from ..registry import register
+from .dedup import _SHINGLE_CTES
+
+VAL_FRAC = 0.1
+QUOTA = 30
+STRATA = {"en": 0.5, "de": 0.25}
+DEFAULT_FRAC = 0.1
+N_BENCH = 20  # fixture benchmark set: doc_id < 20
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {sampling.d_bucket_expr('doc_id', 'split')}
+                 < {int(round(VAL_FRAC * sampling._BUCKETS))}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@register("split_train_val", _SPLIT_ORACLE)
+def split_train_val_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val split — membership is a pure function
+    of (doc_id, salt): incremental re-runs never migrate documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.train_val_split(docs, val_frac=VAL_FRAC)
+
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {sampling.d_bucket_expr('doc_id', 'sample')} <
+      CASE lang
+           WHEN 'de' THEN {int(round(STRATA['de'] * sampling._BUCKETS))}
+           WHEN 'en' THEN {int(round(STRATA['en'] * sampling._BUCKETS))}
+           ELSE {int(round(DEFAULT_FRAC * sampling._BUCKETS))} END
+"""
+
+
+@register("stratified_sample", _STRAT_ORACLE)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample (rebalance dominant strata)
+    — map-only CASE over the hash bucket."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.stratified_sample(
+        docs, STRATA, stratum="lang", default_frac=DEFAULT_FRAC
+    ).select("doc_id", "lang")
+
+
+_QUOTA_ORACLE = f"""
+SELECT doc_id, lang, pick_rank FROM (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+                PARTITION BY lang
+                ORDER BY {sampling.d_bucket_expr('doc_id', 'quota')}, doc_id
+           ) AS BIGINT) AS pick_rank
+    FROM documents
+) WHERE pick_rank <= {QUOTA}
+"""
+
+
+@register("quota_sample", _QUOTA_ORACLE)
+def quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota cap: at most QUOTA docs per lang by
+    deterministic hash order (partial top-k window at scale)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.quota_sample(docs, quota=QUOTA, group="lang").select(
+        "doc_id", "lang", "pick_rank"
+    )
+
+
+_CONTAM_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {N_BENCH}),
+tgt AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {N_BENCH}),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tgt GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_contaminated
+        FROM tgt JOIN bsh USING (shingle) GROUP BY doc_id)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 6)
+         AS contamination_r
+FROM tot t LEFT JOIN hit h USING (doc_id)
+"""
+
+
+@register("contamination_check", _CONTAM_ORACLE)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination scan: per-doc fraction of
+    shingles shared with the (fixture) benchmark set doc_id < N_BENCH."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_ids = docs.select("doc_id").where(F.col("doc_id") < N_BENCH)
+    return dedup_ops.contamination_check(docs, bench_ids)

@@ -1,0 +1,113 @@
+"""Sampling/selection operators (north-star pipeline stages): behavior
+tests beyond the oracle gate — determinism, bounds, migration-freedom."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMOKE, SF_T2
+
+
+class TestTrainValSplit:
+    def test_deterministic_and_disjoint(self, spark):
+        from extended_rabitq_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        a = {r.doc_id: r.split for r in sampling.train_val_split(docs, 0.2).collect()}
+        b = {r.doc_id: r.split for r in sampling.train_val_split(docs, 0.2).collect()}
+        assert a == b and set(a) == {r.doc_id for r in docs.select("doc_id").collect()}
+        frac = sum(1 for v in a.values() if v == "val") / len(a)
+        assert 0.05 < frac < 0.4  # hash-uniform around 0.2 on 50 docs
+
+    def test_membership_stable_under_corpus_growth(self, spark):
+        """The anti-leak property: a doc's split must not change when the
+        corpus around it changes (pure function of id+salt)."""
+        from extended_rabitq_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+        small = docs.where(F.col("doc_id") < 100)
+        full_split = {
+            r.doc_id: r.split for r in sampling.train_val_split(docs).collect()
+        }
+        small_split = {
+            r.doc_id: r.split for r in sampling.train_val_split(small).collect()
+        }
+        assert all(full_split[k] == v for k, v in small_split.items())
+
+    def test_map_only_plan(self, spark):
+        from extended_rabitq_spark.operators import sampling
+        from extended_rabitq_spark.plans import inspect
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        plan = inspect.physical_plan(sampling.train_val_split(docs))
+        assert "Exchange" not in plan  # no shuffle at any corpus size
+
+
+class TestStratifiedSample:
+    def test_fraction_zero_and_one(self, spark):
+        from extended_rabitq_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        langs = [r.lang for r in docs.select("lang").distinct().collect()]
+        all_one = sampling.stratified_sample(
+            docs, {lang: 1.0 for lang in langs}, stratum="lang"
+        )
+        assert all_one.count() == docs.count()
+        none = sampling.stratified_sample(docs, {}, stratum="lang", default_frac=0.0)
+        assert none.count() == 0
+
+
+class TestQuotaSample:
+    def test_quota_bound_and_determinism(self, spark):
+        from extended_rabitq_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+        out = sampling.quota_sample(docs, quota=7, group="lang")
+        per = out.groupBy("lang").count().collect()
+        assert all(r["count"] <= 7 for r in per)
+        a = sorted(r.doc_id for r in out.select("doc_id").collect())
+        b = sorted(
+            r.doc_id
+            for r in sampling.quota_sample(docs, quota=7, group="lang")
+            .select("doc_id")
+            .collect()
+        )
+        assert a == b
+
+    def test_window_uses_partial_topk(self, spark):
+        from extended_rabitq_spark.operators import sampling
+        from extended_rabitq_spark.plans import inspect
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        plan = inspect.physical_plan(sampling.quota_sample(docs, quota=3))
+        assert "WindowGroupLimit" in plan  # no full group materializes
+
+
+class TestContamination:
+    def test_bounds_and_self_exclusion(self, spark):
+        from extended_rabitq_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        bench = docs.select("doc_id").where(F.col("doc_id") < 5)
+        out = dedup.contamination_check(docs, bench).collect()
+        ids = {r.doc_id for r in out}
+        assert ids.isdisjoint({0, 1, 2, 3, 4})  # benchmark docs not scored
+        for r in out:
+            assert 0 <= r.n_contaminated <= r.n_shingles
+            assert 0.0 <= r.contamination_r <= 1.0
+
+    def test_duplicate_of_benchmark_doc_is_fully_contaminated(self, spark):
+        from extended_rabitq_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        clone = docs.where(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+        )
+        corpus = docs.select("doc_id", "text").unionByName(clone)
+        bench = corpus.select("doc_id").where(F.col("doc_id") < 5)
+        row = [
+            r
+            for r in dedup.contamination_check(corpus, bench).collect()
+            if r.doc_id == 10_000
+        ][0]
+        assert row.contamination_r == 1.0
