@@ -59,6 +59,58 @@ def events_top_type_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30
+
+_SESSIONS_ORACLE = f"""
+WITH o AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+),
+s AS (
+    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("events_sessions", _SESSIONS_ORACLE)
+def events_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — F.session_window run in BATCH mode: the
+    same expression streaming.stream_ops.sessionize_user_activity runs
+    under readStream (stateful custom window).  The oracle is the
+    classic gaps-and-islands form (lag ≥ gap → break, cumsum → session
+    id), proving Spark's session merge semantics ([start, last+gap);
+    an event AT prev_end starts a new session) against plain SQL.
+    Scale: one shuffle by user_id; state in streaming mode is bounded
+    by the watermark."""
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    g = ev.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    return g.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 _MEDIA_META_ORACLE = """
 SELECT doc_id AS media_id,
        'fake' AS kind,
