@@ -537,3 +537,68 @@ def contamination_check(
             ).alias("contamination_r"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pair list → duplicate CLUSTERS: hash-min label
+    propagation over the pair graph → (doc_id, component_id), where
+    ``component_id`` is the smallest doc_id reachable through near-dup
+    pairs — i.e. the component's canonical survivor under the keep-lowest
+    policy every dedup operator here uses (singletons keep themselves).
+
+    This is the step production dedup needs between pair finding and
+    survivor selection: pairwise drop-higher-id is NOT transitive-closed
+    (A~B, B~C, A̸~C drops B and C but keeps A even though C's only link
+    was through dropped B — fine; but chains of length > 2 under-merge).
+
+    Scale shape: Pregel-style iteration — each round is one equi-join
+    (edge src → label) + one groupBy-min + one join back, all on the id
+    key; the frontier is checkpointed per round (lineage would otherwise
+    grow linearly and re-execute the whole history each action).
+    Rounds = graph diameter; near-dup components are short chains in
+    practice (dup clusters), so this converges in a few rounds.  For
+    adversarial long-path graphs use the alternating large-star /
+    small-star variant (O(log n) rounds) — same join shapes.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    lbl = nodes.select(
+        F.col(id_).alias("id"), F.col(id_).cast("long").alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(lbl.withColumnRenamed("id", "src"), on="src")
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("dst", "id")
+        )
+        new = (
+            lbl.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(lbl, on="id")
+            .where(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            break
+    return lbl.select(F.col("id").alias(id_), F.col("comp").alias("component_id"))

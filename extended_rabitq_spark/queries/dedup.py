@@ -242,3 +242,46 @@ def doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _DOC_SIM_TOPN)
         .select("doc_a", "rnk", "doc_b", "lang_b", F.round("cos", 6).alias("cos_r"))
     )
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+sigs AS (SELECT doc_id, {_d_sig_cols()} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_UNION}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         WHERE x.doc_id < y.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+j AS (SELECT c.doc_a, c.doc_b,
+             CAST(coalesce(i.inter, 0) AS DOUBLE)
+               / (sa.nsh + sb.nsh - coalesce(i.inter, 0)) AS jac
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b),
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.4),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+reach(id, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS component_id
+FROM reach GROUP BY id
+"""
+
+
+@register("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    near-dup pair graph (hash-min label propagation vs the oracle's
+    recursive-CTE transitive closure).  component_id doubles as the
+    keep-lowest survivor id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.connected_components(pairs, docs.select("doc_id"))

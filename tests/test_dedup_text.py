@@ -207,3 +207,32 @@ def test_pipeline_scale_variant_equals_exact(spark):
     a = {tuple(r) for r in pipeline_clean_corpus(spark, sf, scale=False).collect()}
     b = {tuple(r) for r in pipeline_clean_corpus(spark, sf, scale=True).collect()}
     assert a and b == a
+
+
+class TestConnectedComponents:
+    def test_chain_transitive_closure(self, spark):
+        """A~B, B~C, C~D (no direct A~C/A~D): all four must land in one
+        component rooted at the smallest id — the case pairwise
+        drop-higher-id under-merges."""
+        from extended_rabitq_spark.operators import dedup
+
+        nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(1, 3), (3, 5), (5, 7), (2, 4)], "doc_a long, doc_b long"
+        )
+        comp = {
+            r.doc_id: r.component_id
+            for r in dedup.connected_components(pairs, nodes).collect()
+        }
+        assert comp == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 4: 2, 6: 6}
+
+    def test_empty_pairs_all_singletons(self, spark):
+        from extended_rabitq_spark.operators import dedup
+
+        nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        comp = {
+            r.doc_id: r.component_id
+            for r in dedup.connected_components(pairs, nodes).collect()
+        }
+        assert comp == {i: i for i in range(5)}
