@@ -187,3 +187,31 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(size(feat) AS BIGINT)").alias("feat_dim"),
     )
+
+
+_ASOF_ORACLE = """
+WITH l AS (SELECT event_id, user_id, ts FROM events),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, r.ts AS asof_ts, r.value AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@register("events_asof_state", _ASOF_ORACLE)
+def events_asof_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every event annotated with the user's latest
+    purchase value at-or-before the event (no future leakage) — the
+    feature-lookup primitive, vs DuckDB's native ASOF LEFT JOIN.
+    Spark side is the union-tag-window form (operators/asof.py): one
+    shuffle by user_id, linear window pass, no range explosion."""
+    from ..operators.asof import asof_join
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, by="user_id").select(
+        "event_id", "user_id", "asof_ts", "asof_value"
+    )

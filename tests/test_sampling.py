@@ -111,3 +111,37 @@ class TestContamination:
             if r.doc_id == 10_000
         ][0]
         assert row.contamination_r == 1.0
+
+
+class TestAsofJoin:
+    def test_point_in_time_no_future_leakage(self, spark):
+        from extended_rabitq_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "2024-01-01 00:05:00"), (2, 10, "2024-01-01 00:20:00"),
+             (3, 10, "2024-01-01 00:00:00"), (4, 20, "2024-01-01 01:00:00")],
+            "event_id long, user_id long, ts string",
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+        right = spark.createDataFrame(
+            [(10, "2024-01-01 00:05:00", 1.0), (10, "2024-01-01 00:10:00", 2.0)],
+            "user_id long, ts string, value double",
+        ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+        out = {r.event_id: r.asof_value for r in asof_join(left, right, by="user_id").collect()}
+        # inclusive at equal ts (event 1); latest-at-or-before (event 2);
+        # NULL before any state (event 3) and for keyless users (event 4)
+        assert out == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+    def test_single_shuffle_plan(self, spark):
+        from extended_rabitq_spark.operators.asof import asof_join
+        from extended_rabitq_spark.plans import inspect
+
+        left = spark.createDataFrame(
+            [(1, 10, "2024-01-01 00:05:00")], "event_id long, user_id long, ts string"
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+        right = spark.createDataFrame(
+            [(10, "2024-01-01 00:00:00", 1.0)], "user_id long, ts string, value double"
+        ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+        plan = inspect.physical_plan(asof_join(left, right, by="user_id"))
+        # one hash shuffle by key total — union feeds a single window
+        assert plan.count("hashpartitioning(user_id") == 1
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
