@@ -124,6 +124,31 @@ def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key): LSH band keys from a minhash signature table."""
+    rows = N_MINHASH // N_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"sig_{bi * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.4, id_: str = "doc_id", text: str = "text"
 ) -> DataFrame:
@@ -145,27 +170,7 @@ def minhash_lsh_pairs(
     candidate list stays small.)"""
     sh = shingle_table(docs, id_, text)
     sigs = _signatures_from_shingles(sh)
-    rows = N_MINHASH // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"sig_{bi * rows + r}").cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("key"),
-                    )
-                    for bi in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _band_keys(sigs)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band", "key"])
@@ -602,3 +607,87 @@ def connected_components(
         if changed == 0:
             break
     return lbl.select(F.col("id").alias(id_), F.col("comp").alias("component_id"))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.4,
+    id_: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Dedup an incoming shard AGAINST an existing corpus (the
+    production ingest shape: the corpus is already deduped; only
+    new-vs-corpus comparisons matter, never corpus-vs-corpus) →
+    (doc_id, status, dup_of) for every new doc, with status ∈
+    {'exact_dup', 'near_dup', 'unique'} and dup_of = the smallest
+    matching corpus doc id (NULL for unique).
+
+    Exact tier: content-hash equi-join (new side tiny vs corpus — Spark
+    broadcasts it).  Near tier: MinHash band keys computed on BOTH sides
+    with the same seeds, band-collision equi-join restricted to
+    new×corpus, exact-Jaccard verification on collided pairs only.  At
+    scale the corpus's signatures/bands are precomputed artifacts
+    (persist ``minhash_signatures``) — this operator recomputes them
+    in-lineage so the oracle can check the whole composition.
+    """
+    nh = normalized(new_docs, text).select(
+        F.col(id_).alias("new_id"), F.md5("_norm").alias("h")
+    )
+    ch = normalized(corpus_docs, text).select(
+        F.col(id_).alias("corpus_id"), F.md5("_norm").alias("h")
+    )
+    exact = (
+        nh.join(ch, on="h")
+        .groupBy("new_id")
+        .agg(F.min("corpus_id").alias("exact_dup_of"))
+    )
+    n_sh = shingle_table(new_docs, id_, text)
+    c_sh = shingle_table(corpus_docs, id_, text)
+    n_bands = _band_keys(_signatures_from_shingles(n_sh)).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    c_bands = _band_keys(_signatures_from_shingles(c_sh)).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    cand = (
+        n_bands.join(c_bands, on=["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; stops upstream recompute
+    )
+    na = n_sh.select(F.col("doc_id").alias("new_id"), "shingle")
+    ca = c_sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    inter = (
+        cand.join(na, on="new_id")
+        .join(ca, on=["corpus_id", "shingle"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    n_sizes = n_sh.groupBy("doc_id").agg(F.count("*").alias("na")).withColumnRenamed("doc_id", "new_id")
+    c_sizes = c_sh.groupBy("doc_id").agg(F.count("*").alias("nb")).withColumnRenamed("doc_id", "corpus_id")
+    near = (
+        cand.join(inter, on=["new_id", "corpus_id"], how="left")
+        .join(n_sizes, on="new_id")
+        .join(c_sizes, on="corpus_id")
+        .where(
+            F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+            / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
+            >= threshold
+        )
+        .groupBy("new_id")
+        .agg(F.min("corpus_id").alias("near_dup_of"))
+    )
+    return (
+        new_docs.select(F.col(id_).alias("new_id"))
+        .join(exact, on="new_id", how="left")
+        .join(near, on="new_id", how="left")
+        .select(
+            F.col("new_id").alias(id_),
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+        )
+    )

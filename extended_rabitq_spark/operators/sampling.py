@@ -100,3 +100,47 @@ def quota_sample(
 def d_bucket_expr(id_: str, salt: str) -> str:
     keyed = f"concat(CAST({id_} AS VARCHAR), ':{salt}')"
     return f"{T.d_hash60(keyed)} % {_BUCKETS}"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 32,
+    salt: str = "pack",
+    id_: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Sequence packing (training-prep): lay documents out into fixed
+    token-budget training sequences → (doc_id, shard, bin_id,
+    offset_tokens, n_tokens).
+
+    Semantics = the standard pretraining concat-and-chunk: within each
+    shard, docs are concatenated in a deterministic hash order and the
+    token stream is cut every ``budget_tokens``; ``bin_id`` is the chunk
+    holding the doc's FIRST token and ``offset_tokens`` its position in
+    that chunk (a doc whose span crosses the cut continues into the next
+    chunk — exactly how LLM pretraining packs; no padding waste).
+
+    Packing is per-shard (hash-sharded into ``n_shards`` streams)
+    because a GLOBAL running sum is a single-partition window — the
+    non-scalable formulation.  Per-shard windows run parallel and each
+    shard packs independently, which is how a 1000-executor job lays
+    out training shards anyway.
+    """
+    toks = docs.select(
+        F.col(id_),
+        F.expr(f"CAST({id_} AS BIGINT) % {n_shards}").alias("shard"),
+        F.expr(f"CAST(size({T.tokens(text)}) AS BIGINT)").alias("n_tokens"),
+        F.expr(_bucket_expr(id_, salt)).alias("_ord"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_ord").asc(), F.col(id_).asc())
+    cum = toks.withColumn("_cum", F.sum("n_tokens").over(w))
+    # the doc's first token sits at stream position (_cum - n_tokens);
+    # integer-divide by the budget to get its chunk, mod for the offset
+    return cum.select(
+        id_,
+        "shard",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / budget_tokens).alias("bin_id"),
+        ((F.col("_cum") - F.col("n_tokens")) % budget_tokens).alias("offset_tokens"),
+        "n_tokens",
+    )

@@ -285,3 +285,64 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = dedup.minhash_lsh_pairs(docs)
     return dedup.connected_components(pairs, docs.select("doc_id"))
+
+
+INC_SPLIT = 400  # corpus: doc_id < 400; incoming shard: doc_id >= 400
+
+
+def _side_shingle_ctes(side: str, pred: str) -> str:
+    """Per-side shingle CTEs (df-cap within the side, matching
+    shingle_table applied to that side alone)."""
+    return f"""
+{side}nrm AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents WHERE {pred}),
+{side}shl AS (SELECT doc_id, {T.d_shingles3('toks')} AS sh FROM {side}nrm),
+{side}sh0 AS (SELECT doc_id, unnest(sh) AS shingle FROM {side}shl),
+{side}freq AS (SELECT shingle, count(*) AS df FROM {side}sh0 GROUP BY shingle),
+{side}sh AS (SELECT s.doc_id, s.shingle FROM {side}sh0 s JOIN {side}freq f USING (shingle)
+       WHERE f.df <= {dedup.DF_CAP}),
+{side}sizes AS (SELECT doc_id, count(*) AS nsh FROM {side}sh GROUP BY doc_id),
+{side}sigs AS (SELECT doc_id, {_d_sig_cols()} FROM {side}sh GROUP BY doc_id),
+{side}bands AS ({_BANDS_UNION.replace('FROM sigs', f'FROM {side}sigs')})"""
+
+
+_INC_ORACLE = f"""
+WITH {_side_shingle_ctes('n', f'doc_id >= {INC_SPLIT}')},
+{_side_shingle_ctes('c', f'doc_id < {INC_SPLIT}')},
+nh AS (SELECT doc_id AS new_id, md5({_D_NORM}) AS h FROM documents WHERE doc_id >= {INC_SPLIT}),
+ch AS (SELECT doc_id AS corpus_id, md5({_D_NORM}) AS h FROM documents WHERE doc_id < {INC_SPLIT}),
+ex AS (SELECT new_id, min(corpus_id) AS exact_dup_of FROM nh JOIN ch USING (h) GROUP BY new_id),
+cand AS (SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+         FROM nbands nb JOIN cbands cb ON nb.band = cb.band AND nb.key = cb.key),
+inter AS (SELECT cd.new_id, cd.corpus_id, count(*) AS inter
+          FROM cand cd JOIN nsh a ON a.doc_id = cd.new_id
+                       JOIN csh b ON b.doc_id = cd.corpus_id AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+near AS (SELECT cd.new_id, min(cd.corpus_id) AS near_dup_of
+         FROM cand cd
+         LEFT JOIN inter i ON i.new_id = cd.new_id AND i.corpus_id = cd.corpus_id
+         JOIN nsizes sa ON sa.doc_id = cd.new_id
+         JOIN csizes sb ON sb.doc_id = cd.corpus_id
+         WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+               / (sa.nsh + sb.nsh - coalesce(i.inter, 0)) >= 0.4
+         GROUP BY cd.new_id)
+SELECT d.doc_id,
+       CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_dup_of IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       coalesce(e.exact_dup_of, nr.near_dup_of) AS dup_of
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {INC_SPLIT}) d
+LEFT JOIN ex e ON e.new_id = d.doc_id
+LEFT JOIN near nr ON nr.new_id = d.doc_id
+"""
+
+
+@register("dedup_incremental", _INC_ORACLE)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the incoming shard (doc_id >= 400)
+    checked against the existing corpus (doc_id < 400) — exact hash tier
+    + MinHash band tier with Jaccard verification, new×corpus joins
+    only (never corpus×corpus)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.where(F.col("doc_id") >= INC_SPLIT)
+    corpus = docs.where(F.col("doc_id") < INC_SPLIT)
+    return dedup.incremental_dedup(new, corpus)

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dedup_ops
+from ..functions import text as T
 from ..operators import sampling
 from ..registry import register
 from .dedup import _SHINGLE_CTES
@@ -103,3 +104,39 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench_ids = docs.select("doc_id").where(F.col("doc_id") < N_BENCH)
     return dedup_ops.contamination_check(docs, bench_ids)
+
+
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+_D_TOKS = T.d_tokens("text")
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(doc_id AS BIGINT) % {PACK_SHARDS} AS shard,
+           CAST(len({_D_TOKS}) AS BIGINT) AS n_tokens,
+           {sampling.d_bucket_expr('doc_id', 'pack')} AS o
+    FROM documents
+),
+c AS (
+    SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY o, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT doc_id, shard,
+       CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT) AS offset_tokens,
+       n_tokens
+FROM c
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token training bins,
+    hash-sharded 8 ways (per-shard running-sum windows — parallel)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.pack_sequences(
+        docs, budget_tokens=PACK_BUDGET, n_shards=PACK_SHARDS
+    )

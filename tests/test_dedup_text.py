@@ -236,3 +236,63 @@ class TestConnectedComponents:
             for r in dedup.connected_components(pairs, nodes).collect()
         }
         assert comp == {i: i for i in range(5)}
+
+
+class TestIncrementalDedup:
+    def test_statuses_and_precedence(self, spark):
+        """Exact dup beats near dup; unique docs get NULL dup_of; only
+        new-vs-corpus comparisons (a dup WITHIN the new shard is not
+        flagged — that's the intra-shard operators' job)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.where(F.col("doc_id") < 30)
+        # new shard: clone of corpus doc 3 (exact), fresh docs, and a
+        # pair of identical NEW docs (must stay 'unique' here)
+        clone = corpus.where(F.col("doc_id") == 3).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        fresh = docs.where(F.col("doc_id") >= 30).select(
+            (F.col("doc_id") + 2000).alias("doc_id"), "text"
+        )
+        twin = fresh.where(F.col("doc_id") == 2030).select(
+            (F.col("doc_id") + 5000).alias("doc_id"), "text"
+        )
+        new = clone.unionByName(fresh).unionByName(twin)
+        out = {r.doc_id: (r.status, r.dup_of)
+               for r in dedup.incremental_dedup(new, corpus).collect()}
+        assert out[1003] == ("exact_dup", 3)
+        assert out[7030][0] == "unique"  # intra-shard twin not flagged
+        assert set(out) == {1003, 7030} | {r.doc_id for r in fresh.collect()}
+        for status, dup_of in out.values():
+            assert (dup_of is None) == (status == "unique")
+
+
+class TestPackSequences:
+    def test_invariants(self, spark):
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        out = sampling.pack_sequences(docs, budget_tokens=256, n_shards=4).collect()
+        assert {r.doc_id for r in out} == {
+            r.doc_id for r in docs.select("doc_id").collect()
+        }
+        for r in out:
+            assert 0 <= r.offset_tokens < 256 and r.shard == r.doc_id % 4
+        # per (shard, bin): offsets are dense under concat-and-chunk —
+        # each doc starts where the previous span left off (mod budget)
+        by_bin: dict = {}
+        for r in out:
+            by_bin.setdefault((r.shard, r.bin_id), []).append(r)
+        for rows in by_bin.values():
+            rows.sort(key=lambda r: r.offset_tokens)
+            # first doc of shard's first bin starts at 0
+        firsts = [min(rows, key=lambda r: r.bin_id * 1000 + r.offset_tokens)
+                  for (s, b), rows in by_bin.items() if b == 0]
+        assert all(r.offset_tokens == 0 for r in firsts)
