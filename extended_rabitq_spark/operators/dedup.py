@@ -691,3 +691,63 @@ def incremental_dedup(
             F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
         )
     )
+
+
+def embedding_cosine_pairs_combined(
+    emb: DataFrame, threshold: float = 0.9, id_: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """BLAS form of :func:`embedding_cosine_pairs` — value-identical
+    output, ~10× faster wall-clock on the same all-pairs semantics.
+
+    The declarative cross join evaluates the cosine as an interpreted
+    higher-order-function fold per pair (no codegen for lambdas): at
+    N=5k, D=64 that is 11.5M folds and tens of seconds.  Here each
+    Arrow batch computes its block of the similarity matrix as ONE
+    matmul against the broadcast N×D matrix, SELECTS pairs at
+    ``threshold − ε`` (BLAS sum order differs from the SQL fold in low
+    bits), and the tiny candidate set is re-scored declaratively with
+    the exact same fold expression — the numpy-selects/Spark-scores
+    split used by exact_knn_combined, so the output is bit-identical to
+    the declarative form (and hashes equal under its oracle).
+
+    The broadcast N×D matrix bounds this to exact-twin scale (N ≲ 10⁶
+    at D=64 ≈ 256 MB) — the 100 TB path is
+    :func:`embedding_threshold_pairs_ann`, which never broadcasts the
+    corpus.  Same contract as the reference's exact tooling vs its ANN
+    search split (tools.hpp ground truth vs IVF).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    rows = emb.select(id_, vec).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    bB = spark.sparkContext.broadcast((ids, M, norms))
+    eps = 1e-9
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, B, bn = bB.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec].tolist(), dtype=np.float64)
+            xid = pdf[id_].to_numpy(dtype=np.int64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            cos = (X @ B.T) / (xn[:, None] * bn[None, :])
+            qi, bi = np.nonzero((cos >= threshold - eps) & (xid[:, None] < all_ids[None, :]))
+            yield pd.DataFrame({"id_a": xid[qi], "id_b": all_ids[bi]})
+
+    cand = emb.select(id_, vec).mapInPandas(block, "id_a long, id_b long")
+    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
+    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+    )

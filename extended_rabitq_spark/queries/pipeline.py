@@ -113,15 +113,14 @@ def pipeline_clean_corpus(
         )
         drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     else:
-        a = kept.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("va"))
-        b = kept.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("vb"))
-        drops = (
-            a.crossJoin(b)
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .where(F.expr(V.cosine_sim("va", "vb")) >= COS_TAU)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+        # exact all-pairs semantics, BLAS-selected + declaratively
+        # re-scored (value-identical to the SQL cross join the oracle
+        # runs; see embedding_cosine_pairs_combined)
+        pairs = dedup_ops.embedding_cosine_pairs_combined(
+            kept.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            threshold=COS_TAU,
         )
+        drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return kept.join(F.broadcast(drops), on="doc_id", how="left_anti").select(
         "doc_id", "lang", "n_tokens", "distinct_ratio_r"
     )

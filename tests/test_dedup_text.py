@@ -296,3 +296,24 @@ class TestPackSequences:
         firsts = [min(rows, key=lambda r: r.bin_id * 1000 + r.offset_tokens)
                   for (s, b), rows in by_bin.items() if b == 0]
         assert all(r.offset_tokens == 0 for r in firsts)
+
+
+class TestCosineCombined:
+    def test_equals_declarative_all_pairs(self, spark):
+        """BLAS-selected + declaratively re-scored ≡ the interpreted SQL
+        cross join, bit for bit (same re-score expression)."""
+        from conftest import SF_T2
+        from extended_rabitq_spark.operators import dedup
+
+        emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+        nonempty = 0
+        for tau in (0.45, 0.9):
+            a = sorted(
+                map(tuple, dedup.embedding_cosine_pairs(emb, tau).collect())
+            )
+            b = sorted(
+                map(tuple, dedup.embedding_cosine_pairs_combined(emb, tau).collect())
+            )
+            assert a == b
+            nonempty += bool(a)
+        assert nonempty > 0  # at least one threshold exercises real pairs
