@@ -105,6 +105,12 @@ def pipeline_clean_corpus(
             & (F.col("distinct_ratio_r") >= MIN_DISTINCT_RATIO)
         )
         .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), on="doc_id")
+        # stage barrier: `kept` feeds stage 3 from several angles (pair
+        # finder sides + the final anti-join); without materialization
+        # each reference re-runs dedup+quality upstream (~5×).  Any real
+        # pipeline persists the filtered corpus between stages — at
+        # 100 TB this is the parquet handoff between jobs.
+        .localCheckpoint(eager=True)
     )
     if scale:
         pairs = dedup_ops.embedding_threshold_pairs_ann(
