@@ -665,6 +665,7 @@ def _arrow_scored_cogroup(
     qid: str,
     qvec: str,
     estimator: str,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Unbounded-batch Arrow scorer → (qid, id, est_dist, est_lb).
 
@@ -688,9 +689,11 @@ def _arrow_scored_cogroup(
     """
     D = meta["D"]
     qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
-    probes = select_probes(
-        queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec
-    )
+    if probes is None:  # W1 exact; callers may inject graph_probes (W2)
+        probes = select_probes(
+            queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec
+        )
+    probes = probes.select(F.col(qid).alias("qid"), "cluster_id")
     qprobe = (
         probes.join(qrot, on="qid")
         .join(F.broadcast(centroids.select("cluster_id", "centroid_rot")), on="cluster_id")
@@ -831,6 +834,7 @@ def _sql_scored(
     qid: str,
     qvec: str,
     estimator: str,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Pure-JVM candidate scorer → (qid, id, est_dist, est_lb).
 
@@ -845,7 +849,9 @@ def _sql_scored(
     M = 1 << (meta["total_bits"] - 1)
     D = meta["D"]
     qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
-    probes = select_probes(queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec)
+    if probes is None:  # W1 exact; callers may inject graph_probes (W2)
+        probes = select_probes(queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec)
+    probes = probes.select(F.col(qid).alias("qid"), "cluster_id")
     # Stage 1: per-(qid, cluster) rotated residual + moments
     qprobe = (
         probes.join(qrot, on="qid")
@@ -910,6 +916,7 @@ def rabitq_search(
     scorer: str = "arrow",
     estimator: str = "searcher",
     broadcast_max_queries: int = 4096,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Full two-phase Extended-RaBitQ search → (qid, rank, id, est_dist).
 
@@ -941,6 +948,11 @@ def rabitq_search(
     two-phase result; marginally higher recall, more est evaluations
     kept through the top-k window).
     """
+    if probes is not None and scorer in ("arrow", "arrow_broadcast"):
+        # the broadcast scorer's probe prep is driver-side by design;
+        # injected probe DataFrames (e.g. graph_probes, W2) route to the
+        # DataFrame-native cogroup scorer
+        scorer = "arrow_cogroup"
     if scorer == "arrow":
         nq = queries.select(qid).count()
         scorer = "arrow_broadcast" if nq <= broadcast_max_queries else "arrow_cogroup"
@@ -950,11 +962,11 @@ def rabitq_search(
         )
     elif scorer == "arrow_cogroup":
         scored = _arrow_scored_cogroup(
-            queries, codes, centroids, meta, nprobe, qid, qvec, estimator
+            queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes
         )
     elif scorer == "sql":
         scored = _sql_scored(
-            queries, codes, centroids, meta, nprobe, qid, qvec, estimator
+            queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes
         )
     else:
         raise ValueError(f"rabitq_search: unknown scorer {scorer!r}")

@@ -896,3 +896,40 @@ class TestGraphProbes:
             results.append(sorted((r.qid, r.rank, r.id) for r in res.collect()))
         # both probe providers produced the same ranked candidates
         assert results[0] == results[1]
+
+
+class TestGraphProbesInSearch:
+    def test_flagship_search_with_injected_graph_probes(self, spark):
+        """rabitq_search(probes=graph_probes(...)) ≡ default exact-probe
+        search at fixture K (beam exhaustive at default ef) — the W2
+        seam composes with the flagship two-phase searcher."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+        cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
+        graph = ivf.build_centroid_graph(cents, M=8)
+        gp = ivf.graph_probes(qs, graph, nprobe=3)
+        a = sorted(
+            (r.qid, r.rank, r.id)
+            for r in rabitq.rabitq_search(
+                qs, index_df, cents_full, meta, nprobe=3, k=5
+            ).collect()
+        )
+        b = sorted(
+            (r.qid, r.rank, r.id)
+            for r in rabitq.rabitq_search(
+                qs, index_df, cents_full, meta, nprobe=3, k=5, probes=gp
+            ).collect()
+        )
+        assert a == b and len(a) == 50
