@@ -38,6 +38,8 @@ PIPELINE_QUERIES = [
 EXTRA_QUERIES = [
     "pipeline_clean_corpus",
     "dedup_embedding_ann",
+    "dedup_components",
+    "contamination_check",
 ]
 
 

@@ -93,3 +93,46 @@ def test_cogroup_scorer_at_scale(spark, harness):
     bm = {(r.qid, r.rank): r.id for r in b.collect()}
     cm = {(r.qid, r.rank): r.id for r in c.collect()}
     assert bm == cm and len(bm) == NQ * 10
+
+
+def test_graph_probes_at_hnsw_scale_k(spark):
+    """W2 in its actual regime: K=4096 centroids (the reference flips to
+    HNSW at K ≥ 20000; 4096 is the largest published config) — graph
+    build via the distributed M-NN self-join, then beam-search probe
+    recall vs exact W1 at the reference's default ef."""
+    import time
+
+    from extended_rabitq_spark.operators import ivf
+
+    rng = np.random.default_rng(11)
+    K, D, NQ_, NP = 4096, 64, 100, 20
+    cents = spark.createDataFrame(
+        pd.DataFrame({
+            "cluster_id": np.arange(K, dtype=np.int32),
+            "centroid": list(rng.standard_normal((K, D))),
+        })
+    ).select("cluster_id", F.col("centroid").cast("array<double>").alias("centroid"))
+    cents = cents.persist(); cents.count()
+    qs = spark.createDataFrame(
+        pd.DataFrame({
+            "qid": np.arange(NQ_),
+            "qvec": list(rng.standard_normal((NQ_, D))),
+        })
+    ).select("qid", F.col("qvec").cast("array<double>").alias("qvec"))
+    t0 = time.perf_counter()
+    graph = ivf.build_centroid_graph(cents, M=16)
+    build_s = time.perf_counter() - t0
+    exact = {}
+    for r in ivf.select_probes(qs, cents, NP).collect():
+        exact.setdefault(r.qid, set()).add(r.cluster_id)
+    t0 = time.perf_counter()
+    got = {}
+    for r in ivf.graph_probes(qs, graph, nprobe=NP).collect():  # ef=768 default
+        got.setdefault(r.qid, set()).add(r.cluster_id)
+    search_s = time.perf_counter() - t0
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    print(f"graph K={K}: build {build_s:.1f}s, search {search_s:.1f}s, "
+          f"probe recall {recall:.3f}")
+    assert recall >= 0.95, recall
+    cents.unpersist()
