@@ -76,6 +76,34 @@ def shingle_table(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> D
     )
 
 
+def raw_shingles(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct word-3-shingles, NO df cap (the fused
+    tokenize+explode stage of shingle_table)."""
+    return docs.select(
+        F.col(id_).alias("doc_id"), F.expr(T.tokens(text)).alias("_toks")
+    ).select("doc_id", F.explode(F.expr(T.shingles3("_toks"))).alias("shingle"))
+
+
+def stop_shingles(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """The corpus-wide stop-shingle list: shingles with df > DF_CAP —
+    TINY by the heavy-hitter bound (≤ total_shingles/DF_CAP distinct
+    values, in practice a handful of boilerplate phrases), materialized
+    eagerly so multi-branch plans compute the full corpus pass ONCE.
+
+    df is defined over the WHOLE input corpus: callers that restrict a
+    verify pass to candidate docs must anti-join against THIS list, not
+    re-derive df on the restricted set (which would resurrect
+    stop-shingles and change Jaccard values)."""
+    return (
+        raw_shingles(docs, id_, text)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > DF_CAP)
+        .select("shingle")
+        .localCheckpoint(eager=True)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, id_: str = "doc_id", text: str = "text"
 ) -> DataFrame:
@@ -156,19 +184,25 @@ def minhash_lsh_pairs(
     Jaccard → (doc_a, doc_b, jaccard_r).  Only collided pairs are scored.
 
     Pass structure (what makes this scale): the full corpus is
-    tokenized+shingled exactly ONCE (the signature branch).  The
-    candidate pair list — tiny by LSH construction — is materialized
-    with an eager localCheckpoint, which (a) stops the band join's
-    upstream from recomputing once per downstream reference, and (b)
-    lets verification semi-join the corpus down to only docs that
-    appear in some candidate pair BEFORE re-shingling, so the verify
-    passes tokenize ~|candidates| docs, not N.  (Persisting the full
-    exploded shingle table instead was measured ~65% SLOWER at sf0.1 —
-    cache materialization of tens of rows/doc beats codegen recompute,
-    and a generic cache defeats per-branch column pruning.  At 100 TB
-    the exploded table wouldn't fit the cache tier anyway; the
-    candidate list stays small.)"""
-    sh = shingle_table(docs, id_, text)
+    tokenized+shingled exactly TWICE — once to materialize the tiny
+    corpus-wide stop-shingle list (df > DF_CAP; heavy-hitter-bounded),
+    once for signatures — never per-branch.  The candidate pair list,
+    tiny by LSH construction, is materialized with an eager
+    localCheckpoint, which (a) stops the band join's upstream from
+    recomputing once per downstream reference and (b) lets verification
+    semi-join the corpus down to docs that appear in some candidate
+    pair BEFORE re-shingling, so the verify passes tokenize
+    ~|candidates| docs, not N — while the anti-join against the
+    MATERIALIZED stop list keeps df semantics corpus-wide (re-deriving
+    df on the candidate subset would resurrect stop-shingles and change
+    Jaccard values).  (Persisting the full exploded shingle table
+    instead was measured ~65% SLOWER at sf0.1 — cache materialization
+    of tens of rows/doc beats codegen recompute; at 100 TB it wouldn't
+    fit the cache tier anyway.)"""
+    stop = stop_shingles(docs, id_, text)  # one full corpus pass, tiny result
+    sh = raw_shingles(docs, id_, text).join(
+        F.broadcast(stop), on="shingle", how="left_anti"
+    )
     sigs = _signatures_from_shingles(sh)
     bands = _band_keys(sigs)
     cand = (
@@ -187,7 +221,11 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("doc_b").alias(id_)))
         .distinct()
     )
-    sh_cand = shingle_table(docs.join(F.broadcast(cand_ids), on=id_, how="left_semi"), id_, text)
+    # df semantics stay corpus-wide: candidate shingles anti-join the
+    # materialized stop list rather than re-deriving df on the subset
+    sh_cand = raw_shingles(
+        docs.join(F.broadcast(cand_ids), on=id_, how="left_semi"), id_, text
+    ).join(F.broadcast(stop), on="shingle", how="left_anti")
     sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -642,8 +680,14 @@ def incremental_dedup(
         .groupBy("new_id")
         .agg(F.min("corpus_id").alias("exact_dup_of"))
     )
-    n_sh = shingle_table(new_docs, id_, text)
-    c_sh = shingle_table(corpus_docs, id_, text)
+    n_stop = stop_shingles(new_docs, id_, text)
+    c_stop = stop_shingles(corpus_docs, id_, text)
+    n_sh = raw_shingles(new_docs, id_, text).join(
+        F.broadcast(n_stop), on="shingle", how="left_anti"
+    )
+    c_sh = raw_shingles(corpus_docs, id_, text).join(
+        F.broadcast(c_stop), on="shingle", how="left_anti"
+    )
     n_bands = _band_keys(_signatures_from_shingles(n_sh)).withColumnRenamed(
         "doc_id", "new_id"
     )
@@ -656,16 +700,31 @@ def incremental_dedup(
         .distinct()
         .localCheckpoint(eager=True)  # tiny; stops upstream recompute
     )
-    na = n_sh.select(F.col("doc_id").alias("new_id"), "shingle")
-    ca = c_sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    # verify passes re-shingle only docs in candidate pairs (the same
+    # candidate-restricted second pass as minhash_lsh_pairs) — the full
+    # corpus is shingled exactly once, in the band branch above
+    n_cand = raw_shingles(
+        new_docs.join(
+            F.broadcast(cand.select(F.col("new_id").alias(id_)).distinct()),
+            on=id_, how="left_semi",
+        ), id_, text,
+    ).join(F.broadcast(n_stop), on="shingle", how="left_anti")
+    c_cand = raw_shingles(
+        corpus_docs.join(
+            F.broadcast(cand.select(F.col("corpus_id").alias(id_)).distinct()),
+            on=id_, how="left_semi",
+        ), id_, text,
+    ).join(F.broadcast(c_stop), on="shingle", how="left_anti")
+    na = n_cand.select(F.col("doc_id").alias("new_id"), "shingle")
+    ca = c_cand.select(F.col("doc_id").alias("corpus_id"), "shingle")
     inter = (
         cand.join(na, on="new_id")
         .join(ca, on=["corpus_id", "shingle"])
         .groupBy("new_id", "corpus_id")
         .agg(F.count("*").alias("inter"))
     )
-    n_sizes = n_sh.groupBy("doc_id").agg(F.count("*").alias("na")).withColumnRenamed("doc_id", "new_id")
-    c_sizes = c_sh.groupBy("doc_id").agg(F.count("*").alias("nb")).withColumnRenamed("doc_id", "corpus_id")
+    n_sizes = n_cand.groupBy("doc_id").agg(F.count("*").alias("na")).withColumnRenamed("doc_id", "new_id")
+    c_sizes = c_cand.groupBy("doc_id").agg(F.count("*").alias("nb")).withColumnRenamed("doc_id", "corpus_id")
     near = (
         cand.join(inter, on=["new_id", "corpus_id"], how="left")
         .join(n_sizes, on="new_id")

@@ -317,3 +317,58 @@ class TestCosineCombined:
             assert a == b
             nonempty += bool(a)
         assert nonempty > 0  # at least one threshold exercises real pairs
+
+
+class TestStopShingleSemantics:
+    def test_df_cap_stays_corpus_wide_in_verify(self, spark, monkeypatch):
+        """Adversarial fixture for the candidate-restricted verify pass:
+        a boilerplate shingle with df > DF_CAP corpus-wide must stay
+        dropped when Jaccard is verified on candidate docs only (naively
+        re-deriving df on the subset resurrects it and changes values).
+        Compared against a 4-pass reference implementation with the
+        window-based corpus-wide cap."""
+        from pyspark.sql import Window
+
+        from extended_rabitq_spark.operators import dedup
+
+        monkeypatch.setattr(dedup, "DF_CAP", 10)
+        boiler = "subscribe to our newsletter for updates"
+        rows = [(i, f"{boiler} unique tail {i} words differ entirely {i*7}")
+                for i in range(40)]
+        rows += [(100, f"{boiler} the quick brown fox jumps over the lazy dog today"),
+                 (101, f"{boiler} the quick brown fox jumps over the lazy dog tonight")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        got = {(r.doc_a, r.doc_b): r.jaccard_r
+               for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+
+        # reference: window-capped shingle table used for EVERY stage
+        sh = dedup.shingle_table(docs)
+        sigs = dedup._signatures_from_shingles(sh)
+        bands = dedup._band_keys(sigs)
+        cand = (
+            bands.alias("x").join(bands.alias("y"), on=["band", "key"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(sa, on="doc_a").join(sb, on=["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+        )
+        ref = {}
+        for r in (
+            cand.join(inter, on=["doc_a", "doc_b"], how="left")
+            .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), on="doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), on="doc_b")
+            .collect()
+        ):
+            inter_n = r.inter or 0
+            jac = inter_n / (r.na + r.nb - inter_n)
+            if jac >= 0.3:
+                ref[(r.doc_a, r.doc_b)] = round(jac, 6)
+        assert got == ref
+        assert (100, 101) in got  # the true near-dup pair survives
