@@ -609,6 +609,7 @@ def connected_components(
     practice (dup clusters), so this converges in a few rounds.  For
     adversarial long-path graphs use the alternating large-star /
     small-star variant (O(log n) rounds) — same join shapes.
+    Node ids must be integral (component_id = the numeric min).
     """
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))

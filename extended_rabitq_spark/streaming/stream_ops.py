@@ -222,3 +222,45 @@ def sessionize_user_activity(events: DataFrame, gap: str = "30 minutes", waterma
             "sum_value",
         )
     )
+
+
+def streaming_index_ingest(
+    new_vectors: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_: str = "id",
+    vec: str = "vec",
+    trigger_available_now: bool = True,
+):
+    """Continuous index ingest: a stream of new vectors appended into a
+    SAVED RaBitQ index via foreachBatch → append_to_index — the
+    write-side completion of the index lifecycle (build → save → serve
+    → APPEND), with exactly-once per micro-batch from the streaming
+    checkpoint.
+
+    Each micro-batch quantizes against the saved centroids/rotation (no
+    retrain — standard IVF ingest) and lands as new parquet files inside
+    the existing cluster_id partitions; concurrent readers pick them up
+    on the next load.  State: none beyond the source offset checkpoint —
+    append_to_index is idempotent per batch only via the checkpoint, so
+    a replayed batch after checkpoint loss would duplicate rows (the
+    same at-least-once caveat every foreachBatch sink has; dedup by id
+    at read time if that matters).
+
+    Returns the started StreamingQuery.
+    """
+    from ..operators.rabitq import append_to_index
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_index(batch_df, index_path, id_=id_, vec=vec)
+
+    writer = (
+        new_vectors.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("index_ingest")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

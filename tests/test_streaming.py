@@ -197,3 +197,45 @@ def test_serve_latency_benchmark(spark, tmp_path):
         assert s["n_queries"] == 20
         assert s["n_results"] == 20 * 5  # k per query
         assert s["latency_sec"] > 0
+
+
+def test_streaming_index_ingest(spark, tmp_path):
+    """Index lifecycle write side: build+save a small index, stream two
+    extra vector batches in via foreachBatch append, then search the
+    reloaded index and find a streamed vector as its own top-1."""
+    import pyspark.sql.functions as F
+
+    from extended_rabitq_spark.operators import ivf, rabitq
+    from extended_rabitq_spark.streaming.stream_ops import streaming_index_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+    index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+    path = str(tmp_path / "idx")
+    rabitq.save_index(index_df, cents, meta, path)
+    n0 = spark.read.parquet(f"{path}/codes").count()
+
+    # stream the held-out query vectors in as "new" rows (ids 10000+)
+    new = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10_000).alias("id"), F.col("embedding").alias("vec")
+    )
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    new.write.parquet(src_dir)
+    stream = spark.readStream.schema(new.schema).parquet(src_dir)
+    q = streaming_index_ingest(stream, path, ckpt)
+    q.awaitTermination(60)
+
+    codes, cents_saved, meta2 = rabitq.load_index(spark, path)
+    assert codes.count() == n0 + 10
+    qs = emb.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = rabitq.rabitq_search(
+        qs, codes, cents_saved, meta2, nprobe=cents.count(), k=1,
+        rerank_base=None,
+    ).collect()
+    # the streamed copy of vector 3 (id 10003) is its own nearest code
+    assert res and res[0].id == 10_003
