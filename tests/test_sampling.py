@@ -145,3 +145,91 @@ class TestAsofJoin:
         # one hash shuffle by key total — union feeds a single window
         assert plan.count("hashpartitioning(user_id") == 1
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+class TestAsofProperty:
+    def test_random_vs_pandas_merge_asof(self, spark):
+        """Randomized cross-check against pandas.merge_asof (independent
+        reference implementation, allow_exact_matches=True ≡ our
+        inclusive-at-ts semantics), 5 seeds."""
+        import numpy as np
+        import pandas as pd
+
+        from extended_rabitq_spark.operators.asof import asof_join
+
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            nl, nr = 60, 25
+            lts = np.sort(rng.integers(0, 10_000, nl))
+            rts = np.sort(rng.integers(0, 10_000, nr))
+            lkey = rng.integers(0, 4, nl)
+            rkey = rng.integers(0, 4, nr)
+            lpdf = pd.DataFrame({
+                "event_id": np.arange(nl), "user_id": lkey,
+                "ts": pd.to_datetime(lts, unit="s"),
+            })
+            rpdf = pd.DataFrame({
+                "user_id": rkey, "ts": pd.to_datetime(rts, unit="s"),
+                "value": rng.normal(size=nr).round(3),
+            })
+            # make (key, ts) unique on the right: ASOF tie semantics are
+            # undefined there (documented contract)
+            rpdf = rpdf.drop_duplicates(["user_id", "ts"])
+            want = pd.merge_asof(
+                lpdf.sort_values("ts", kind="stable"),
+                rpdf.sort_values("ts", kind="stable"),
+                on="ts", by="user_id", allow_exact_matches=True,
+            ).set_index("event_id")["value"]
+            got = {
+                r.event_id: r.asof_value
+                for r in asof_join(
+                    spark.createDataFrame(lpdf),
+                    spark.createDataFrame(rpdf),
+                    by="user_id",
+                ).collect()
+            }
+            for eid in range(nl):
+                w = want.loc[eid]
+                g = got[eid]
+                if pd.isna(w):
+                    assert g is None, (seed, eid)
+                else:
+                    assert g is not None and abs(g - w) < 1e-12, (seed, eid)
+
+
+class TestComponentsProperty:
+    def test_random_vs_union_find(self, spark):
+        """Randomized cross-check against a driver-side union-find."""
+        import numpy as np
+
+        for seed in range(4):
+            rng = np.random.default_rng(seed)
+            n = 60
+            m = int(rng.integers(10, 60))
+            edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (m, 2)) if a != b]
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+
+            from extended_rabitq_spark.operators import dedup
+
+            nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+            pairs = spark.createDataFrame(
+                [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+                "doc_a long, doc_b long",
+            )
+            got = {
+                r.doc_id: r.component_id
+                for r in dedup.connected_components(pairs, nodes).collect()
+            }
+            assert got == want, seed
