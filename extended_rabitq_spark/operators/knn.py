@@ -140,3 +140,27 @@ def exact_knn_combined(
         .where(F.col("rank") <= k)
         .select(qid, "rank", id_, "dist")
     )
+
+
+def range_search(
+    queries: DataFrame,
+    base: DataFrame,
+    radius2: float,
+    metric: str = "l2",
+    qid: str = "qid",
+    qvec: str = "qvec",
+    id_: str = "id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Range query: every base row within squared distance ``radius2``
+    of each query → (qid, id, dist) — the other standard ANN query
+    shape (top-k's sibling; e.g. faiss range_search).  Declarative
+    exact form: broadcast NLJ + filter — no window, so unlike top-k the
+    output size is data-dependent and the plan is a pure map-side
+    filter after the join (scales with the TRUE result size)."""
+    pairs = base.crossJoin(F.broadcast(queries))
+    dist = distance_col(metric, qvec, vec)
+    return (
+        pairs.select(F.col(qid), F.col(id_), dist.alias("dist"))
+        .where(F.col("dist") <= radius2)
+    )

@@ -971,3 +971,57 @@ def rabitq_search(
     else:
         raise ValueError(f"rabitq_search: unknown scorer {scorer!r}")
     return _finalize_topk(scored, queries, k, refine, rerank_base, qid, qvec)
+
+
+def rabitq_range_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    radius2: float,
+    nprobe: int,
+    rerank_base: DataFrame,
+    qid: str = "qid",
+    qvec: str = "qvec",
+    scorer: str = "arrow_cogroup",
+    estimator: str = "searcher",
+    probes: DataFrame | None = None,
+    slack: float = 3.0,
+) -> DataFrame:
+    """Accelerated range query → (qid, id, dist): candidates whose
+    WIDENED error-bound lower bound clears the radius are cut (E2's
+    analog with an absolute threshold instead of a rank — the same
+    shape as the reference's sequential distk pruning), survivors
+    verify with the EXACT distance against ``rerank_base``.
+
+    The cut keeps candidates with ``est − slack·err ≤ radius2`` where
+    ``err = f_err·√y2`` is the one-unit error bound (A3).  The bound is
+    probabilistic, not sound — at slack=1 a few true members land
+    outside it (measured on the smoke fixture) — so the default widens
+    to 3 error units; fixture equality with the exact form at full
+    probes is asserted in tests at that setting.  A true result can
+    still be missed if (a) its cluster is not probed (full probes ⟹
+    none) or (b) its estimate is > slack error units high (tail event).
+    The exact verify joins the broadcast candidate set, so the
+    raw-vector table never shuffles."""
+    from .knn import distance_col
+
+    if scorer == "arrow_cogroup":
+        scored = _arrow_scored_cogroup(
+            queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes
+        )
+    elif scorer == "sql":
+        scored = _sql_scored(
+            queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes
+        )
+    else:
+        raise ValueError(f"rabitq_range_search: unknown scorer {scorer!r}")
+    widened = F.col("est_dist") - slack * (F.col("est_dist") - F.col("est_lb"))
+    cand = scored.where(widened <= radius2).select(qid, "id")
+    return (
+        rerank_base.join(F.broadcast(cand), on="id")
+        .join(F.broadcast(queries.select(qid, qvec)), on=qid)
+        .select(F.col(qid), F.col("id"),
+                distance_col("l2", qvec, "vec").alias("dist"))
+        .where(F.col("dist") <= radius2)
+    )

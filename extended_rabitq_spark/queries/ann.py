@@ -212,3 +212,25 @@ def normalize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(V.norm("nv")), 6).alias("unit_norm_r"),
         F.round(F.expr(V.vec_sum("nv")), 6).alias("nsum_r"),
     )
+
+
+RADIUS2 = 1.45  # sf-fixture scale: ~1% of pair distances fall inside
+
+_RANGE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {NQ}),
+     b AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= {NQ}),
+     d AS (SELECT q.qid, b.id, {O.l2sq('q.qvec', 'b.vec')} AS dist FROM b CROSS JOIN q)
+SELECT qid, id, dist FROM d WHERE dist <= {RADIUS2}
+"""
+
+
+@register("knn_range", _RANGE_ORACLE)
+def knn_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query (top-k's sibling shape, e.g. faiss range_search):
+    all base rows within squared L2 RADIUS2 per query.  Declarative
+    exact form; the RaBitQ-accelerated variant
+    (rabitq.rabitq_range_search: est_lb cut + exact verify) is asserted
+    equal at full probes in tests/test_rabitq.py."""
+    return knn.range_search(
+        _queries_df(spark, sf_dir), _base_df(spark, sf_dir), radius2=RADIUS2
+    )

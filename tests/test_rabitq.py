@@ -933,3 +933,38 @@ class TestGraphProbesInSearch:
             ).collect()
         )
         assert a == b and len(a) == 50
+
+
+class TestRangeSearch:
+    def test_accelerated_equals_exact_at_full_probes(self, spark):
+        """rabitq_range_search at full probes + exact verify returns the
+        exact range result (est_lb cut is a high-probability-sound
+        candidate filter; fixture equality asserted)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, knn, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+        cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
+        r2 = 1.6
+        exact = sorted(
+            (r.qid, r.id, round(r.dist, 9))
+            for r in knn.range_search(qs, base, radius2=r2).collect()
+        )
+        fast = sorted(
+            (r.qid, r.id, round(r.dist, 9))
+            for r in rabitq.rabitq_range_search(
+                qs, index_df, cents_full, meta, radius2=r2,
+                nprobe=cents.count(), rerank_base=base,
+            ).collect()
+        )
+        assert exact == fast and len(exact) > 0
