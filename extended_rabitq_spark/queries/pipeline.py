@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from .. import oracle as O
 from ..functions import text as T
-from ..functions import vector as V
 from ..operators import dedup as dedup_ops
 from ..operators import textops
 from ..registry import register

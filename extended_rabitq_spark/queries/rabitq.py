@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import metrics
-from .. import oracle as O
 from ..operators import ivf, knn, rabitq
 from ..registry import register
 from ..tables import NQ
