@@ -666,6 +666,7 @@ def _arrow_scored_cogroup(
     qvec: str,
     estimator: str,
     probes: DataFrame | None = None,
+    per_cluster_cut: int | None = None,
 ) -> DataFrame:
     """Unbounded-batch Arrow scorer → (qid, id, est_dist, est_lb).
 
@@ -739,6 +740,28 @@ def _arrow_scored_cogroup(
                 ferr[i : i + chunk], QR, y2, estimator, D,
             )
             m = est.shape[0]
+            if per_cluster_cut is not None and m > per_cluster_cut:
+                # map-side E2 pre-cut: per query, keep every row at or
+                # below the cut-th smallest est_lb (ties included → a
+                # SUPERSET of the global (est_lb, id) rank cut, so
+                # _finalize_topk returns identical results) — the
+                # shuffle into the global window carries ≤ cut·g rows
+                # per chunk instead of m·g.
+                kth = np.partition(lb, per_cluster_cut - 1, axis=0)[
+                    per_cluster_cut - 1, :
+                ]
+                xi, qi = np.nonzero(lb <= kth[None, :])
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qg[qi],
+                            "id": ids[i : i + chunk][xi],
+                            "est_dist": est[xi, qi],
+                            "est_lb": lb[xi, qi],
+                        }
+                    )
+                )
+                continue
             outs.append(
                 pd.DataFrame(
                     {
@@ -962,7 +985,8 @@ def rabitq_search(
         )
     elif scorer == "arrow_cogroup":
         scored = _arrow_scored_cogroup(
-            queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes
+            queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes,
+            per_cluster_cut=None if refine is None else refine * k,
         )
     elif scorer == "sql":
         scored = _sql_scored(
