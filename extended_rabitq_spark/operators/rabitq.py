@@ -571,6 +571,7 @@ def _arrow_scored_broadcast(
     qid: str,
     qvec: str,
     estimator: str,
+    per_cluster_cut: int | None = None,
 ) -> DataFrame:
     """Small-batch Arrow scorer → (qid, id, est_dist, est_lb) candidates.
 
@@ -640,6 +641,19 @@ def _arrow_scored_broadcast(
                 est, lb = _score_cluster_np(
                     S[idx], x2[idx], fip[idx], ferr[idx], QR, y2, estimator, D
                 )
+                if per_cluster_cut is not None and n > per_cluster_cut:
+                    # map-side E2 pre-cut (ties kept → superset of the
+                    # global rank cut; identical final results — see
+                    # the cogroup scorer)
+                    kth = np.partition(lb, per_cluster_cut - 1, axis=0)[
+                        per_cluster_cut - 1, :
+                    ]
+                    xi, qi = np.nonzero(lb <= kth[None, :])
+                    out_q.append(qg[qi])
+                    out_i.append(ids[idx][xi])
+                    out_e.append(est[xi, qi])
+                    out_l.append(lb[xi, qi])
+                    continue
                 out_q.append(np.broadcast_to(qg, (n, g)).ravel())
                 out_i.append(np.repeat(ids[idx], g))
                 out_e.append(est.ravel())
@@ -981,7 +995,8 @@ def rabitq_search(
         scorer = "arrow_broadcast" if nq <= broadcast_max_queries else "arrow_cogroup"
     if scorer == "arrow_broadcast":
         scored = _arrow_scored_broadcast(
-            queries, codes, centroids, meta, nprobe, qid, qvec, estimator
+            queries, codes, centroids, meta, nprobe, qid, qvec, estimator,
+            per_cluster_cut=None if refine is None else refine * k,
         )
     elif scorer == "arrow_cogroup":
         scored = _arrow_scored_cogroup(
