@@ -1,0 +1,155 @@
+"""Classic relational analytics over the driver's TPC-H-style tables
+(orders/lineitem/customer/supplier/nation/region) — the general-OLAP
+face of the engine, adapted to the slimmed fixture schemas.
+
+Cross-engine determinism note: SUM over DOUBLE is partial-agg
+order-dependent (low bits differ between engines and even between
+runs), so every money aggregate here sums ``DECIMAL(38,6)`` — exact
+and order-independent on both engines, and the semantically right type
+for money.  Single-row double arithmetic (the discount product) IS
+deterministic, so it happens before the cast.
+
+Plans: Q1 is one partial-agg groupBy (map-side combine); Q3/Q5 are
+star joins — Catalyst broadcasts every dimension side automatically at
+these sizes (asserted in tests/test_sources_plans.py); the fact table
+never shuffles except for the final aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+_DEC = "decimal(38,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1", _Q1_ORACLE)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (adapted): one partial-agg groupBy over
+    the fact table — the canonical map-side-combine aggregation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("sum_base_price"),
+            F.sum(disc.cast(_DEC)).alias("sum_disc_price"),
+            F.sum((disc * (1 + F.col("l_tax"))).cast(_DEC)).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q3", _Q3_ORACLE)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (adapted: fixture has no
+    o_shippriority; date window shifted to the fixture's 1995+ range): star join — the customer dim broadcasts, the fact
+    table shuffles once for the aggregation; top-10 with a (revenue,
+    orderkey) tie-break so both engines cut identically."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q5", _Q5_ORACLE)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the full star — region/nation/
+    supplier/customer dims broadcast; the local-supplier condition
+    (c_nationkey = s_nationkey) rides the supplier join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias(
+            "revenue"
+        )
+    )

@@ -27,4 +27,4 @@ def register(name: str, oracle: str | None = None):
 
 
 # Importing the query modules populates the registry.
-from .queries import ann, dedup, events, ivf, pipeline, rabitq, sampling, text  # noqa: E402,F401
+from .queries import ann, dedup, events, ivf, pipeline, rabitq, sampling, text, tpch  # noqa: E402,F401

@@ -236,3 +236,25 @@ class TestMultimodalPlans:
             assert "encode" not in plan
             rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
             assert rs and all("text" not in ln for ln in rs)
+
+
+class TestTpchPlans:
+    def test_q1_partial_agg_and_pushdown(self, spark):
+        """Q1: map-side partial aggregation (two HashAggregate levels)
+        and the shipdate filter pushed to the parquet scan."""
+        from extended_rabitq_spark.plans import inspect
+        from extended_rabitq_spark.queries.tpch import tpch_q1
+
+        plan = inspect.physical_plan(tpch_q1(spark, SF_SMOKE))
+        assert plan.count("HashAggregate") >= 2
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+    def test_q5_broadcasts_dimensions(self, spark):
+        """Q5 star join: every dimension side broadcasts; no cartesian
+        product or nested loop survives planning."""
+        from extended_rabitq_spark.plans import inspect
+        from extended_rabitq_spark.queries.tpch import tpch_q5
+
+        plan = inspect.physical_plan(tpch_q5(spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in plan
