@@ -153,3 +153,91 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10", _Q10_ORACLE)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting (adapted dates): top-20 lossy
+    customers by returned revenue; nation dim broadcasts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+Q18_QTY = 250  # ~p98 of per-order quantity at fixture scale
+
+_Q18_ORACLE = f"""
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > {Q18_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       sum(CAST(l_quantity AS DECIMAL(38,6))) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN big      ON big.l_orderkey = o_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@register("tpch_q18", _Q18_ORACLE)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers (threshold adapted to fixture
+    scale): the HAVING subquery becomes a broadcast semi-ish join of
+    the big-order keys — partial-agg groupBy feeds a tiny key list."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
+        .where(F.col("q") > Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+              F.col("bk") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"))
+    )
