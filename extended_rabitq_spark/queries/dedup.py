@@ -346,3 +346,24 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") >= INC_SPLIT)
     corpus = docs.where(F.col("doc_id") < INC_SPLIT)
     return dedup.incremental_dedup(new, corpus)
+
+
+_APPLY_ORACLE = _COMPONENTS_ORACLE.replace(
+    "SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS component_id\nFROM reach GROUP BY id",
+    """SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(root)""",
+)
+
+
+@register("dedup_apply", _APPLY_ORACLE)
+def dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's APPLY step: survivors after transitive
+    near-dup collapse — a doc survives iff it is its component's
+    canonical (smallest) id.  Composition of minhash_lsh_pairs →
+    connected_components → filter; the anti-join form (drop everything
+    whose component root is someone else) is the same plan shape at
+    100 TB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comp = dedup.connected_components(
+        dedup.minhash_lsh_pairs(docs), docs.select("doc_id")
+    )
+    return comp.where(F.col("doc_id") == F.col("component_id")).select("doc_id")
