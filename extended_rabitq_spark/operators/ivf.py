@@ -490,8 +490,34 @@ def graph_probes(
 
     def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, vecs, adj, entries = bG.value
+        Kc = len(ids)
+        np_take = min(nprobe, Kc)
         for pdf in batches:
             if len(pdf) == 0:
+                continue
+            if ef_val >= Kc:
+                # exhaustive beam ≡ exact: use the dense BLAS path (one
+                # matmul per Arrow batch) — the same flat-scan the
+                # reference's FlatInitializer uses below its HNSW
+                # threshold (inc/index/IVF.hpp:157-161), vectorized
+                # across the whole query batch instead of per-query
+                # graph walks.
+                Q = np.array(pdf[qvec].tolist(), dtype=np.float64)
+                V = vecs.astype(np.float64)
+                d = ((Q * Q).sum(1)[:, None] + (V * V).sum(1)[None, :]
+                     - 2.0 * (Q @ V.T))
+                d = np.maximum(d, 0.0)
+                order = np.lexsort(
+                    (np.broadcast_to(ids, d.shape), d), axis=1
+                )[:, :np_take]
+                g = len(Q)
+                rows = np.arange(g)[:, None]
+                yield pd.DataFrame(
+                    {qid: np.repeat(pdf[qid].to_numpy(), np_take),
+                     "probe_rank": np.tile(np.arange(1, np_take + 1), g),
+                     "cluster_id": ids[order].ravel().astype(np.int32),
+                     "cdist": d[rows, order].ravel()}
+                )
                 continue
             out_qid, out_rank, out_cid, out_d = [], [], [], []
             for q_id, q_vec in zip(pdf[qid], pdf[qvec]):
