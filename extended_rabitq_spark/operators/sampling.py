@@ -125,7 +125,10 @@ def pack_sequences(
     because a GLOBAL running sum is a single-partition window — the
     non-scalable formulation.  Per-shard windows run parallel and each
     shard packs independently, which is how a 1000-executor job lays
-    out training shards anyway.
+    out training shards anyway.  SIZE ``n_shards`` to the corpus:
+    each shard is one window partition (one task sorts it), so pick
+    n_shards ≈ corpus_tokens / ~10⁸ (≫ executor count) — the default
+    32 is fixture-scale only.
     """
     toks = docs.select(
         F.col(id_),
