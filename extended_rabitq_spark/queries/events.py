@@ -215,3 +215,63 @@ def events_asof_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, by="user_id").select(
         "event_id", "user_id", "asof_ts", "asof_value"
     )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CASE WHEN p.t_purchase IS NOT NULL THEN 3
+            WHEN c.t_click IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_depth
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, strictly
+    increasing timestamps): the match_recognize-style sequence query,
+    expressed as cascaded conditional min-aggregations — three
+    partial-agg groupBys on user_id, dimension-free, one shuffle key
+    throughout (co-partitioned joins after the first shuffle)."""
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, on="user_id", how="left")
+        .join(p, on="user_id", how="left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_depth"),
+        )
+    )

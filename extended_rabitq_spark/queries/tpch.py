@@ -241,3 +241,88 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"))
     )
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+@register("tpch_q7", _Q7_ORACLE)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping (adapted): two-nation trade flows (fixture nation names) —
+    both nation dims broadcast twice under different aliases."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias(
+            "revenue"
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT round(100.00 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+@register("tpch_q14", _Q14_ORACLE)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect (adapted dates): conditional decimal
+    aggregate over the part-join; ratio computed in DOUBLE from exact
+    decimal sums, rounded for cross-engine hash parity."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(zero)
+            ).cast("double")
+            / F.sum(disc).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
