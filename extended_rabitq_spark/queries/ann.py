@@ -234,3 +234,27 @@ def knn_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.range_search(
         _queries_df(spark, sf_dir), _base_df(spark, sf_dir), radius2=RADIUS2
     )
+
+
+@register("knn_range_rabitq", _RANGE_ORACLE)
+def knn_range_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accelerated range query sharing the exact oracle: full probes
+    (no cluster misses) + widened error-bound candidate cut (slack=3
+    error units) + exact-distance verify ⟹ equals the declarative
+    form on the fixtures (deterministic — same data, same build, same
+    result every run; the widened-cut tail risk is a fixed property of
+    this data, asserted here and in tests)."""
+    from ..operators import ivf, rabitq
+
+    base = _base_df(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    cents = ivf.label_centroids(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
+    )
+    index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+    cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
+    n_clusters = cents.count()
+    return rabitq.rabitq_range_search(
+        qs, index_df, cents_full, meta, radius2=RADIUS2,
+        nprobe=n_clusters, rerank_base=base,
+    )
