@@ -258,3 +258,57 @@ class TestTpchPlans:
         plan = inspect.physical_plan(tpch_q5(spark, SF_SMOKE))
         assert plan.count("BroadcastHashJoin") >= 4
         assert "CartesianProduct" not in plan
+
+
+class TestIndexLifecycle:
+    def test_full_lifecycle_end_to_end(self, spark, tmp_path):
+        """The whole index lifecycle in one chain: fvecs ingest →
+        build → save → append (two increments) → compact → search —
+        results identical before/after compaction, and every streamed
+        increment findable."""
+        from extended_rabitq_spark.operators import ivf, rabitq
+        from extended_rabitq_spark.sources import vecs_io
+
+        rng = np.random.default_rng(9)
+        mat = rng.standard_normal((60, 8)).astype(np.float32)
+        src = str(tmp_path / "base.fvecs")
+        vecs_io.write_fvecs(src, mat)
+        base = vecs_io.ingest_file(spark, src, str(tmp_path / "base.parquet"))
+        cents = ivf.sampled_kmeans_centroids(base, k=4, vec="vec")
+        index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+        path = str(tmp_path / "idx")
+        rabitq.save_index(index_df, cents, meta, path)
+
+        for inc in range(2):
+            newv = spark.createDataFrame(
+                [(1000 + inc * 10 + j, [float(x) for x in rng.standard_normal(8)])
+                 for j in range(5)],
+                "id long, vec array<float>",
+            )
+            rabitq.append_to_index(newv, path)
+
+        codes, cents_full, meta2 = rabitq.load_index(spark, path)
+        assert codes.count() == 70
+        qs = base.limit(3).select(
+            F.col("id").alias("qid"), F.col("vec").alias("qvec")
+        )
+        before = sorted(
+            (r.qid, r.rank, r.id)
+            for r in rabitq.rabitq_search(
+                qs, codes, cents_full, meta2, nprobe=4, k=5
+            ).collect()
+        )
+        rabitq.compact_index(spark, path)
+        codes2, cents_full2, meta3 = rabitq.load_index(spark, path)
+        after = sorted(
+            (r.qid, r.rank, r.id)
+            for r in rabitq.rabitq_search(
+                qs, codes2, cents_full2, meta3, nprobe=4, k=5
+            ).collect()
+        )
+        assert before == after and len(before) == 15
+        # one file per cluster partition after compaction
+        import glob
+        for d in glob.glob(f"{path}/codes/cluster_id=*"):
+            files = [f for f in glob.glob(f"{d}/*") if f.endswith(".parquet")]
+            assert len(files) == 1, d
