@@ -138,6 +138,18 @@ def main() -> None:
         if name in qmap:
             timed(name, lambda n=name: run_full(qmap[n](spark, sf_dir)))
 
+    # second pass: steady-state timings (JIT/IO warm) — extras, so the
+    # headline total stays comparable round-over-round; the warm/cold
+    # gap also separates real plan cost from ambient machine noise
+    for name in PIPELINE_QUERIES:
+        if name in qmap:
+            t0 = time.perf_counter()
+            try:
+                run_full(qmap[name](spark, sf_dir))
+                extras[f"{name}_warm_sec"] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                extras[f"{name}_warm_sec"] = -1.0
+
     # ---- extras: composed pipeline + flagship ANN dedup (not in the
     # headline total, so round-over-round headline stays comparable) ----
     for name in EXTRA_QUERIES:

@@ -243,3 +243,15 @@ def ivf_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivf.ivf_search(qs, indexed, cents, NPROBE, K)
     gt = knn.exact_knn(qs, base, k=K)
     return metrics.ratio_per_query(res, gt, K)
+
+
+@register("ivf_assign_combined", _ASSIGN_ORACLE)
+def ivf_assign_combined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 scale path under the same oracle: the Arrow BLAS argmin
+    assignment is value-identical to the declarative form (same
+    lowest-cid tie-break; equality also asserted in tests) — numpy only
+    computes the argmin, every emitted value is input data."""
+    asn = ivf.assign_clusters_combined(
+        _base_df(spark, sf_dir), _centroids(spark, sf_dir)
+    )
+    return asn.select("id", "cluster_id")
