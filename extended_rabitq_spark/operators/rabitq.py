@@ -341,7 +341,12 @@ def save_index(
     out = _pack_index_df(index_df, meta["total_bits"]) if packed else index_df
     meta = dict(meta, packed=packed)
     out.write.mode("overwrite").partitionBy("cluster_id").parquet(f"{path}/codes")
-    spark = index_df.sparkSession
+    _save_side_artifacts(index_df.sparkSession, centroids, meta, path)
+
+
+def _save_side_artifacts(spark, centroids: DataFrame, meta: dict, path: str) -> None:
+    """Rotated-centroid side table + meta.json (shared by the
+    partitioned and bucketed index sinks)."""
     P = rotation_matrix(meta["D"], meta["seed"])
     rows = centroids.collect()
     dim = meta["dim"]
@@ -358,6 +363,43 @@ def save_index(
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/meta.json", "w") as f:
         json.dump(meta, f)
+
+
+def save_index_bucketed(
+    index_df: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """S4 co-location variant: codes as a BUCKETED (+ sorted) table on
+    cluster_id instead of a partitioned path.  A bucketed scan reports
+    HashPartitioning(cluster_id), which satisfies the cogroup scorer's
+    required distribution - the probed codes no longer shuffle at query
+    time (the one data-sized exchange the cogroup path had; asserted in
+    tests/test_sources_plans.py).  At 100 TB this moves the codes
+    shuffle from every query batch to once at index build.
+
+    Trade-off vs :func:`save_index`: bucketing needs the session
+    catalog (saveAsTable) and bucket count is fixed at write time;
+    cluster_id filter pushdown still prunes at scan.  Side artifacts
+    (centroids/meta.json) live at ``path`` as before."""
+    index_df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, "cluster_id"
+    ).sortBy("cluster_id").saveAsTable(table)
+    _save_side_artifacts(
+        index_df.sparkSession, centroids, dict(meta, packed=False), path
+    )
+
+
+def load_index_bucketed(
+    spark: SparkSession, table: str, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Load the bucketed-table index: (codes, centroids_full, meta)."""
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    return spark.table(table), spark.read.parquet(f"{path}/centroids"), meta
 
 
 def append_to_index(
