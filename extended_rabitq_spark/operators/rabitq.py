@@ -737,12 +737,12 @@ def _arrow_scored_cogroup(
     exists.
 
     Cost vs the broadcast scorer: the probed codes shuffle once for the
-    cogroup (the broadcast path reads them in place).  At cluster scale
-    the codes table is written partitionBy(cluster_id) — registering it
-    as a bucketed table on cluster_id removes that shuffle; a hot
-    cluster's matmul is chunked internally so memory stays bounded
-    (skew shows up as task time, exactly like the reference's per-cluster
-    OpenMP loop).
+    cogroup (the broadcast path reads them in place) — UNLESS the index
+    was saved with :func:`save_index_bucketed`, whose bucketed scan
+    already satisfies the cogroup distribution (plan-asserted: the
+    codes-side exchange disappears).  A hot cluster's matmul is chunked
+    internally so memory stays bounded (skew shows up as task time,
+    exactly like the reference's per-cluster OpenMP loop).
     """
     D = meta["D"]
     qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
