@@ -1,0 +1,103 @@
+"""Regenerate PLANS.md: flagship physical-plan snapshots.
+
+Run from the repo root: ``python tools/gen_plans.py``.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = "/root/testdata/sf0.001"
+
+HDR = (
+    "# PLANS — flagship physical plans (auto-generated)\n\n"
+    "Snapshots of `explain('formatted')` operator trees at the smoke "
+    "fixture, committed so the plan contract is reviewable without running "
+    "Spark.  Regenerate with `python tools/gen_plans.py`.\n\n"
+    "What to look for: `BroadcastHashJoin`/`BroadcastNestedLoopJoin` "
+    "(small sides broadcast, big sides never shuffle), `WindowGroupLimit` "
+    "(map-side partial top-k), `PushedFilters`/`PartitionFilters` on scans, "
+    "and the absence of Python eval nodes on query hot paths (the one "
+    "`MapInPandas`/`FlatMapCoGroupsInPandas` in ANN plans is the Arrow "
+    "batch stage described in the README).\n\n"
+)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from extended_rabitq_spark.operators import ivf, rabitq
+    from extended_rabitq_spark.plans import inspect
+    from extended_rabitq_spark.registry import QUERIES
+    from extended_rabitq_spark.session import get_spark
+
+    spark = get_spark("gen-plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sections: list[str] = []
+
+    def add(title: str, df, note: str) -> None:
+        sections.append(f"## {title}\n\n{note}\n\n```\n{inspect.plan_tree(df)}\n```\n")
+
+    add(
+        "knn_exact (J1/W3)",
+        QUERIES["knn_exact"](spark, SF),
+        "Broadcast NLJ (no index-side shuffle) + window top-k compiling to "
+        "partial `WindowGroupLimit` (map-side top-k before the exchange); "
+        "query/base split pushed into the parquet scan.",
+    )
+    add(
+        "knn_ivf (J3)",
+        QUERIES["knn_ivf"](spark, SF),
+        "Probe selection over the broadcast centroid table, probe join as a "
+        "broadcast hash join — the fact side never shuffles before the "
+        "aggregation; partial top-k again.",
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+    idx, meta = rabitq.build_index(base, cents, total_bits=4)
+    tmp = tempfile.mkdtemp()
+    rabitq.save_index(idx, cents, meta, f"{tmp}/idx")
+    codes, cf, meta2 = rabitq.load_index(spark, f"{tmp}/idx")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    add(
+        "rabitq_search on a saved index (E1-E3, SQL scorer)",
+        rabitq.rabitq_search(qs, codes, cf, meta2, nprobe=3, k=10, scorer="sql"),
+        "Pure-JVM candidate pipeline: the only Python node is the tiny "
+        "query-rotation mapInPandas (NQ rows); codes scan carries the "
+        "cluster_id probe filter (partition pruning / DPP); est/est_lb are "
+        "codegen column expressions; two-phase rank cut + final top-k are "
+        "partial-`WindowGroupLimit` windows.",
+    )
+    add(
+        "dedup_minhash_lsh",
+        QUERIES["dedup_minhash_lsh"](spark, SF),
+        "One full tokenize pass for the stop-shingle list (materialized), one "
+        "for signatures; band equi-join for candidates (localCheckpoint'ed "
+        "pair list); verification re-shingles only candidate docs and "
+        "anti-joins the corpus-wide stop list.",
+    )
+    add(
+        "pipeline_clean_corpus (composed)",
+        QUERIES["pipeline_clean_corpus"](spark, SF),
+        "Exact dedup (hash groupBy) -> quality filter (map-only) -> "
+        "checkpointed corpus barrier -> BLAS-selected near-dup candidates "
+        "re-scored declaratively -> broadcast anti-join.",
+    )
+
+    out = Path(__file__).resolve().parent.parent / "PLANS.md"
+    out.write_text(HDR + "\n".join(sections))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
