@@ -246,3 +246,28 @@ def doc_fingerprint(docs: DataFrame, id_: str = "doc_id", text: str = "text") ->
             F.expr("array_max(_wins)").alias("max_fp"),
         )
     )
+
+
+def vocab_stats(docs: DataFrame, text: str = "text", approx: bool = False) -> DataFrame:
+    """Per-language vocabulary size → (lang, n_tokens, n_distinct_tokens).
+
+    ``approx=False``: exact count_distinct — two-level aggregation
+    (partial distinct within partitions, exact merge).  This is the
+    oracle-checkable form.
+
+    ``approx=True``: HyperLogLog++ sketch (approx_count_distinct, 2%
+    default rsd) — at 100 TB the exact distinct's shuffle carries every
+    distinct (lang, token) pair once, while the sketch ships a
+    fixed-size register array per group; accuracy is tolerance-tested
+    against the exact form (no cross-engine oracle: Spark's HLL++ and
+    DuckDB's ApproxCountDistinct sketches differ by construction)."""
+    tok = docs.select("lang", F.explode(F.expr(T.tokens(text))).alias("token"))
+    distinct_agg = (
+        F.approx_count_distinct("token").alias("n_distinct_tokens")
+        if approx
+        else F.count_distinct("token").alias("n_distinct_tokens")
+    )
+    return tok.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        distinct_agg,
+    ).withColumn("n_distinct_tokens", F.col("n_distinct_tokens").cast("long"))

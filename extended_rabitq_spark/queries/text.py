@@ -186,3 +186,22 @@ FROM w
 def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS-style) document fingerprint summaries."""
     return textops.doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (SELECT lang, unnest({T.d_tokens('text')}) AS token FROM documents)
+SELECT lang,
+       count(*) AS n_tokens,
+       count(DISTINCT token) AS n_distinct_tokens
+FROM tok GROUP BY lang
+"""
+
+
+@register("vocab_stats", _VOCAB_ORACLE)
+def vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary size (exact count_distinct — the
+    oracle-checkable twin; the HLL++ sketch form is the 100 TB path,
+    tolerance-tested in tests/test_dedup_text.py)."""
+    from ..operators import textops
+
+    return textops.vocab_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))

@@ -372,3 +372,20 @@ class TestStopShingleSemantics:
                 ref[(r.doc_a, r.doc_b)] = round(jac, 6)
         assert got == ref
         assert (100, 101) in got  # the true near-dup pair survives
+
+
+def test_vocab_stats_sketch_within_tolerance(spark):
+    """HLL++ sketch twin of vocab_stats stays within 5% of exact (2%
+    rsd default; fixture vocab is small so the bound is loose)."""
+    from conftest import SF_T2
+    from extended_rabitq_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    exact = {r.lang: r.n_distinct_tokens for r in textops.vocab_stats(docs).collect()}
+    appr = {
+        r.lang: r.n_distinct_tokens
+        for r in textops.vocab_stats(docs, approx=True).collect()
+    }
+    assert set(exact) == set(appr)
+    for lang in exact:
+        assert abs(appr[lang] - exact[lang]) / exact[lang] <= 0.05, lang
