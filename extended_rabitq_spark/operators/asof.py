@@ -48,7 +48,7 @@ def asof_join(
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        F.lit(None).cast("double").alias("_sts"),
+        F.lit(None).cast("long").alias("_sts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_s_{c}") for c in state_cols],
     )
     r_tag = right.select(
@@ -59,7 +59,12 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        F.col(ts).cast("double").alias("_sts"),
+        # unix_micros, not cast('double'): the double path goes through
+        # fractional epoch-seconds, which cannot represent every
+        # microsecond — the round trip truncates 1 us on a fraction of
+        # values (same failure class as the ns->us div fix in
+        # tables.load_events).  Integer micros are exact everywhere.
+        F.unix_micros(F.col(ts)).alias("_sts"),
         *[F.col(c).alias(f"_s_{c}") for c in state_cols],
     )
     u = l_tag.unionByName(r_tag)
@@ -79,6 +84,6 @@ def asof_join(
     )
     return carried.where(F.col("_side") == 1).select(
         *lcols,
-        F.col("_c_ts").cast("timestamp").alias(f"{prefix}{ts}"),
+        F.timestamp_micros(F.col("_c_ts")).alias(f"{prefix}{ts}"),
         *[f"{prefix}{c}" for c in state_cols],
     )

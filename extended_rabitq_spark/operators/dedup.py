@@ -370,6 +370,62 @@ def simhash_banded_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def _ann_self_join_scored_pairs(
+    emb: DataFrame,
+    k_per_query: int,
+    nprobe: int | None,
+    total_bits: int,
+    id_: str,
+    vec: str,
+    n_clusters: int,
+) -> DataFrame:
+    """Shared core of the ANN near-dup pair finders → (id_a, id_b, cos)
+    candidate pairs with exact cosine, id_a < id_b, deduped.
+
+    Pipeline: L2-normalize (cosine ≡ L2 on the unit sphere,
+    python/utils/preprocess.py:3-5) → build the IVF+RaBitQ index →
+    every vector queries the index (cogroup Arrow scorer: the query
+    side is a DataFrame end-to-end, NO driver collect — this is what
+    lets the self-join run with N = corpus size) → exact re-rank on
+    raw vectors → pair normalization (a<b) → exact cosine per pair.
+    Callers apply their own selection (global top-N / threshold)."""
+    from .ivf import sampled_kmeans_centroids
+    from .rabitq import build_index, centroids_with_rotation, rabitq_search
+
+    spark = emb.sparkSession
+    norm = emb.select(
+        F.col(id_).alias("id"), F.expr(V.l2_normalize(vec)).alias("vec")
+    )
+    cents = sampled_kmeans_centroids(norm, k=n_clusters, vec="vec")
+    index_df, meta = build_index(norm, cents, total_bits=total_bits)
+    cents_full = centroids_with_rotation(spark, cents, meta)
+    if nprobe is None:
+        nprobe = n_clusters
+    res = rabitq_search(
+        norm.select(F.col("id").alias("qid"), F.col("vec").alias("qvec")),
+        index_df,
+        cents_full,
+        meta,
+        nprobe=nprobe,
+        k=k_per_query + 1,  # +1: self-match rides along and is dropped
+        rerank_base=norm,
+        scorer="arrow_cogroup",
+    )
+    pairs = (
+        res.where(F.col("qid") != F.col("id"))
+        .select(
+            F.least("qid", "id").alias("id_a"),
+            F.greatest("qid", "id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
+    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
+    return pairs.join(a, on="id_a").join(b, on="id_b").select(
+        "id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos")
+    )
+
+
 def embedding_ann_pairs(
     emb: DataFrame,
     top_n: int = 20,
@@ -399,45 +455,8 @@ def embedding_ann_pairs(
     """
     from pyspark.sql import Window
 
-    from .ivf import sampled_kmeans_centroids
-    from .rabitq import build_index, centroids_with_rotation, rabitq_search
-
-    spark = emb.sparkSession
-    norm = emb.select(
-        F.col(id_).alias("id"), F.expr(V.l2_normalize(vec)).alias("vec")
-    )
-    cents = sampled_kmeans_centroids(norm, k=n_clusters, vec="vec")
-    index_df, meta = build_index(norm, cents, total_bits=total_bits)
-    cents_full = centroids_with_rotation(spark, cents, meta)
-    if nprobe is None:
-        nprobe = n_clusters
-    res = rabitq_search(
-        norm.select(F.col("id").alias("qid"), F.col("vec").alias("qvec")),
-        index_df,
-        cents_full,
-        meta,
-        nprobe=nprobe,
-        k=k_per_query + 1,  # +1: self-match rides along and is dropped
-        rerank_base=norm,
-        # cogroup Arrow scorer: query side stays a DataFrame end-to-end
-        # (no driver collect — required for the N-queries self-join) and
-        # candidates score as one BLAS matmul per cluster, measured
-        # 2.6-4x over the interpreted SQL column pipeline at batch NQ.
-        scorer="arrow_cogroup",
-    )
-    pairs = (
-        res.where(F.col("qid") != F.col("id"))
-        .select(
-            F.least("qid", "id").alias("id_a"),
-            F.greatest("qid", "id").alias("id_b"),
-        )
-        .distinct()
-    )
-    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
-    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
-    scored = (
-        pairs.join(a, on="id_a").join(b, on="id_b")
-        .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
+    scored = _ann_self_join_scored_pairs(
+        emb, k_per_query, nprobe, total_bits, id_, vec, n_clusters
     )
     w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
     return (
@@ -471,46 +490,11 @@ def embedding_threshold_pairs_ann(
     near-dup thresholds (τ ≥ ~0.7) qualifying pairs are near the top of
     both lists, so modest k_per_query suffices; fixture equality with
     the exact form is value-tested."""
-    from .rabitq import build_index, centroids_with_rotation, rabitq_search
-    from .ivf import sampled_kmeans_centroids
-
-    spark = emb.sparkSession
-    norm = emb.select(
-        F.col(id_).alias("id"), F.expr(V.l2_normalize(vec)).alias("vec")
+    scored = _ann_self_join_scored_pairs(
+        emb, k_per_query, nprobe, total_bits, id_, vec, n_clusters
     )
-    cents = sampled_kmeans_centroids(norm, k=n_clusters, vec="vec")
-    index_df, meta = build_index(norm, cents, total_bits=total_bits)
-    cents_full = centroids_with_rotation(spark, cents, meta)
-    if nprobe is None:
-        nprobe = n_clusters
-    res = rabitq_search(
-        norm.select(F.col("id").alias("qid"), F.col("vec").alias("qvec")),
-        index_df,
-        cents_full,
-        meta,
-        nprobe=nprobe,
-        k=k_per_query + 1,  # +1: self-match rides along and is dropped
-        rerank_base=norm,
-        # cogroup Arrow scorer: query side stays a DataFrame end-to-end
-        # (no driver collect — required for the N-queries self-join) and
-        # candidates score as one BLAS matmul per cluster, measured
-        # 2.6-4x over the interpreted SQL column pipeline at batch NQ.
-        scorer="arrow_cogroup",
-    )
-    pairs = (
-        res.where(F.col("qid") != F.col("id"))
-        .select(
-            F.least("qid", "id").alias("id_a"),
-            F.greatest("qid", "id").alias("id_b"),
-        )
-        .distinct()
-    )
-    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
-    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
     return (
-        pairs.join(a, on="id_a").join(b, on="id_b")
-        .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
-        .where(F.col("cos") >= threshold)
+        scored.where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
     )
 
@@ -614,37 +598,54 @@ def connected_components(
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    edges.count()
     lbl = nodes.select(
         F.col(id_).alias("id"), F.col(id_).cast("long").alias("comp")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(lbl.withColumnRenamed("id", "src"), on="src")
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("dst", "id")
-        )
-        new = (
-            lbl.join(nbr_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
+    ).persist()
+    lbl.count()
+    converged = False
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(lbl.withColumnRenamed("id", "src"), on="src")
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nbr_comp"))
+                .withColumnRenamed("dst", "id")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.withColumnRenamed("comp", "new_comp")
-            .join(lbl, on="id")
-            .where(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        lbl = new
-        if changed == 0:
-            break
+            new = (
+                lbl.join(nbr_min, on="id", how="left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)  # cut lineage each round
+            )
+            changed = (
+                new.withColumnRenamed("comp", "new_comp")
+                .join(lbl, on="id")
+                .where(F.col("new_comp") != F.col("comp"))
+                .count()
+            )
+            lbl.unpersist()  # bound storage: only the newest frame lives
+            lbl = new
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # silent exhaustion would return WRONG component ids —
+            # under-merged components are a correctness failure, not a
+            # quality knob
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds "
+                f"(graph diameter exceeds max_iter; raise max_iter or use "
+                f"a star-contraction variant for long-path graphs)"
+            )
+    finally:
+        edges.unpersist()
     return lbl.select(F.col("id").alias(id_), F.col("comp").alias("component_id"))
 
 
@@ -681,10 +682,14 @@ def incremental_dedup(
         .groupBy("new_id")
         .agg(F.min("corpus_id").alias("exact_dup_of"))
     )
-    n_stop = stop_shingles(new_docs, id_, text)
+    # ONE stop list — the corpus's — applied to BOTH sides: df is a
+    # corpus-level property (a small incoming shard cannot identify
+    # boilerplate), and per-side caps would compute the two sides'
+    # signatures over different shingle sets, desyncing band keys and
+    # deflating verified Jaccard for boilerplate-heavy docs.
     c_stop = stop_shingles(corpus_docs, id_, text)
     n_sh = raw_shingles(new_docs, id_, text).join(
-        F.broadcast(n_stop), on="shingle", how="left_anti"
+        F.broadcast(c_stop), on="shingle", how="left_anti"
     )
     c_sh = raw_shingles(corpus_docs, id_, text).join(
         F.broadcast(c_stop), on="shingle", how="left_anti"
@@ -709,7 +714,7 @@ def incremental_dedup(
             F.broadcast(cand.select(F.col("new_id").alias(id_)).distinct()),
             on=id_, how="left_semi",
         ), id_, text,
-    ).join(F.broadcast(n_stop), on="shingle", how="left_anti")
+    ).join(F.broadcast(c_stop), on="shingle", how="left_anti")
     c_cand = raw_shingles(
         corpus_docs.join(
             F.broadcast(cand.select(F.col("corpus_id").alias(id_)).distinct()),

@@ -856,6 +856,9 @@ def rabitq_search_arrow(
     the two-phase result); pass an int to apply the same est_lb rank cut
     as the SQL scorer.  Prefer :func:`rabitq_search`, which routes by
     batch size."""
+    if qid != "qid" or qvec != "qvec":
+        queries = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
+        qid, qvec = "qid", "qvec"
     scored = _arrow_scored_broadcast(
         queries, codes, centroids, meta, nprobe, qid, qvec, estimator
     )
@@ -1027,6 +1030,11 @@ def rabitq_search(
     two-phase result; marginally higher recall, more est evaluations
     kept through the top-k window).
     """
+    if qid != "qid" or qvec != "qvec":
+        # canonicalize: the scorers/finalize stages emit literal
+        # qid/qvec column names internally
+        queries = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
+        qid, qvec = "qid", "qvec"
     if probes is not None and scorer in ("arrow", "arrow_broadcast"):
         # the broadcast scorer's probe prep is driver-side by design;
         # injected probe DataFrames (e.g. graph_probes, W2) route to the
@@ -1086,6 +1094,12 @@ def rabitq_range_search(
     The exact verify joins the broadcast candidate set, so the
     raw-vector table never shuffles."""
     from .knn import distance_col
+
+    if qid != "qid" or qvec != "qvec":
+        # canonicalize: the scorers/finalize stages emit literal
+        # qid/qvec column names internally
+        queries = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
+        qid, qvec = "qid", "qvec"
 
     if scorer == "arrow_cogroup":
         scored = _arrow_scored_cogroup(

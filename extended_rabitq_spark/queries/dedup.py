@@ -291,23 +291,25 @@ INC_SPLIT = 400  # corpus: doc_id < 400; incoming shard: doc_id >= 400
 
 
 def _side_shingle_ctes(side: str, pred: str) -> str:
-    """Per-side shingle CTEs (df-cap within the side, matching
-    shingle_table applied to that side alone)."""
+    """Per-side shingle CTEs.  The df cap always comes from the CORPUS
+    side's frequency table (``cfreq`` — df is a corpus-level property;
+    the c-side CTEs must therefore appear before the n-side ones)."""
     return f"""
 {side}nrm AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents WHERE {pred}),
 {side}shl AS (SELECT doc_id, {T.d_shingles3('toks')} AS sh FROM {side}nrm),
 {side}sh0 AS (SELECT doc_id, unnest(sh) AS shingle FROM {side}shl),
 {side}freq AS (SELECT shingle, count(*) AS df FROM {side}sh0 GROUP BY shingle),
-{side}sh AS (SELECT s.doc_id, s.shingle FROM {side}sh0 s JOIN {side}freq f USING (shingle)
-       WHERE f.df <= {dedup.DF_CAP}),
+{side}sh AS (SELECT s.doc_id, s.shingle FROM {side}sh0 s
+       WHERE NOT EXISTS (SELECT 1 FROM cfreq f
+                         WHERE f.shingle = s.shingle AND f.df > {dedup.DF_CAP})),
 {side}sizes AS (SELECT doc_id, count(*) AS nsh FROM {side}sh GROUP BY doc_id),
 {side}sigs AS (SELECT doc_id, {_d_sig_cols()} FROM {side}sh GROUP BY doc_id),
 {side}bands AS ({_BANDS_UNION.replace('FROM sigs', f'FROM {side}sigs')})"""
 
 
 _INC_ORACLE = f"""
-WITH {_side_shingle_ctes('n', f'doc_id >= {INC_SPLIT}')},
-{_side_shingle_ctes('c', f'doc_id < {INC_SPLIT}')},
+WITH {_side_shingle_ctes('c', f'doc_id < {INC_SPLIT}')},
+{_side_shingle_ctes('n', f'doc_id >= {INC_SPLIT}')},
 nh AS (SELECT doc_id AS new_id, md5({_D_NORM}) AS h FROM documents WHERE doc_id >= {INC_SPLIT}),
 ch AS (SELECT doc_id AS corpus_id, md5({_D_NORM}) AS h FROM documents WHERE doc_id < {INC_SPLIT}),
 ex AS (SELECT new_id, min(corpus_id) AS exact_dup_of FROM nh JOIN ch USING (h) GROUP BY new_id),

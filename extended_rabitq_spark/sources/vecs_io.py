@@ -151,9 +151,12 @@ def vectors_to_df(
 
 def ingest_file(spark: SparkSession, path: str, out_parquet: str, **kw) -> DataFrame:
     """S1/S2 one-shot ingest: binary vector file → parquet; returns the
-    DataFrame re-read from parquet (the steady-state source).  Single
-    file ≡ single-shard :func:`ingest_dir`."""
-    return ingest_dir(spark, path, out_parquet, **kw)
+    DataFrame re-read from parquet (the steady-state source).  The path
+    is LITERAL (no glob interpretation — a file named ``v[1].fvecs``
+    works); single file ≡ single-shard :func:`ingest_dir`."""
+    df = convert_shards_df(spark, [path], path, **kw)
+    df.write.mode("overwrite").parquet(out_parquet)
+    return spark.read.parquet(out_parquet)
 
 
 def ingest_dir(
@@ -202,10 +205,18 @@ def convert_shards_df(
     if ext not in _READERS:
         raise ValueError(f"ingest_dir: unsupported format {ext!r}")
     elem = "float" if ext in (".fvecs", ".fbin") else "int"
+    # key per-shard id offsets by BASENAME: binaryFile reports paths as
+    # URIs (percent-encoded — 'my file' arrives as 'my%20file'), so
+    # filesystem-path keys don't round-trip.  Basenames survive URI
+    # encoding via unquote and shards are files of one directory listing
+    # in practice; duplicate basenames across dirs are rejected loudly.
+    names = [os.path.basename(p) for p in paths]
+    if len(set(names)) != len(names):
+        raise ValueError("ingest_dir: duplicate shard basenames across dirs")
     offsets: dict[str, int] = {}
     offset = 0
     for p in paths:
-        offsets[os.path.abspath(p)] = offset
+        offsets[os.path.basename(p)] = offset
         offset += _shard_rows(p)
     b_offsets = spark.sparkContext.broadcast(offsets)
 
@@ -215,9 +226,11 @@ def convert_shards_df(
         offs = b_offsets.value
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                local = path[len("file:"):] if path.startswith("file:") else path
+                from urllib.parse import unquote, urlparse
+
+                name = os.path.basename(unquote(urlparse(path).path))
                 mat = _decode_bytes(ext, content)
-                off = offs[os.path.abspath(local)]
+                off = offs[name]
                 for i in range(0, len(mat), CHUNK):
                     part = mat[i : i + CHUNK]
                     yield pd.DataFrame(
@@ -227,10 +240,26 @@ def convert_shards_df(
                         }
                     )
 
+    # NO repartition: it would shuffle every shard's payload.  binaryFile
+    # gives each large shard its own partition (binary files never split;
+    # only sub-maxPartitionBytes files pack together) — at scale the job
+    # is genuinely map-only.  Tiny-fixture shards may share a task; that
+    # coalescing is fine.
+    def _glob_escape(path: str) -> str:
+        # Hadoop's load() globs its paths; escape metacharacters so a
+        # literal shard named 'v[1].fvecs' resolves (backslash escaping
+        # per Hadoop GlobPattern)
+        out = []
+        for ch in path:
+            if ch in "*?[]{}\\":
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        return "".join(out)
+
     shards = (
         spark.read.format("binaryFile")
-        .load([os.path.abspath(p) for p in paths])
+        .load([_glob_escape(os.path.abspath(p)) for p in paths])
         .select("path", "content")
-        .repartition(len(paths))
     )
     return shards.mapInPandas(convert, f"{id_col} long, {vec_col} array<{elem}>")

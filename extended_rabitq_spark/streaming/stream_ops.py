@@ -45,7 +45,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: 
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -67,7 +67,7 @@ def batch_windowed_event_counts(spark: SparkSession, sf_dir: str, window: str = 
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -212,7 +212,7 @@ def sessionize_user_activity(events: DataFrame, gap: str = "30 minutes", waterma
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("session_start"),

@@ -389,3 +389,21 @@ def test_vocab_stats_sketch_within_tolerance(spark):
     assert set(exact) == set(appr)
     for lang in exact:
         assert abs(appr[lang] - exact[lang]) / exact[lang] <= 0.05, lang
+
+
+def test_connected_components_raises_on_diameter_exceeding_max_iter(spark):
+    from extended_rabitq_spark.operators import dedup
+
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    # diameter 9 > max_iter 3 -> must raise, not silently under-merge
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="no convergence"):
+        dedup.connected_components(chain, nodes, max_iter=3)
+    # ample iterations converge to a single component
+    comp = {r.doc_id: r.component_id
+            for r in dedup.connected_components(chain, nodes, max_iter=15).collect()}
+    assert set(comp.values()) == {0}

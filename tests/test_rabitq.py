@@ -968,3 +968,32 @@ class TestRangeSearch:
             ).collect()
         )
         assert exact == fast and len(exact) > 0
+
+
+class TestCustomColumnNames:
+    def test_search_and_range_accept_renamed_query_columns(self, spark):
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        idx, meta = rabitq.build_index(base, cents, total_bits=4)
+        cf = rabitq.centroids_with_rotation(spark, cents, meta)
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        res = rabitq.rabitq_search(
+            qs, idx, cf, meta, nprobe=3, k=5,
+            qid="query_id", qvec="qv", rerank_base=base,
+        ).collect()
+        assert len(res) == 50
+        rng = rabitq.rabitq_range_search(
+            qs, idx, cf, meta, radius2=1.6, nprobe=cents.count(),
+            rerank_base=base, qid="query_id", qvec="qv",
+        ).collect()
+        assert len(rng) > 0
