@@ -233,3 +233,41 @@ class TestComponentsProperty:
                 for r in dedup.connected_components(pairs, nodes).collect()
             }
             assert got == want, seed
+
+
+class TestPackSequencesProperty:
+    def test_closed_form_equals_sequential_simulation(self, spark):
+        """The window closed form must equal an explicit per-shard
+        sequential concat-and-chunk simulation (same hash order)."""
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        budget, nsh = 200, 4
+        got = {
+            r.doc_id: (r.shard, r.bin_id, r.offset_tokens, r.n_tokens)
+            for r in sampling.pack_sequences(
+                docs, budget_tokens=budget, n_shards=nsh
+            ).collect()
+        }
+        # independent reference: order docs per shard by (bucket, id),
+        # walk the token stream sequentially
+        import pyspark.sql.functions as F
+
+        rows = docs.select(
+            "doc_id",
+            F.expr(sampling._bucket_expr("doc_id", "pack")).alias("o"),
+            F.expr(
+                "CAST(size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) AS BIGINT)"
+            ).alias("n"),
+        ).collect()
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r.doc_id % nsh, []).append(r)
+        want = {}
+        for shard, rs in by_shard.items():
+            pos = 0
+            for r in sorted(rs, key=lambda r: (r.o, r.doc_id)):
+                want[r.doc_id] = (shard, pos // budget, pos % budget, r.n)
+                pos += r.n
+        assert got == want
