@@ -510,3 +510,47 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mx), F.col("total_revenue") == F.col("m"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+_Q17_ORACLE = """
+WITH pa AS (
+    SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON pk = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < half_avg_qty
+"""
+
+
+@register("tpch_q17", _Q17_ORACLE)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (adapted: no container
+    column): the correlated AVG subquery decorrelates into a per-part
+    aggregate joined back — one extra partial-agg pass over the fact
+    table instead of a per-row subquery.
+
+    Cross-engine note: avg(l_quantity) is a double whose low bits are
+    partial-agg-order dependent, but the filter compares it against
+    quantities on a coarse integer-ish grid — a row flips between
+    engines only if a quantity sits within ~1e-13 of 0.5·avg, which the
+    fixture's value grid cannot produce; the revenue SUM itself uses
+    exact DECIMAL."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    j = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 6
+        ).alias("avg_yearly")
+    )
