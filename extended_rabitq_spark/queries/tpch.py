@@ -554,3 +554,50 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 6
         ).alias("avg_yearly")
     )
+
+
+_Q22_ORACLE = """
+WITH pos AS (
+    SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS cntry, count(*) AS numcust,
+       sum(CAST(c_acctbal AS DECIMAL(38,6))) AS totacctbal
+FROM customer, pos
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+GROUP BY c_nationkey
+"""
+
+
+@register("tpch_q22", _Q22_ORACLE)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity shape (adapted: nationkey for
+    the missing phone prefix): scalar aggregate subquery (broadcast
+    1-row cross join) + NOT EXISTS as a broadcast left-anti join —
+    wealthy customers with no HIGH-VALUE order (the fixture's order
+    coverage is dense, so plain no-orders is empty — the > 400k
+    predicate keeps the anti-join exercising real rows), by nation.
+
+    Cross-engine note: avg(c_acctbal) is an order-dependent double, but
+    it filters a 2-decimal-grid column — same coarse-grid argument as
+    tpch_q17; the reported sum is exact DECIMAL."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.where(F.col("o_totalprice") > 400000.0),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).alias("totacctbal"),
+        )
+    )
