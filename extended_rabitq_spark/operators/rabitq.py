@@ -1034,6 +1034,8 @@ def rabitq_search(
         # canonicalize: the scorers/finalize stages emit literal
         # qid/qvec column names internally
         queries = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
+        if probes is not None and qid in probes.columns:
+            probes = probes.withColumnRenamed(qid, "qid")
         qid, qvec = "qid", "qvec"
     if probes is not None and scorer in ("arrow", "arrow_broadcast"):
         # the broadcast scorer's probe prep is driver-side by design;
@@ -1099,6 +1101,8 @@ def rabitq_range_search(
         # canonicalize: the scorers/finalize stages emit literal
         # qid/qvec column names internally
         queries = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
+        if probes is not None and qid in probes.columns:
+            probes = probes.withColumnRenamed(qid, "qid")
         qid, qvec = "qid", "qvec"
 
     if scorer == "arrow_cogroup":

@@ -997,3 +997,28 @@ class TestCustomColumnNames:
             rerank_base=base, qid="query_id", qvec="qv",
         ).collect()
         assert len(rng) > 0
+
+
+def test_custom_qid_with_injected_graph_probes(spark):
+    """Custom qid name + injected probes must canonicalize together."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_SMOKE
+    from extended_rabitq_spark.operators import ivf, rabitq
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+    idx, meta = rabitq.build_index(base, cents, total_bits=4)
+    cf = rabitq.centroids_with_rotation(spark, cents, meta)
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    graph = ivf.build_centroid_graph(cents, M=8)
+    gp = ivf.graph_probes(qs, graph, nprobe=3, qid="query_id", qvec="qv")
+    res = rabitq.rabitq_search(
+        qs, idx, cf, meta, nprobe=3, k=5, qid="query_id", qvec="qv", probes=gp
+    ).collect()
+    assert len(res) == 50
