@@ -8,14 +8,14 @@ from pyspark.sql import functions as F
 
 from ..operators import multimodal
 from ..registry import register
-from ..streaming.stream_ops import batch_windowed_event_counts
+from ..streaming.stream_ops import batch_windowed_event_counts, exact_value_sum
 
 _WINDOW_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
        event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -31,7 +31,7 @@ def events_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SESSION_ORACLE = """
-WITH g AS (SELECT user_id, event_type, count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+WITH g AS (SELECT user_id, event_type, count(*) AS n, CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
            FROM events GROUP BY user_id, event_type),
 r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS BIGINT)
         AS rnk FROM g)
@@ -49,7 +49,7 @@ def events_top_type_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     g = ev.groupBy("user_id", "event_type").agg(
-        F.count("*").cast("long").alias("n"), F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value")
+        F.count("*").cast("long").alias("n"), exact_value_sum("value")
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
     return (
@@ -78,7 +78,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
 FROM s GROUP BY user_id, sid
 """
 
@@ -100,7 +100,7 @@ def events_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
     ).agg(
         F.count("*").cast("long").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        exact_value_sum("value"),
     )
     return g.select(
         "user_id",

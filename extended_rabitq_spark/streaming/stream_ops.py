@@ -22,8 +22,11 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (schema pinned from the
-    batch reader incl. the nanos→micros conversion, see tables.load_events;
+    batch reader, same ts handling as tables.load_events — int64 nanos in
+    older fixtures, native TIMESTAMP(MICROS) in current ones;
     maxFilesPerTrigger=1 keeps micro-batches deterministic)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file source requires a *directory*; point it at the sf dir with a
@@ -34,7 +37,33 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(f"{sf_dir}/")
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(CAST(floor(ts / 1000) AS BIGINT))"))
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def exact_value_sum(col: str = "value") -> "F.Column":
+    """Order-independent, engine-portable SUM over a double column.
+
+    A plain SUM(double) is order-dependent (partition/merge order changes
+    the low bits), and double→DECIMAL casts round differently across
+    engines (Spark rounds the shortest decimal repr HALF_UP; DuckDB
+    rounds the full binary value), so neither hashes stably against a
+    DuckDB oracle.  Instead: fix point at 1 µ-unit — floor(v*1e6 + 0.5)
+    is bit-identical IEEE arithmetic in both engines — sum exactly as
+    BIGINT (associative), and present as DOUBLE (BIGINT→DOUBLE and /1e6
+    are again IEEE-identical).  Scales: the BIGINT partial sums hold
+    ~9.2e18 µ-units ≈ 9.2e12 in value units."""
+    micros = F.floor(F.col(col) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (F.sum(micros).cast("double") / F.lit(1000000.0)).alias("sum_value")
+
+
+# DuckDB oracle twin of exact_value_sum (same IEEE ops, same fixed point).
+EXACT_VALUE_SUM_SQL = (
+    "CAST(sum(CAST(floor({col} * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
+)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -45,7 +74,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: 
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            exact_value_sum("value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -67,7 +96,7 @@ def batch_windowed_event_counts(spark: SparkSession, sf_dir: str, window: str = 
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            exact_value_sum("value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -212,7 +241,7 @@ def sessionize_user_activity(events: DataFrame, gap: str = "30 minutes", waterma
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            exact_value_sum("value"),
         )
         .select(
             F.col("w.start").alias("session_start"),

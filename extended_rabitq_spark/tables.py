@@ -42,19 +42,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture uses parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).  Read
-    nanos as int64 and floor-convert to microseconds — bitwise the same
-    truncation DuckDB applies natively, so oracle timestamps match."""
+    """Events fixture reader, robust to the fixture's timestamp encoding.
+
+    Older driver testdata wrote parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — for that
+    encoding read nanos as int64 and floor-convert to microseconds
+    (integer ``div``, not float division: at ~1.7e18 ns the 52-bit
+    mantissa loses 1 µs on ~24% of rows).  Current testdata writes
+    TIMESTAMP(MICROS), which both Spark and DuckDB read natively —
+    pass it through unchanged so oracle timestamps match bitwise."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ts div 1000, NOT floor(ts / 1000): `/` on BIGINT returns DOUBLE, and
-    # at ~1.7e18 ns the 52-bit mantissa can no longer represent the
-    # quotient to 1 µs — floor() of the rounded double is off by ±1 µs on
-    # ~24% of fixture rows (measured).  Integer division is exact.
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        # TIMESTAMP(MICROS) parquet reads as TIMESTAMP_NTZ; normalize to
+        # TIMESTAMP so downstream ops (unix_micros, windows) see the same
+        # type the nanos path produced.  Session tz is pinned to UTC in
+        # session.get_spark, so the cast is the identity on the micros.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
