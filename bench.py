@@ -162,6 +162,19 @@ def main() -> None:
                 print(f"bench: extra {name} failed: {exc}", file=sys.stderr)
                 extras[f"{name}_sec"] = -1.0
 
+    # ---- extras: the full relational catalogue (all 22 TPC-H shapes) ----
+    tpch_names = sorted(n for n in qmap if n.startswith("tpch_q"))
+    t0 = time.perf_counter()
+    tpch_ok = 0
+    for name in tpch_names:
+        try:
+            run_full(qmap[name](spark, sf_dir))
+            tpch_ok += 1
+        except Exception as exc:
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+    extras["tpch_suite_sec"] = round(time.perf_counter() - t0, 3)
+    extras["tpch_suite_n"] = tpch_ok
+
     # The production (scale=True) composition: stage-3 near-dup prune via
     # the distributed ANN self-join instead of the all-pairs oracle twin.
     from extended_rabitq_spark.queries.pipeline import pipeline_clean_corpus

@@ -13,7 +13,7 @@ KNN/hash primitives, designed for 100 TB:
               friendly) → band keys → equi-join per band → verify exact
               Jaccard only on band-collided candidates.
 - SimHash:    token-hash bit-vote per doc (explode + sum, partial-agg) →
-              fingerprint; pair scan restricted to candidates (here全:
+              fingerprint; pair scan restricted to candidates (here:
               fixture-sized; banding by fingerprint prefix at scale).
 - embedding cosine: exact O(N²) declarative baseline (oracle-checkable)
               + the scale path is the IVF/RaBitQ ANN join (knn_rabitq).
@@ -295,7 +295,7 @@ def simhash_pairs(
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming →
     (doc_a, doc_b, hamming).  Fixture-sized all-pairs comparison; at scale
     band by fingerprint prefix first (same LSH shape as MinHash)."""
-    s = simhash(docs, id_, text)
+    s = simhash(docs, id_, text).localCheckpoint(eager=True)  # both cross-join sides read it
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     return (
@@ -328,7 +328,13 @@ def simhash_banded_pairs(
     AQE skew-join handles it, or pre-filter degenerate docs.
     """
     nb = max_hamming + 1
-    s = simhash(docs, id_, text)
+    # Materialize the fingerprint table before the self-join: both join
+    # sides reference it, and without a barrier the whole tokenize +
+    # 48-aggregate vote pipeline is computed twice (once per side).  One
+    # row per doc, two longs — tiny relative to the corpus; at 100 TB
+    # this is the "write fingerprints, then join" staging any production
+    # dedup does anyway.
+    s = simhash(docs, id_, text).localCheckpoint(eager=True)
     widths = [SIMHASH_BITS // nb + (1 if i < SIMHASH_BITS % nb else 0) for i in range(nb)]
     offs = [sum(widths[:i]) for i in range(nb)]
     bands = s.select(

@@ -601,3 +601,416 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(_DEC)).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: the remaining 8 canonical TPC-H shapes, adapted to the fixture
+# (no partsupp table, no commit/receipt dates, no comment columns).  The
+# part-supplier relation is derived from lineitem where partsupp is needed:
+# ps = distinct (l_partkey, l_suppkey) [+ min unit price as the cost proxy].
+# Every output aggregate keeps the module's determinism contract: DECIMAL
+# sums, integer-exact counts, per-row double arithmetic only.
+
+_Q2_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+best AS (
+    SELECT l_partkey AS bp, min(cost) AS min_cost
+    FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey
+    GROUP BY l_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost AS min_cost
+FROM part
+JOIN ps   ON p_partkey = ps.l_partkey
+JOIN eu   ON ps.l_suppkey = eu.s_suppkey
+JOIN best ON bp = p_partkey AND cost = best.min_cost
+WHERE p_size = 15 AND p_type = 'SMALL'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("tpch_q2", _Q2_ORACLE)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: the part-supplier cost
+    relation is derived from lineitem — min unit price per (part,
+    supplier) — since the fixture has no partsupp).  The correlated MIN
+    subquery decorrelates into a per-part aggregate joined back on cost
+    equality; region dims broadcast.
+
+    Cross-engine note: cost is a per-row double division (deterministic
+    IEEE in both engines) reduced by MIN (order-independent), so the
+    equality join and the output column are bit-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+    best = ps_eu.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    return (
+        part.join(ps_eu, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            best,
+            (F.col("bp") == F.col("p_partkey")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                F.col("cost").alias("min_cost"))
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@register("tpch_q4", _Q4_ORACLE)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: EXISTS tests a returned
+    lineitem — the fixture has no commit/receipt dates to express
+    lateness).  The correlated EXISTS is a left-semi join; the lineitem
+    side is pre-filtered before the semi so the shuffle carries only
+    matching keys."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    late = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+_Q9_ORACLE = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(l_extendedprice * (1 - l_discount)
+                - 0.1 * p_retailprice * l_quantity AS DECIMAL(38,6))) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+"""
+
+
+@register("tpch_q9", _Q9_ORACLE)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: supply cost proxied as 10%
+    of p_retailprice per unit — no partsupp).  Star join over the fact
+    table with part/supplier/nation broadcast; profit is per-row double
+    arithmetic cast to exact DECIMAL before the order-independent SUM."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(_DEC)
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(_t(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("sum_profit"))
+    )
+
+
+_Q11_ORACLE = """
+WITH v AS (
+    SELECT l_partkey, sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS value
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM v, (SELECT sum(value) AS total, count(*) AS np FROM v)
+WHERE CAST(value AS DOUBLE) * np > 2.0 * CAST(total AS DOUBLE)
+"""
+
+
+@register("tpch_q11", _Q11_ORACLE)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: per-part traded value —
+    extendedprice × quantity — of one nation's suppliers stands in for
+    partsupp stock value).  Group-by + HAVING-fraction-of-total: the
+    global total is a 1-row broadcast cross join, the same decorrelation
+    as the spec's scalar subquery.
+
+    The threshold is MEAN-relative (value > 2× the per-part mean, i.e.
+    value·n_parts > 2·total) rather than the spec's fixed
+    fraction-of-total: a fixed fraction silently empties as the part
+    catalogue grows (the spec itself scales its fraction by 1/SF), while
+    the mean-relative form selects a proportional heavy tail at every
+    scale.
+
+    Cross-engine note: both compared values are DOUBLE casts of exact
+    DECIMAL sums (identical in both engines), so the threshold
+    comparison is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(_DEC)).alias(
+                "value"
+            )
+        )
+    )
+    total = v.agg(F.sum("value").alias("total"), F.count("*").alias("np"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value").cast("double") * F.col("np")
+            > 2.0 * F.col("total").cast("double")
+        )
+        .select("l_partkey", "value")
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag AS return_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('R', 'A')
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("tpch_q12", _Q12_ORACLE)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority (adapted: l_returnflag classes
+    stand in for ship modes — the fixture has none).  Fact-side filter
+    pushes to the scan; the conditional counts are one partial-agg
+    groupBy after the key join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("return_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+_Q16_ORACLE = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16", _Q16_ORACLE)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship (adapted: the part-supplier
+    relation is lineitem's distinct pairs; the complaint-supplier
+    exclusion keys on negative account balance — no comment column).
+    NOT IN is a broadcast anti-join; supplier_cnt is an exact distinct
+    count (two-level agg)."""
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+_Q20_ORACLE = """
+WITH sq AS (
+    SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+),
+pt AS (
+    SELECT l_partkey AS pk, sum(qty) AS total_qty,
+           count(*) AS n_supp
+    FROM sq GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND EXISTS (SELECT 1 FROM sq JOIN pt ON pk = sq.l_partkey
+              WHERE sq.l_suppkey = s_suppkey
+                AND 2 * qty * n_supp > total_qty)
+"""
+
+
+@register("tpch_q20", _Q20_ORACLE)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 excess-stock suppliers (adapted: a supplier 'holds
+    excess stock' of a part if it shipped more than half the
+    per-supplier average quantity — availqty has no fixture analogue).
+    The nested IN-subquery chain is two aggregations + a semi-join;
+    every quantity is summed as exact BIGINT so the threshold
+    comparison is integer-exact in both engines."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    sq = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    pt = sq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty"), F.count("*").alias("n_supp")
+    )
+    excess = (
+        sq.join(pt, F.col("pk") == F.col("l_partkey"))
+        .where(2 * F.col("qty") * F.col("n_supp") > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l1.l_orderkey
+WHERE n_name = 'NATION_3' AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("tpch_q21", _Q21_ORACLE)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: 'the only
+    supplier whose lineitem was returned' on finished orders — the
+    fixture has no receipt/commit dates).  The double-correlated
+    EXISTS / NOT EXISTS pair becomes a semi- then anti-join on
+    (orderkey, other-supplier) — both with a non-equi conjunct the
+    planner evaluates inside the join."""
+    supp = _t(spark, sf_dir, "supplier").join(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders_f = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .join(orders_f.select("o_orderkey"), F.col("ok") == F.col("o_orderkey"))
+        .select("ok", "sk")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        supp.join(waiting, F.col("s_suppkey") == F.col("sk"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
