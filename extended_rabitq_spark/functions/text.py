@@ -61,3 +61,48 @@ def d_shingles3(toks: str) -> str:
         f"ELSE list_distinct(list_transform(range(1, len({toks}) - 1), "
         f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])) END"
     )
+
+# -- MinHash permutation family (shared constants) ---------------------------
+#
+# One md5 per shingle, N cheap 2-universal permutations on top:
+#     perm_i(h) = (A_i·(h & 2^30−1) + B_i·(h >> 30) + C_i) mod M61
+# with A,B,C < 2^30 and M61 = 2^61−1.  Every intermediate fits signed-64
+# (A·lo ≤ 2^60, sum < 2^62), the operands are plain BIGINT ops both engines
+# evaluate identically, and h < 2^60 is non-negative so % agrees too.
+# Replaces the per-seed md5('i:'||shingle) scheme: the signature pass
+# hashes each shingle ONCE instead of N_MINHASH times — at 100 TB the
+# md5 over the exploded shingle table is the dominant signature cost.
+
+MINHASH_P = (1 << 61) - 1  # Mersenne prime M61
+_MASK30 = (1 << 30) - 1
+
+
+def _mh_coeffs(n: int) -> list[tuple[int, int, int]]:
+    # Deterministic splitmix-style constants (computed once at import;
+    # no runtime randomness — both engines inline the same literals).
+    out, s = [], 0x9E3779B97F4A7C15
+    def nxt() -> int:
+        nonlocal s
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (s >> 22) & _MASK30
+    for _ in range(n):
+        out.append((nxt() | 1, nxt() | 1, nxt()))
+    return out
+
+
+MINHASH_COEFFS = _mh_coeffs(16)
+
+
+def minhash_perm(i: int, h: str) -> str:
+    """Spark-SQL permutation i applied to a BIGINT hash expression."""
+    a, b, c = MINHASH_COEFFS[i]
+    return (
+        f"(({a} * ({h} & {_MASK30}) + {b} * shiftright({h}, 30) + {c})"
+        f" % {MINHASH_P})"
+    )
+
+
+def d_minhash_perm(i: int, h: str) -> str:
+    """DuckDB permutation i (same literals, same integer ops)."""
+    a, b, c = MINHASH_COEFFS[i]
+    return f"(({a} * ({h} & {_MASK30}) + {b} * ({h} >> 30) + {c}) % {MINHASH_P})"

@@ -139,17 +139,22 @@ N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 2
 
 def minhash_signatures(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): sig_i = min over shingles of
-    hash60('i:' || shingle).  A groupBy-min per seed — partial-agg
-    friendly, one shuffle."""
+    perm_i(hash60(shingle)) — one md5 per shingle, cheap 2-universal
+    permutations per seed (functions.text.MINHASH_COEFFS).  A
+    groupBy-min per seed — partial-agg friendly, one shuffle."""
     return _signatures_from_shingles(shingle_table(docs, id_, text))
 
 
 def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    # One md5 per shingle (projected once), then N cheap 2-universal
+    # permutations (functions.text.minhash_perm) — the signature pass
+    # hashes the exploded shingle table ONCE instead of N_MINHASH times.
+    th = sh.select("doc_id", F.expr(T.hash60("shingle")).alias("h"))
     aggs = [
-        F.min(F.expr(T.hash60(f"concat('{i}:', shingle)"))).alias(f"sig_{i}")
+        F.min(F.expr(T.minhash_perm(i, "h"))).alias(f"sig_{i}")
         for i in range(N_MINHASH)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return th.groupBy("doc_id").agg(*aggs)
 
 
 def _band_keys(sigs: DataFrame) -> DataFrame:

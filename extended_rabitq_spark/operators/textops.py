@@ -271,3 +271,52 @@ def vocab_stats(docs: DataFrame, text: str = "text", approx: bool = False) -> Da
         F.count("*").cast("long").alias("n_tokens"),
         distinct_agg,
     ).withColumn("n_distinct_tokens", F.col("n_distinct_tokens").cast("long"))
+
+
+def repetition_stats(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per doc → (doc_id, n_tokens,
+    top_word_share_r, top_bigram_share_r).
+
+    The share of the single most frequent word / word-bigram — high
+    values flag degenerate boilerplate or looped generations that
+    length/stopword ratios miss (text_quality covers distinct-ratio).
+
+    Shape: two explode→count→max/sum aggregations (words, bigrams),
+    joined on doc_id — all partial-agg friendly, no Python.  Docs with
+    fewer than two tokens have no bigrams; their share is NULL (honest,
+    and identically NULL in the oracle)."""
+    d = docs.select(F.col(id_).alias("doc_id"), F.expr(T.tokens(text)).alias("_toks"))
+    wc = (
+        d.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = wc.groupBy("doc_id").agg(
+        F.max("c").alias("max_w"), F.sum("c").cast("long").alias("n_tokens")
+    )
+    bigrams = (
+        "CASE WHEN size(_toks) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(_toks) - 2), "
+        "i -> concat_ws(' ', _toks[i], _toks[i+1])) END"
+    )
+    bc = (
+        d.select("doc_id", F.explode(F.expr(bigrams)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    b = bc.groupBy("doc_id").agg(
+        F.max("c").alias("max_b"), F.sum("c").alias("n_bg")
+    )
+    return (
+        w.join(b, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("max_w").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_word_share_r"
+            ),
+            F.round(F.col("max_b").cast("double") / F.col("n_bg"), 6).alias(
+                "top_bigram_share_r"
+            ),
+        )
+    )

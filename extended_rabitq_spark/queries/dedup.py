@@ -62,8 +62,12 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d_sig_cols() -> str:
+    # Same permutation family as the Spark side (functions.text): the
+    # base md5 appears once per permutation textually — the oracle only
+    # needs value parity, not the Spark side's single-hash efficiency.
+    h = T.d_hash60("shingle")
     return ",\n       ".join(
-        f"min({T.d_hash60(chr(39) + str(i) + ':' + chr(39) + ' || shingle')}) AS sig_{i}"
+        f"min({T.d_minhash_perm(i, h)}) AS sig_{i}"
         for i in range(dedup.N_MINHASH)
     )
 

@@ -275,3 +275,49 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_depth"),
         )
     )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+         AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_props", _JSON_ORACLE)
+def events_json_props_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON processing: parse the events ``props`` JSON
+    column with a TYPED schema (``from_json`` — Jackson parse once per
+    row, then pure codegen field access; the idiomatic Spark path, NOT
+    per-field ``get_json_object`` re-parses) and aggregate exactly.
+
+    At 100 TB: from_json is JVM-side and partial-agg friendly; the parse
+    cost is one pass over the blob column, and column pruning still
+    drops ``props`` entirely for queries that don't touch it.  All
+    aggregates are integer-exact (BIGINT), so cross-engine parity is
+    bitwise against DuckDB's json_extract."""
+    from ..tables import load_events
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_events(spark, sf_dir)
+    schema = StructType([StructField("k", LongType())])
+    k = F.from_json(F.col("props"), schema)["k"]
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )

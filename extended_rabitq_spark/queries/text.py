@@ -205,3 +205,31 @@ def vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textops
 
     return textops.vocab_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_REPETITION_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+wc AS (SELECT doc_id, tok, count(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2),
+w AS (SELECT doc_id, max(c) AS max_w, CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM wc GROUP BY doc_id),
+bg0 AS (SELECT doc_id,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1]) END AS bgs
+        FROM tk),
+bc AS (SELECT doc_id, bg, count(*) AS c
+       FROM (SELECT doc_id, unnest(bgs) AS bg FROM bg0) GROUP BY 1, 2),
+b AS (SELECT doc_id, max(c) AS max_b, CAST(sum(c) AS BIGINT) AS n_bg
+      FROM bc GROUP BY doc_id)
+SELECT w.doc_id, n_tokens,
+       round(CAST(max_w AS DOUBLE) / n_tokens, 6) AS top_word_share_r,
+       round(CAST(max_b AS DOUBLE) / n_bg, 6) AS top_bigram_share_r
+FROM w LEFT JOIN b ON w.doc_id = b.doc_id
+"""
+
+
+@register("text_repetition", _REPETITION_ORACLE)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent word / bigram share per doc (repetition flags)."""
+    return textops.repetition_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
