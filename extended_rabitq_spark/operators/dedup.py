@@ -409,6 +409,12 @@ def _ann_self_join_scored_pairs(
     )
     cents = sampled_kmeans_centroids(norm, k=n_clusters, vec="vec")
     index_df, meta = build_index(norm, cents, total_bits=total_bits)
+    # Materialize the quantized index once: the search plan references it
+    # from several actions (shortlist broadcast build, re-rank, final
+    # top-k), and without a barrier the whole rotate+quantize pipeline
+    # re-runs per action.  Production serving persists the index anyway
+    # (save_index / save_index_bucketed); this is the in-session analogue.
+    index_df = index_df.localCheckpoint(eager=True)
     cents_full = centroids_with_rotation(spark, cents, meta)
     if nprobe is None:
         nprobe = n_clusters

@@ -160,10 +160,8 @@ def token_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _K, _W = textops.FP_K, textops.FP_W
-_D_GRAMS = (
-    f"list_transform(range(1, greatest(length(nrm) - {_K - 1}, 1) + 1), "
-    f"i -> {T.d_hash60(f'substr(nrm, i, {_K})')})"
-)
+_D_CODES = "list_transform(string_split(nrm, ''), c -> CAST(ascii(c) AS BIGINT))"
+_D_GRAMS = T.d_fp_gram_hash("codes", _K)
 _D_WINS = (
     f"CASE WHEN len(grams) < {_W} THEN list_distinct(grams) "
     f"ELSE list_distinct(list_transform(range(1, len(grams) - {_W - 1} + 1), "
@@ -172,7 +170,8 @@ _D_WINS = (
 
 _FP_ORACLE = f"""
 WITH nd AS (SELECT doc_id, {_D_NORM} AS nrm FROM documents),
-g AS (SELECT doc_id, {_D_GRAMS} AS grams FROM nd),
+cs AS (SELECT doc_id, {_D_CODES} AS codes FROM nd),
+g AS (SELECT doc_id, {_D_GRAMS} AS grams FROM cs),
 w AS (SELECT doc_id, {_D_WINS} AS wins FROM g)
 SELECT doc_id,
        CAST(len(wins) AS BIGINT) AS n_fp,
