@@ -321,3 +321,70 @@ def events_json_props_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_missing"),
         )
     )
+
+
+_LEADLAG_ORACLE = """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts))  OVER w AS prev_gap_us,
+       lead(epoch_us(ts)) OVER w - epoch_us(ts) AS next_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("events_lead_lag", _LEADLAG_ORACLE)
+def events_lead_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps per user (lag/lead window functions) — integer
+    microseconds end-to-end, so parity is exact.  One hash shuffle on
+    user_id; the in-partition sort is the window's only cost."""
+    from pyspark.sql import Window
+
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir).withColumn("_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("_us") - F.lag("_us").over(w)).alias("prev_gap_us"),
+        (F.lead("_us").over(w) - F.col("_us")).alias("next_gap_us"),
+    )
+
+
+_MOVAVG_ORACLE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+         / count(*) OVER w / 1000000.0 AS mov_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("events_moving_avg", _MOVAVG_ORACLE)
+def events_moving_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-event moving average of value per user — a ROWS-frame window
+    aggregate.  The frame sum uses the same fixed-point µ-unit BIGINT
+    trick as exact_value_sum (a plain double frame-sum is evaluation-
+    order dependent between engines), so the rolling mean is bit-exact."""
+    from pyspark.sql import Window
+
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "_vm", F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum("_vm").over(w).cast("double")
+            / F.count("*").over(w)
+            / F.lit(1000000.0)
+        ).alias("mov_avg"),
+    )

@@ -46,7 +46,10 @@ _DEMOTED = [
     "dedup_simhash",         # all-pairs oracle twin of dedup_simhash_banded
     "dedup_embedding_cosine",  # all-pairs twin of dedup_embedding_ann
     "ivf_probes_hier",       # same oracle as ivf_probes / ivf_probes_graph
+    "ivf_probes_graph",      # same W1 oracle as ivf_probes; W2 soak-tested
     "ivf_assign_combined",   # value-equal twin of ivf_assign
+    "dedup_apply",           # composition of checked components+minhash parts
+    "multimodal_audio_chunks",  # same explode family as multimodal_frames
     "knn_rabitq_ha",         # rows-only (HIGH_ACC variant; prop-tested)
     "rabitq_recall",         # rows-only (metric over approximate results)
     "multimodal_features",   # rows-only (Python decode stage; pytest e2e)

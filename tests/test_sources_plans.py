@@ -262,6 +262,43 @@ class TestTpchPlans:
         assert plan.count("BroadcastHashJoin") >= 4
         assert "CartesianProduct" not in plan
 
+    def test_q21_non_equi_semi_anti_stay_hash_joins(self, spark):
+        """Q21's EXISTS/NOT EXISTS pair has a non-equi conjunct
+        (other-supplier).  The planner must keep the ORDERKEY equi-key
+        as the join key (hash join with the <> as a residual condition)
+        — if the equi-key is ever lost, these degrade to nested-loop
+        joins over lineitem², which would never finish at scale."""
+        from extended_rabitq_spark.plans import inspect
+        from extended_rabitq_spark.queries.tpch import tpch_q21
+
+        plan = inspect.physical_plan(tpch_q21(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    def test_q2_min_cost_join_and_broadcast_dims(self, spark):
+        """Q2: the decorrelated min-cost subquery joins back on
+        (partkey, cost) — an equi-join (hash or sort-merge), never a
+        nested loop; region/nation dims broadcast."""
+        from extended_rabitq_spark.plans import inspect
+        from extended_rabitq_spark.queries.tpch import tpch_q2
+
+        plan = inspect.physical_plan(tpch_q2(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_q20_integer_threshold_semi_join(self, spark):
+        """Q20: the excess-stock filter feeds a LEFT SEMI join; the
+        quantity comparison stays integer (no doubles in the plan's
+        threshold predicate)."""
+        from extended_rabitq_spark.plans import inspect
+        from extended_rabitq_spark.queries.tpch import tpch_q20
+
+        plan = inspect.physical_plan(tpch_q20(spark, SF_SMOKE))
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
 
 class TestIndexLifecycle:
     def test_full_lifecycle_end_to_end(self, spark, tmp_path):
