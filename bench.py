@@ -130,6 +130,14 @@ def main() -> None:
         )
         extras[f"rabitq_recall_np{nprobe}"] = round(float(rec), 4)
         res.unpersist()
+        # steady-state QPS: identical search, JIT/scan warm — this is the
+        # number comparable to the reference's in-RAM loop (the cold pass
+        # pays Spark's one-time codegen + scan setup)
+        t0 = time.perf_counter()
+        rabitq.rabitq_search(
+            bench_queries, index_df, cents_full, meta, nprobe=nprobe, k=10
+        ).write.format("noop").mode("overwrite").save()
+        extras[f"rabitq_qps_np{nprobe}_warm"] = round(nq / (time.perf_counter() - t0), 2)
     gt.unpersist()
 
     # ---- timed: registered pipeline queries end-to-end ----

@@ -388,3 +388,29 @@ def events_moving_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("mov_avg"),
     )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
+@register("events_attribution", _ATTRIBUTION_ORACLE)
+def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution: batch twin of the watermarked
+    stream-stream interval join (streaming.stream_ops.attribution_join;
+    AvailableNow equivalence in tests/test_streaming.py).  Integer-µs
+    gap output, so parity is exact."""
+    from ..streaming.stream_ops import attribution_join
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return attribution_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )

@@ -293,3 +293,52 @@ def streaming_index_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each purchase attributed to
+    the same user's view events within ``max_gap`` before it →
+    (purchase_id, view_id, user_id, gap_us).
+
+    The time-interval predicate (view_ts ∈ [purchase_ts − max_gap,
+    purchase_ts]) plus the two watermarks is what lets Structured
+    Streaming BOUND the join state: each side holds at most
+    watermark+max_gap of per-user history, evicted as the event-time
+    frontier advances.  At 100 TB/day this is the only viable shape —
+    an unconstrained stream join would buffer both streams forever.
+    Works identically on batch DataFrames (same expressions, no
+    watermark needed) — the registered ``events_attribution`` query is
+    that batch twin, proven equal under Trigger.AvailableNow in
+    tests/test_streaming.py."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    joined = v.join(
+        p,
+        (v["user_id"] == p["user_id"])
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        v["user_id"].alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )

@@ -239,3 +239,41 @@ def test_streaming_index_ingest(spark, tmp_path):
     ).collect()
     # the streamed copy of vector 3 (id 10003) is its own nearest code
     assert res and res[0].id == 10_003
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """Watermarked stream-stream interval join under AvailableNow equals
+    the batch twin (same expressions, real state-store machinery)."""
+    import pyspark.sql.functions as F
+
+    from extended_rabitq_spark.streaming.stream_ops import attribution_join
+    from extended_rabitq_spark.tables import load_events
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    joined = attribution_join(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT purchase_id, view_id, user_id, gap_us FROM attrib"
+        ).collect()
+    }
+    ev = load_events(spark, SF_SMOKE)
+    want = {
+        tuple(r)
+        for r in attribution_join(
+            ev.where(F.col("event_type") == "view"),
+            ev.where(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0

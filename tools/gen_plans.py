@@ -94,6 +94,15 @@ def main() -> None:
         "re-scored declaratively -> broadcast anti-join.",
     )
 
+    add(
+        "tpch_q21 (correlated EXISTS / NOT EXISTS)",
+        QUERIES["tpch_q21"](spark, SF),
+        "The double-correlated subquery pair decorrelates to hash semi- "
+        "and anti-joins keyed on the orderkey with the other-supplier "
+        "inequality as a residual join condition — no nested-loop over "
+        "lineitem² survives planning (guarded in tests/test_sources_plans).",
+    )
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text(HDR + "\n".join(sections))
     print(f"wrote {out}")
