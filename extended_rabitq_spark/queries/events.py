@@ -414,3 +414,38 @@ def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "view"),
         ev.where(F.col("event_type") == "purchase"),
     )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@register("events_pivot", _PIVOT_ORACLE)
+def events_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity profile via ``groupBy().pivot()`` — the
+    long→wide reshape face of the engine.  The pivot values are pinned
+    (no discovery pass), so this stays ONE partial-agg shuffle compiling
+    to the same conditional-count plan as the oracle's CASE columns; at
+    100 TB an unpinned pivot would need an extra distinct scan first."""
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return wide.select(*cols)

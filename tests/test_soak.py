@@ -136,3 +136,37 @@ def test_graph_probes_at_hnsw_scale_k(spark):
           f"probe recall {recall:.3f}")
     assert recall >= 0.95, recall
     cents.unpersist()
+
+
+def test_minhash_lsh_50k_doc_corpus(spark):
+    """Dedup at 10× the bench corpus: 50k docs (sf0.1 replicated with
+    distinct ids; replicas are exact dups of their source).  Asserts
+    (a) the LSH pipeline completes without the self-join recompute trap
+    re-appearing (wall-clock bound is generous — the point is catching
+    quadratic/recompute regressions, not ±30% host noise), and (b)
+    every replica pair surfaces: replicated docs are word-identical, so
+    each must land in the same band bucket and verify at jaccard 1."""
+    import time
+
+    from extended_rabitq_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n = docs.count()
+    reps = [docs.select(
+        (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"), "text"
+    ) for i in range(10)]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    big = big.persist()
+    assert big.count() == 10 * n
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(big, threshold=0.9)
+    got = pairs.where(F.col("jaccard_r") == 1.0).count()
+    wall = time.perf_counter() - t0
+    # every source doc yields C(10,2)=45 replica pairs (plus any organic
+    # near-dups); the replica pairs alone are a hard lower bound
+    assert got >= 45 * n, (got, 45 * n)
+    print(f"minhash 50k docs: {wall:.1f}s, {got} exact-dup pairs")
+    assert wall < 600, wall
+    big.unpersist()
