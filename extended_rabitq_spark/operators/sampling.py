@@ -147,3 +147,41 @@ def pack_sequences(
         ((F.col("_cum") - F.col("n_tokens")) % budget_tokens).alias("offset_tokens"),
         "n_tokens",
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    char_budget_per_source: int,
+    source: str = "source",
+    id_: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Mixture rebalancing: per-source deterministic sample up to a
+    character budget → (doc_id, source, n_chars, cum_chars).
+
+    The data-mixing step of a pretraining pipeline: cap every source at
+    the same budget so over-represented crawls can't drown curated
+    sources.  Docs are taken in salted-hash order (uniform within each
+    source, reproducible across runs) while the running total stays
+    within budget — a doc is kept iff its cumulative size up to and
+    INCLUDING it is ≤ budget (documents larger than the remaining
+    budget are skipped only implicitly: the scan stops at the first
+    overflow, matching the window formulation exactly).
+
+    Shape: one hash shuffle on source + an in-partition sort for the
+    cumulative-sum window — identical cost to any per-group ranking; no
+    driver state.  Skew note: a giant source makes one hot window
+    partition — at 100 TB pre-filter each source with stratified_sample
+    to ~2× budget (hash order is uniform, so the survivors are the same
+    docs with overwhelming probability), then run the exact window on
+    the small remainder.
+    """
+    w = (
+        Window.partitionBy(source)
+        .orderBy(F.expr(_bucket_expr(id_, "mix")).asc(), F.col(id_).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        F.col(id_), F.col(source), F.col(size_col).cast("long").alias("n_chars")
+    ).withColumn("cum_chars", F.sum("n_chars").over(w).cast("long"))
+    return sized.where(F.col("cum_chars") <= char_budget_per_source)

@@ -140,3 +140,30 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(
         docs, budget_tokens=PACK_BUDGET, n_shards=PACK_SHARDS
     )
+
+
+MIX_BUDGET = 4_000  # chars per source — bites at every fixture SF
+# (per-source totals: ~7.5k chars at sf0.01, ~74k at sf0.1, scaling
+# linearly — a fixed cap is exactly the rebalancing semantics: every
+# source contributes the same volume no matter how large it grows)
+
+
+_MIX_ORACLE = f"""
+SELECT doc_id, source, n_chars, cum_chars FROM (
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(sum(n_chars) OVER (
+                PARTITION BY source
+                ORDER BY {sampling.d_bucket_expr('doc_id', 'mix')}, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_chars
+    FROM documents
+) WHERE cum_chars <= {MIX_BUDGET}
+"""
+
+
+@register("corpus_mixture_sample", _MIX_ORACLE)
+def corpus_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source char-budget mixture rebalancing (deterministic
+    hash-order greedy fill; integer-exact cumulative sums)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.mixture_sample(docs, MIX_BUDGET)
