@@ -109,11 +109,16 @@ def d_minhash_perm(i: int, h: str) -> str:
 
 # -- Winnowing fingerprint gram hash (shared constants) ----------------------
 #
-# Base-131 character polynomial over a k-gram (injective for code points
-# < 131, i.e. all ASCII — collision-free where md5 only promises
-# 60-bit-unlikely), spread by an affine map mod M61 so winnowing's
-# min-per-window selection sees well-mixed values.  Bounds: poly ≤
-# 0x7A·(131^4+…+1) < 2^35, FP_A < 2^27 → product < 2^62; all signed-64.
+# Base-131 polynomial over the k-gram's (code point mod 131) values —
+# injective for ASCII (code points < 131 pass through unchanged, so the
+# residue IS the code point — collision-free where md5 only promises
+# 60-bit-unlikely; non-ASCII folds onto the same 131-ary alphabet, a
+# plain hash collision, not an error), spread by an affine map mod M61
+# so winnowing's min-per-window selection sees well-mixed values.
+# Bounds hold for ARBITRARY unicode because of the mod: poly <
+# 131^5 < 2^35.2, FP_A < 2^27 → product < 2^62.2; all signed-64.
+# (Without the mod, any code point ≥ 232 — 'é', CJK, emoji — overflows
+# the FP_A·poly product and BOTH engines raise under ANSI arithmetic.)
 
 FP_A = 134217689  # prime < 2^27
 FP_B = 98765
@@ -124,10 +129,12 @@ def fp_gram_hash(codes: str, k: int) -> str:
 
     Short texts (< k chars) get one whole-text polynomial so every doc
     fingerprints (same contract as the old substring form)."""
-    poly = " + ".join(f"{codes}[i+{j}]*{131 ** (k - 1 - j)}" for j in range(k))
+    poly = " + ".join(
+        f"({codes}[i+{j}] % 131)*{131 ** (k - 1 - j)}" for j in range(k)
+    )
     return (
         f"CASE WHEN size({codes}) < {k} THEN "
-        f"array(({FP_A} * aggregate({codes}, CAST(0 AS BIGINT), (a, x) -> a * 131 + x) + {FP_B}) % {MINHASH_P}) "
+        f"array(({FP_A} * aggregate({codes}, CAST(0 AS BIGINT), (a, x) -> a * 131 + (x % 131)) + {FP_B}) % {MINHASH_P}) "
         f"ELSE transform(sequence(0, size({codes}) - {k}), "
         f"i -> ({FP_A} * ({poly}) + {FP_B}) % {MINHASH_P}) END"
     )
@@ -135,10 +142,12 @@ def fp_gram_hash(codes: str, k: int) -> str:
 
 def d_fp_gram_hash(codes: str, k: int) -> str:
     """DuckDB twin (1-based subscripts; list_reduce seeded via prepend)."""
-    poly = " + ".join(f"{codes}[i+{j}]*{131 ** (k - 1 - j)}" for j in range(k))
+    poly = " + ".join(
+        f"({codes}[i+{j}] % 131)*{131 ** (k - 1 - j)}" for j in range(k)
+    )
     return (
         f"CASE WHEN len({codes}) < {k} THEN "
-        f"[({FP_A} * list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), (a, x) -> a * 131 + x) + {FP_B}) % {MINHASH_P}] "
+        f"[({FP_A} * list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), (a, x) -> a * 131 + (x % 131)) + {FP_B}) % {MINHASH_P}] "
         f"ELSE list_transform(range(1, len({codes}) - {k - 2}), "
         f"i -> ({FP_A} * ({poly}) + {FP_B}) % {MINHASH_P}) END"
     )

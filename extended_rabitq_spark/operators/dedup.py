@@ -84,7 +84,13 @@ def raw_shingles(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> Da
     ).select("doc_id", F.explode(F.expr(T.shingles3("_toks"))).alias("shingle"))
 
 
-def stop_shingles(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+def stop_shingles(
+    docs: DataFrame,
+    id_: str = "doc_id",
+    text: str = "text",
+    *,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """The corpus-wide stop-shingle list: shingles with df > DF_CAP —
     TINY by the heavy-hitter bound (≤ total_shingles/DF_CAP distinct
     values, in practice a handful of boilerplate phrases), materialized
@@ -93,10 +99,14 @@ def stop_shingles(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> D
     df is defined over the WHOLE input corpus: callers that restrict a
     verify pass to candidate docs must anti-join against THIS list, not
     re-derive df on the restricted set (which would resurrect
-    stop-shingles and change Jaccard values)."""
+    stop-shingles and change Jaccard values).
+
+    ``shingles``: pass an already-materialized raw shingle table to
+    derive the list without a second corpus scan (the df > DF_CAP rule
+    then has exactly one definition for every caller)."""
+    sh0 = shingles if shingles is not None else raw_shingles(docs, id_, text)
     return (
-        raw_shingles(docs, id_, text)
-        .groupBy("shingle")
+        sh0.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > DF_CAP)
         .select("shingle")
@@ -208,12 +218,7 @@ def minhash_lsh_pairs(
     caused that, and measures ~25% FASTER steady plus 3× better cold
     at sf0.1 — 3.6-4.2s → 2.8-3.4s.)"""
     raw = raw_shingles(docs, id_, text).localCheckpoint(eager=True)
-    stop = (
-        raw.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > DF_CAP)
-        .select("shingle")
-    )
+    stop = stop_shingles(docs, id_, text, shingles=raw)
     sh = raw.join(F.broadcast(stop), on="shingle", how="left_anti")
     sigs = _signatures_from_shingles(sh)
     bands = _band_keys(sigs)

@@ -8,14 +8,20 @@ from pyspark.sql import functions as F
 
 from ..operators import multimodal
 from ..registry import register
-from ..streaming.stream_ops import batch_windowed_event_counts, exact_value_sum
+from ..streaming.stream_ops import (
+    EXACT_VALUE_SUM_SQL,
+    batch_windowed_event_counts,
+    exact_value_sum,
+)
 
-_WINDOW_ORACLE = """
+_SUM_VALUE_SQL = EXACT_VALUE_SUM_SQL.format(col="value")
+
+_WINDOW_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+       {_SUM_VALUE_SQL} AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -30,8 +36,8 @@ def events_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_windowed_event_counts(spark, sf_dir)
 
 
-_SESSION_ORACLE = """
-WITH g AS (SELECT user_id, event_type, count(*) AS n, CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+_SESSION_ORACLE = f"""
+WITH g AS (SELECT user_id, event_type, count(*) AS n, {_SUM_VALUE_SQL} AS sum_value
            FROM events GROUP BY user_id, event_type),
 r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS BIGINT)
         AS rnk FROM g)
@@ -78,7 +84,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
        count(*) AS n_events,
-       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+       {_SUM_VALUE_SQL} AS sum_value
 FROM s GROUP BY user_id, sid
 """
 

@@ -407,3 +407,39 @@ def test_connected_components_raises_on_diameter_exceeding_max_iter(spark):
     comp = {r.doc_id: r.component_id
             for r in dedup.connected_components(chain, nodes, max_iter=15).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_fingerprint_non_ascii_no_overflow(spark, duck):
+    """The gram polynomial folds code points mod 131: accented/CJK/emoji
+    chars must neither overflow signed-64 (ANSI arithmetic raises in
+    BOTH engines without the mod) nor break Spark/DuckDB parity."""
+    import pandas as pd
+
+    from extended_rabitq_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "café résumé naïve déjà vu élan",
+                "日本語のテキストです 機械学習 データ",
+                "emoji soup 😀😀😀 🎉 🚀 end",
+                "plain ascii control row for parity",
+            ],
+        })
+    )
+    got = {r.doc_id: (r.n_fp, r.min_fp, r.max_fp)
+           for r in textops.doc_fingerprint(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # DuckDB twin on the same rows (registered-view shape)
+    duck.sql("CREATE OR REPLACE TABLE nadocs (doc_id BIGINT, text VARCHAR)")
+    duck.sql("""INSERT INTO nadocs VALUES
+        (1, 'café résumé naïve déjà vu élan'),
+        (2, '日本語のテキストです 機械学習 データ'),
+        (3, 'emoji soup 😀😀😀 🎉 🚀 end'),
+        (4, 'plain ascii control row for parity')""")
+    from extended_rabitq_spark.queries.text import _FP_ORACLE
+
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in duck.sql(_FP_ORACLE.replace("FROM documents", "FROM nadocs")).fetchall()}
+    assert got == want

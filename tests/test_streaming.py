@@ -261,7 +261,7 @@ def test_stream_stream_attribution_matches_batch(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     got = {
         tuple(r)
         for r in spark.sql(
