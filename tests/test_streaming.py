@@ -25,7 +25,7 @@ def test_stream_matches_batch(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     got = {
         tuple(r)
         for r in spark.sql(
@@ -72,7 +72,7 @@ def test_streaming_knn_foreachbatch(spark, tmp_path):
     queries.coalesce(1).write.parquet(qdir)
     qstream = spark.readStream.schema(queries.schema).parquet(qdir)
     sq = qstream.writeStream.foreachBatch(serve).trigger(availableNow=True).start()
-    sq.awaitTermination(120)
+    assert sq.awaitTermination(120), "stream did not finish within 120s"
     assert set(collected) == batch_res and len(batch_res) > 0
 
 
@@ -88,7 +88,7 @@ def test_streaming_dedup_drops_repeats(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     got = spark.sql("SELECT user_id, event_type, count(*) AS c FROM dedup_stream GROUP BY 1,2")
     assert got.where("c > 1").count() == 0  # at most one event per key
     n_keys_stream = got.count()
@@ -113,7 +113,7 @@ def test_session_windows(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert len(rows) > 0
     assert all(r.session_end > r.session_start and r.n_events >= 1 for r in rows)
@@ -153,7 +153,7 @@ def test_streaming_topk_pool_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     # last emitted pool per qid == batch top-5
     from pyspark.sql import Window
 
@@ -226,7 +226,7 @@ def test_streaming_index_ingest(spark, tmp_path):
     new.write.parquet(src_dir)
     stream = spark.readStream.schema(new.schema).parquet(src_dir)
     q = streaming_index_ingest(stream, path, ckpt)
-    q.awaitTermination(60)
+    assert q.awaitTermination(60), "stream did not finish within 60s"
 
     codes, cents_saved, meta2 = rabitq.load_index(spark, path)
     assert codes.count() == n0 + 10
