@@ -170,3 +170,41 @@ def test_minhash_lsh_50k_doc_corpus(spark):
     print(f"minhash 50k docs: {wall:.1f}s, {got} exact-dup pairs")
     assert wall < 600, wall
     big.unpersist()
+
+
+def test_embedding_ann_dedup_10k_vectors(spark):
+    """ANN self-join dedup at 5× the bench embedding table: 10k vectors
+    (sf0.1 replicated with distinct ids — every vector has 4 exact
+    copies).  The distributed self-join must (a) complete in bounded
+    wall-clock (catches candidate-explosion / recompute regressions on
+    the flagship path) and (b) rank exact-copy pairs (cos = 1) at the
+    top of the global pool."""
+    import time
+
+    from extended_rabitq_spark.operators import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    reps = [emb.select(
+        (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"), "embedding"
+    ) for i in range(5)]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    big = big.persist()
+    assert big.count() == 5 * n
+    t0 = time.perf_counter()
+    top = dedup.embedding_ann_pairs(
+        big, top_n=50, nprobe=4, k_per_query=8, n_clusters=32
+    ).collect()
+    wall = time.perf_counter() - t0
+    print(f"ann dedup 10k vecs: {wall:.1f}s, {len(top)} pairs")
+    assert len(top) == 50
+    # replicas are bit-identical vectors: every top pair must be an exact
+    # copy (cos rounds to 1.0) — anything less means the index missed
+    # closer neighbors than it returned
+    assert all(abs(r.cos_r - 1.0) < 1e-9 for r in top), sorted(
+        {r.cos_r for r in top}
+    )[:5]
+    assert wall < 600, wall
+    big.unpersist()
