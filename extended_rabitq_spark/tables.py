@@ -55,6 +55,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The MICROS path casts TIMESTAMP_NTZ -> TIMESTAMP, which interprets
+    # wall-clock in the SESSION timezone: pin it here (not only in
+    # session.get_spark) so the cast is the identity under any caller's
+    # SparkSession — e.g. the round driver's own — not just ours.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
