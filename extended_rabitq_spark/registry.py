@@ -58,17 +58,27 @@ _DEMOTED = [
 ]
 
 
-def _apply_check_priority() -> None:
+def _check_ordered(mapping: dict) -> dict:
+    """A copy of ``mapping`` with demoted entries moved to the tail.
+
+    Applied at ACCESS time (ordered_queries/ordered_oracles below), not
+    at import time: mutating the registry while ``registry`` itself is
+    being imported breaks when a caller imports a query submodule
+    directly (the submodule's own registrations haven't run yet when
+    the registry module body reaches the reorder — a circular-import
+    hazard the import-time version tripped in tests)."""
     missing = [n for n in _DEMOTED if n not in QUERIES]
     if missing:  # not an assert: must also fire under python -O
         raise ValueError(f"_DEMOTED names not registered: {missing}")
-    ordered = [n for n in QUERIES if n not in _DEMOTED] + [
-        n for n in QUERIES if n in _DEMOTED
+    ordered = [n for n in mapping if n not in _DEMOTED] + [
+        n for n in mapping if n in _DEMOTED
     ]
-    for mapping in (QUERIES, ORACLES):
-        snap = dict(mapping)
-        mapping.clear()
-        mapping.update({n: snap[n] for n in ordered if n in snap})
+    return {n: mapping[n] for n in ordered}
 
 
-_apply_check_priority()
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _check_ordered(QUERIES)
+
+
+def ordered_oracles() -> dict[str, str]:
+    return _check_ordered(ORACLES)

@@ -117,6 +117,15 @@ def test_session_windows(spark):
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert len(rows) > 0
     assert all(r.session_end > r.session_start and r.n_events >= 1 for r in rows)
+    # full value parity with the registered batch twin (complete mode ==
+    # batch session_window on the same fixture; exact_value_sum must
+    # merge identically through the streaming state store)
+    from extended_rabitq_spark.queries.events import events_sessions_q
+
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    got = {tuple(r[c] for c in cols) for r in rows}
+    want = {tuple(r[c] for c in cols) for r in events_sessions_q(spark, SF_SMOKE).collect()}
+    assert got == want
 
 
 def test_streaming_topk_pool_matches_batch(spark, tmp_path):
