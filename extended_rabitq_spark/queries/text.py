@@ -232,3 +232,59 @@ FROM w LEFT JOIN b ON w.doc_id = b.doc_id
 def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-frequent word / bigram share per doc (repetition flags)."""
     return textops.repetition_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(lang, '<ALL>') AS lang_g,
+       coalesce(source, '<ALL>') AS source_g,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+@register("corpus_stats_cube", _CUBE_ORACLE)
+def corpus_stats_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four (lang, source) margins in ONE
+    partial-agg pass — completes the grouping-set family next to
+    corpus_stats_rollup's hierarchy)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<ALL>")).alias("lang_g"),
+            F.coalesce("source", F.lit("<ALL>")).alias("source_g"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+_QUALITY_BINS_ORACLE = """
+SELECT doc_id, lang,
+       CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT)
+         AS len_decile
+FROM documents
+"""
+
+
+@register("text_quality_bins", _QUALITY_BINS_ORACLE)
+def text_quality_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language decile binning (ntile) — the curriculum/quality
+    bucketing step of a training pipeline; deterministic (ties broken
+    by doc_id) so both engines cut identical bins."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return docs.select(
+        "doc_id", "lang", F.ntile(10).over(w).cast("long").alias("len_decile")
+    )
