@@ -286,11 +286,12 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-       sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
-         AS n_missing
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0
+                END) AS BIGINT) AS n_missing
 FROM events
 GROUP BY event_type
 """
@@ -424,11 +425,16 @@ def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error
 FROM events GROUP BY user_id
 """
 

@@ -10,6 +10,10 @@ sys.path.insert(0, str(REPO))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_T2 = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
 
 @pytest.fixture(scope="session")
@@ -27,10 +31,7 @@ def duck():
     import duckdb
 
     con = duckdb.connect()
-    for name in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
+    for name in TABLES:
         con.sql(
             f"CREATE VIEW {name} AS SELECT * FROM '{SF_T2}/{name}.parquet'"
         )

@@ -1,0 +1,58 @@
+"""Static type audit of every DuckDB oracle: the driver's value hash is
+TYPE-sensitive, and DuckDB silently widens integer ``sum()`` to HUGEINT
+(int128) — a type Spark never produces — so any oracle emitting HUGEINT
+is a guaranteed hash-mismatch even when values are identical (this bit
+``events_json_props``/``events_pivot`` in round 3; see VERDICT.md r3).
+
+This test runs ONLY the DuckDB side (cheap — sf0.001) and rejects types
+Spark cannot emit.  The full value-parity check lives in
+tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from conftest import SF_SMOKE, TABLES
+
+# DuckDB result types that have no Spark equivalent → driver hash-mismatch
+# even with identical values.
+_FORBIDDEN = {"HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+              "UBIGINT", "TIME", "INTERVAL"}
+
+
+def _oracles():
+    import __spark_entry__ as e
+
+    return sorted(e.oracle_sql().items())
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name,sql", _oracles(), ids=[n for n, _ in _oracles()])
+def test_oracle_emits_spark_compatible_types(duck_smoke, name, sql):
+    rel = duck_smoke.sql(sql)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).split("(")[0] in _FORBIDDEN
+    ]
+    assert not bad, (
+        f"{name}: oracle emits Spark-incompatible types {bad} — wrap the "
+        f"aggregate in an explicit CAST (e.g. CAST(sum(...) AS BIGINT))"
+    )
+    # duplicate column names break the driver's sort-by-name value hash
+    assert len(set(rel.columns)) == len(rel.columns), (
+        f"{name}: duplicate column names {rel.columns}"
+    )
