@@ -84,6 +84,20 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    WARM_REPS = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
+
+    def median_warm(fn) -> float:
+        # Single warm samples on this host swing ±30% (VERDICT r3: a 7.8s
+        # first-rep vs 1.5s steady-state) — report the median of
+        # WARM_REPS identical runs so round-over-round warm numbers are
+        # comparable.  The cold first pass is reported separately.
+        reps = []
+        for _ in range(WARM_REPS):
+            t0 = time.perf_counter()
+            fn()
+            reps.append(time.perf_counter() - t0)
+        return sorted(reps)[len(reps) // 2]
+
     # ---- untimed setup: build + persist the RaBitQ index (create_index) ----
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = emb.where(F.col("vec_id") >= NQ).select(
@@ -133,11 +147,12 @@ def main() -> None:
         # steady-state QPS: identical search, JIT/scan warm — this is the
         # number comparable to the reference's in-RAM loop (the cold pass
         # pays Spark's one-time codegen + scan setup)
-        t0 = time.perf_counter()
-        rabitq.rabitq_search(
-            bench_queries, index_df, cents_full, meta, nprobe=nprobe, k=10
-        ).write.format("noop").mode("overwrite").save()
-        extras[f"rabitq_qps_np{nprobe}_warm"] = round(nq / (time.perf_counter() - t0), 2)
+        dt_warm = median_warm(
+            lambda: rabitq.rabitq_search(
+                bench_queries, index_df, cents_full, meta, nprobe=nprobe, k=10
+            ).write.format("noop").mode("overwrite").save()
+        )
+        extras[f"rabitq_qps_np{nprobe}_warm"] = round(nq / dt_warm, 2)
     gt.unpersist()
 
     # Peak batch throughput: Spark's ~1.2s/job floor is FIXED — QPS
@@ -156,11 +171,12 @@ def main() -> None:
     rabitq.rabitq_search(
         big_queries, index_df, cents_full, meta, nprobe=6, k=10
     ).write.format("noop").mode("overwrite").save()  # warm-up pass
-    t0 = time.perf_counter()
-    rabitq.rabitq_search(
-        big_queries, index_df, cents_full, meta, nprobe=6, k=10
-    ).write.format("noop").mode("overwrite").save()
-    extras["rabitq_qps_np6_fullbatch_warm"] = round(nbig / (time.perf_counter() - t0), 2)
+    dt_big = median_warm(
+        lambda: rabitq.rabitq_search(
+            big_queries, index_df, cents_full, meta, nprobe=6, k=10
+        ).write.format("noop").mode("overwrite").save()
+    )
+    extras["rabitq_qps_np6_fullbatch_warm"] = round(nbig / dt_big, 2)
     extras["rabitq_fullbatch_nq"] = nbig
     big_queries.unpersist()
 
@@ -172,13 +188,16 @@ def main() -> None:
 
     # second pass: steady-state timings (JIT/IO warm) — extras, so the
     # headline total stays comparable round-over-round; the warm/cold
-    # gap also separates real plan cost from ambient machine noise
+    # gap also separates real plan cost from ambient machine noise.
+    # median of WARM_REPS runs (single warm samples swing ±30% on this
+    # host — VERDICT r3 item 4).
     for name in PIPELINE_QUERIES:
         if name in qmap:
-            t0 = time.perf_counter()
             try:
-                run_full(qmap[name](spark, sf_dir))
-                extras[f"{name}_warm_sec"] = round(time.perf_counter() - t0, 3)
+                dt = median_warm(
+                    lambda n=name: run_full(qmap[n](spark, sf_dir))
+                )
+                extras[f"{name}_warm_sec"] = round(dt, 3)
             except Exception:
                 extras[f"{name}_warm_sec"] = -1.0
 

@@ -438,6 +438,9 @@ def _ann_self_join_scored_pairs(
         k=k_per_query + 1,  # +1: self-match rides along and is dropped
         rerank_base=norm,
         scorer="arrow_cogroup",
+        # at nprobe ≥ K the scorer can skip probe selection wholesale —
+        # three fewer shuffles on the query side (see _arrow_scored_cogroup)
+        full_probes=nprobe >= n_clusters,
     )
     pairs = (
         res.where(F.col("qid") != F.col("id"))
@@ -449,7 +452,13 @@ def _ann_self_join_scored_pairs(
     )
     a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
     b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
-    return pairs.join(a, on="id_a").join(b, on="id_b").select(
+    # repartition the thin pair list before the exact-cosine projection:
+    # with a/b broadcast the join chain is narrow, and AQE coalesces the
+    # tiny post-distinct exchange to ~1 partition — which would serialize
+    # every pair's array-fold cosine into one task (same effect as the
+    # rerank chain in rabitq._finalize_topk).  The extra exchange carries
+    # two BIGINTs per row.
+    return pairs.repartition("id_a").join(a, on="id_a").join(b, on="id_b").select(
         "id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos")
     )
 
@@ -486,10 +495,19 @@ def embedding_ann_pairs(
     scored = _ann_self_join_scored_pairs(
         emb, k_per_query, nprobe, total_bits, id_, vec, n_clusters
     )
+    # Global top-N in two phases: TakeOrderedAndProject (per-partition
+    # partial top-N, parallel — this stage also evaluates the exact
+    # cosine) → row_number window over ≤ top_n rows.  A bare global
+    # Window.orderBy would be a SINGLE task and, with the pair joins
+    # broadcast (no shuffle boundary above it), would pull every cosine
+    # evaluation into that one task — measured 4.4s of a 12s run at
+    # sf0.1, and a straight scale-killer at 100 TB.
+    top = scored.orderBy(
+        F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(top_n)
     w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= top_n)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("rnk", "id_a", "id_b", F.round("cos", 6).alias("cos_r"))
     )
 

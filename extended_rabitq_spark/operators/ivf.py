@@ -73,7 +73,16 @@ def kmeans_centroids(
     cents = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    return spark.createDataFrame(cents, "cluster_id int, centroid array<double>")
+    # single-slice parallelize: a K-row driver-built DF otherwise spreads
+    # over defaultParallelism slices, and every downstream
+    # collect/broadcast spins up one Python worker PER SLICE (~1s each ×
+    # 32 on local[32] — measured as the top cost of the ANN dedup path;
+    # a post-hoc coalesce(1) is even slower, it funnels all slices
+    # through one worker per action)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(cents, 1),
+        "cluster_id int, centroid array<double>",
+    )
 
 
 def assign_clusters(
@@ -340,8 +349,12 @@ def sampled_kmeans_centroids(
                 far = np.argmax(d[np.arange(len(X)), a])
                 cent[j] = X[far]
     spark = base.sparkSession
+    # single-slice parallelize: see kmeans_centroids — K rows across 32
+    # slices cost one Python worker per slice on every collect/broadcast
     return spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
+        spark.sparkContext.parallelize(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)], 1
+        ),
         "cluster_id int, centroid array<double>",
     )
 

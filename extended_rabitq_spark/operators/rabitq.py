@@ -446,8 +446,11 @@ def centroids_with_rotation(
             (int(r["cluster_id"]), [float(x) for x in r["centroid"]],
              [float(x) for x in (c @ P.T)])
         )
+    # single-slice parallelize: K rows — avoid one-Python-worker-per-slice
+    # on every downstream collect/broadcast (see ivf.kmeans_centroids)
     return spark.createDataFrame(
-        data, "cluster_id int, centroid array<double>, centroid_rot array<double>"
+        spark.sparkContext.parallelize(data, 1),
+        "cluster_id int, centroid array<double>, centroid_rot array<double>",
     )
 
 
@@ -723,6 +726,7 @@ def _arrow_scored_cogroup(
     estimator: str,
     probes: DataFrame | None = None,
     per_cluster_cut: int | None = None,
+    full_probes: bool = False,
 ) -> DataFrame:
     """Unbounded-batch Arrow scorer → (qid, id, est_dist, est_lb).
 
@@ -736,6 +740,13 @@ def _arrow_scored_cogroup(
     100k-query broadcast dict (~25 GB at D=1536, nprobe=20) never
     exists.
 
+    ``full_probes=True`` (caller asserts nprobe ≥ K, e.g. the lossless
+    ANN self-join dedup): probe selection degenerates to "every query
+    probes every cluster", so the W1 rank window, the probes→qrot join,
+    and the distinct-probed-keys semi-join all drop out of the plan —
+    the query side becomes scan → rotate → broadcast-crossjoin, with
+    zero query-side shuffles before the cogroup exchange.
+
     Cost vs the broadcast scorer: the probed codes shuffle once for the
     cogroup (the broadcast path reads them in place) — UNLESS the index
     was saved with :func:`save_index_bucketed`, whose bucketed scan
@@ -746,23 +757,35 @@ def _arrow_scored_cogroup(
     """
     D = meta["D"]
     qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
-    if probes is None:  # W1 exact; callers may inject graph_probes (W2)
-        probes = select_probes(
-            queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec
-        )
-    probes = probes.select(F.col(qid).alias("qid"), "cluster_id")
-    qprobe = (
-        probes.join(qrot, on="qid")
-        .join(F.broadcast(centroids.select("cluster_id", "centroid_rot")), on="cluster_id")
-        .select(
-            "qid",
+    if probes is None and full_probes:
+        # nprobe ≥ K: every (query, cluster) pair is probed — build the
+        # residual table directly, no W1 window and no qid join.
+        qprobe = qrot.crossJoin(
+            F.broadcast(centroids.select("cluster_id", "centroid_rot"))
+        ).select(
+            "qid",  # rotate_queries canonicalizes the id column name
             "cluster_id",
             F.expr("zip_with(qrot, centroid_rot, (a, b) -> a - b)").alias("qr"),
         )
-    )
-    # partition pruning: only probed clusters' codes are read at all
-    keys = qprobe.select("cluster_id").distinct()
-    cand = codes.join(F.broadcast(keys), on="cluster_id", how="leftsemi")
+        cand = codes  # all clusters probed — nothing to prune
+    else:
+        if probes is None:  # W1 exact; callers may inject graph_probes (W2)
+            probes = select_probes(
+                queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec
+            )
+        probes = probes.select(F.col(qid).alias("qid"), "cluster_id")
+        qprobe = (
+            probes.join(qrot, on="qid")
+            .join(F.broadcast(centroids.select("cluster_id", "centroid_rot")), on="cluster_id")
+            .select(
+                "qid",
+                "cluster_id",
+                F.expr("zip_with(qrot, centroid_rot, (a, b) -> a - b)").alias("qr"),
+            )
+        )
+        # partition pruning: only probed clusters' codes are read at all
+        keys = qprobe.select("cluster_id").distinct()
+        cand = codes.join(F.broadcast(keys), on="cluster_id", how="leftsemi")
 
     packed = "code_packed" in codes.columns
     total_bits = meta["total_bits"]
@@ -896,7 +919,15 @@ def _finalize_topk(
         ).join(F.broadcast(queries.select(qid, qvec)), on=qid)
         from .knn import distance_col
 
-        shortlist = exact.select(
+        # repartition BEFORE evaluating the exact distance: the top-k
+        # window below requires hashpartitioning(qid) anyway, so this is
+        # the SAME single exchange, just moved under the distance
+        # projection — otherwise the whole broadcast-join + array-fold
+        # chain is narrow on the base scan and collapses into as few
+        # tasks as the scan has partitions (ONE at fixture scale:
+        # measured 3.4s single-task; at production scale it also
+        # rebalances the per-row array math independent of scan layout).
+        shortlist = exact.repartition("qid").select(
             "qid", "id", distance_col("l2", qvec, "vec").alias("est_dist")
         )
     w = Window.partitionBy("qid").orderBy(F.col("est_dist").asc(), F.col("id").asc())
@@ -999,8 +1030,13 @@ def rabitq_search(
     estimator: str = "searcher",
     broadcast_max_queries: int = 4096,
     probes: DataFrame | None = None,
+    full_probes: bool = False,
 ) -> DataFrame:
     """Full two-phase Extended-RaBitQ search → (qid, rank, id, est_dist).
+
+    ``full_probes=True`` is a caller assertion that nprobe ≥ the cluster
+    count (e.g. the lossless ANN self-join dedup): the cogroup scorer
+    then skips probe selection entirely (see _arrow_scored_cogroup).
 
     Scorers (all produce identical (est_dist, est_lb) candidates, so the
     result is rank-identical across them — asserted in tests):
@@ -1054,6 +1090,7 @@ def rabitq_search(
         scored = _arrow_scored_cogroup(
             queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes,
             per_cluster_cut=None if refine is None else refine * k,
+            full_probes=full_probes,
         )
     elif scorer == "sql":
         scored = _sql_scored(

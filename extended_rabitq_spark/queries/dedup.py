@@ -180,10 +180,15 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
     )
+    # two-phase global top-N: parallel partial top-N (TakeOrderedAndProject)
+    # feeds a tiny rank window — a bare global window would evaluate every
+    # all-pairs cosine in ONE task (see embedding_ann_pairs)
+    top = pairs.orderBy(
+        F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(_COS_TOPN)
     w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
     return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= _COS_TOPN)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("rnk", "id_a", "id_b", F.round("cos", 6).alias("cos_r"))
     )
 

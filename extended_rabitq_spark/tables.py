@@ -44,6 +44,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events fixture reader, robust to the fixture's timestamp encoding.
 
+    **Session mutation (contract):** this function pins
+    ``spark.sql.session.timeZone=UTC`` on the caller's session, and the
+    setting MUST stay UTC for as long as any DataFrame returned here is
+    alive: the NTZ→TIMESTAMP cast below evaluates lazily at *action*
+    time under the then-current session tz, so a save/restore scope
+    would silently corrupt the timestamps it was meant to protect.  A
+    warning is emitted if a different tz was in effect.  All repo entry
+    points (session.get_spark, the driver contract, bench) already run
+    UTC sessions, so in practice this is a no-op belt-and-braces pin.
+
     Older driver testdata wrote parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — for that
     encoding read nanos as int64 and floor-convert to microseconds
@@ -59,6 +69,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wall-clock in the SESSION timezone: pin it here (not only in
     # session.get_spark) so the cast is the identity under any caller's
     # SparkSession — e.g. the round driver's own — not just ours.
+    prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prior_tz not in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        import warnings
+
+        warnings.warn(
+            f"load_events: overriding session timeZone {prior_tz!r} -> 'UTC' "
+            "for bitwise event-timestamp parity; see docstring contract",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):

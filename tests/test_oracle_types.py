@@ -56,3 +56,17 @@ def test_oracle_emits_spark_compatible_types(duck_smoke, name, sql):
     assert len(set(rel.columns)) == len(rel.columns), (
         f"{name}: duplicate column names {rel.columns}"
     )
+
+
+def test_events_props_k_is_json_number(duck_smoke):
+    """ADVICE r3: Spark's typed ``from_json`` (LongType) yields NULL for a
+    JSON *string* ``"7"`` while the DuckDB oracle's CAST coerces it to 7 —
+    a latent value divergence in ``events_json_props`` if the fixture ever
+    string-encodes k.  Pin the fixture contract: props.k is a JSON number
+    or absent, never a string (checked at both gate scales)."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        (n_str,) = duck_smoke.sql(
+            "SELECT count(*) FROM read_parquet('" + sf + "/events.parquet') "
+            "WHERE json_type(props, '$.k') = 'VARCHAR'"
+        ).fetchone()
+        assert n_str == 0, f"{sf}: {n_str} rows encode props.k as a string"
