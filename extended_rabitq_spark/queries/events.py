@@ -461,3 +461,58 @@ def events_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in _EVENT_TYPES
     ]
     return wide.select(*cols)
+
+
+_RETENTION_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         CAST(datediff('day', c.cohort_week, date_trunc('week', e.ts)) // 7
+              AS BIGINT) AS week_offset
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+       count(*) AS n_active
+FROM activity
+GROUP BY 1, 2
+"""
+
+
+@register("events_retention", _RETENTION_ORACLE)
+def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    once per (cohort, week-offset) cell — the standard cohort-retention
+    triangle, and a shape the reference engine has no analog for.
+
+    Plan: one user-keyed partial-agg shuffle for cohort assignment, a
+    user-keyed join back (co-partitioned — reuses the same hash
+    exchange), then a distinct + count over (cohort, offset, user).
+    Both week truncations are Monday-based in Spark and DuckDB, and the
+    offset is an exact integer (week starts differ by multiples of 7
+    days), so parity is bitwise.  At 100 TB every shuffle key is
+    user_id or the tiny (cohort, offset) pair — no skew beyond user
+    hot-keys, which partial aggregation absorbs."""
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(cohort, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                .cast("long") / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset"
+    ).agg(F.count("*").alias("n_active"))

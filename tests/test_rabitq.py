@@ -650,6 +650,40 @@ class TestCogroupScorer:
         _assert_rank_identical(cm, sm, tol=1e-9)
         idx.unpersist()
 
+    def test_full_probes_fast_path_is_rank_identical(self, spark):
+        """Round-4 fast path: at nprobe >= K, full_probes=True skips probe
+        selection (broadcast cross-join instead of the W1 window) — the
+        results must be identical to the regular cogroup path, and the
+        probe-selection window must be gone from the plan."""
+        from extended_rabitq_spark.operators import rabitq
+        from extended_rabitq_spark.plans import inspect as I
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        kw = dict(nprobe=64, k=10, refine=4, scorer="arrow_cogroup")
+        plain = rabitq.rabitq_search(qs, idx, cents_full, meta, **kw)
+        fast = rabitq.rabitq_search(
+            qs, idx, cents_full, meta, full_probes=True, **kw
+        )
+        _assert_rank_identical(_res_map(plain), _res_map(fast), tol=1e-9)
+        # W1 window dropped; cogroup kernel still present
+        plan = I.physical_plan(
+            rabitq.rabitq_search(
+                qs, idx, cents_full, meta, nprobe=64, k=10, refine=None,
+                scorer="arrow_cogroup", full_probes=True,
+            )
+        )
+        assert "FlatMapCoGroupsInPandas" in plan
+        # W1's rank column never appears; the only window left is the
+        # final top-k (W3)
+        assert "probe_rank" not in plan
+        # exact re-rank rides the fast path too
+        pr = rabitq.rabitq_search(qs, idx, cents_full, meta, rerank_base=base, **kw)
+        fr = rabitq.rabitq_search(
+            qs, idx, cents_full, meta, rerank_base=base, full_probes=True, **kw
+        )
+        _assert_rank_identical(_res_map(pr), _res_map(fr), tol=1e-9)
+        idx.unpersist()
+
 
 class TestHighAccEstimator:
     def test_ha_rerank_identity_and_lb_transcription(self):
