@@ -73,6 +73,12 @@ _DEMOTED = [
                              # events_lead_lag (offset window)
     "corpus_stats_rollup",   # grouping-sets family kept checked via the
                              # strictly-superset corpus_stats_cube
+    "events_retention",      # cohort shape = grouped-agg + co-partitioned
+                             # join, both families already checked
+                             # (events_funnel/events_pivot); registering
+                             # it mid-file would otherwise push
+                             # corpus_length_quantiles — the only exact-
+                             # percentile row — out of the window
 ]
 
 # Promoted to the head of the registration order so they land inside the
