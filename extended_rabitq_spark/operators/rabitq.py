@@ -659,9 +659,15 @@ def _arrow_scored_broadcast(
             (QR * QR).sum(axis=1),
         )
     b_qr = spark.sparkContext.broadcast(by_cluster)
+    # single-slice parallelize: see ivf.kmeans_centroids — a K-row local
+    # list otherwise spreads over defaultParallelism slices and the
+    # broadcast build pays one Python worker per slice
     keys_df = F.broadcast(
         spark.createDataFrame(
-            [(int(c),) for c in sorted(by_cluster)], "cluster_id int"
+            spark.sparkContext.parallelize(
+                [(int(c),) for c in sorted(by_cluster)], 1
+            ),
+            "cluster_id int",
         )
     )
     cand = codes.join(keys_df, on="cluster_id", how="leftsemi")
