@@ -95,6 +95,20 @@ def main() -> None:
     )
 
     add(
+        "rabitq_search full-probes fast path (cogroup scorer)",
+        rabitq.rabitq_search(
+            qs, codes, cf, meta2, nprobe=64, k=10, scorer="arrow_cogroup",
+            full_probes=True,
+        ),
+        "nprobe >= K: probe selection degenerates to a broadcast "
+        "cross-join of rotated queries x rotated centroids — no W1 rank "
+        "window (`probe_rank` absent), no distinct-keys semi-join; the "
+        "cogroup exchange pairs each cluster's codes with its probing "
+        "queries for the Arrow BLAS kernel.  This is the ANN self-join "
+        "dedup configuration.",
+    )
+
+    add(
         "tpch_q21 (correlated EXISTS / NOT EXISTS)",
         QUERIES["tpch_q21"](spark, SF),
         "The double-correlated subquery pair decorrelates to hash semi- "
