@@ -516,3 +516,39 @@ def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset"
     ).agg(F.count("*").alias("n_active"))
+
+
+_SALTED_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT c.cohort_week, e.event_type, count(*) AS n_events
+FROM events e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("events_salted_cohort_join", _SALTED_ORACLE)
+def events_salted_cohort_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew tooling as a checked query: the events fact side joins its
+    per-user cohort dim through ``skew.salted_join`` (replicate-small /
+    salt-big, n_salts=8), then aggregates.  The oracle is the PLAIN
+    join — salting must be row-identical by construction, so this pins
+    the skew machinery itself under the driver's hash gate (previously
+    unit-test-only; COVERAGE.md "Skew tooling").
+
+    At 100 TB this is the shape for a hot-key fact⋈dim join AQE can't
+    split (shuffled-hash / broadcast-ineligible): the hot user's rows
+    spread over n_salts tasks at the cost of replicating the dim 8×."""
+    from ..operators.skew import salted_join
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).cast("date").alias("cohort_week")
+    )
+    joined = salted_join(ev.select("user_id", "event_type"), cohort, on="user_id")
+    return joined.groupBy("cohort_week", "event_type").agg(
+        F.count("*").alias("n_events")
+    )

@@ -79,6 +79,13 @@ _DEMOTED = [
                              # it mid-file would otherwise push
                              # corpus_length_quantiles — the only exact-
                              # percentile row — out of the window
+    "split_train_val",       # hash-fraction sampling family keeps its
+                             # checked rep via stratified_sample (the
+                             # per-stratum generalization of the same
+                             # hash60-threshold primitive); frees the
+                             # slot for the skew-tooling family
+                             # (events_salted_cohort_join), previously
+                             # unit-test-only
 ]
 
 # Promoted to the head of the registration order so they land inside the

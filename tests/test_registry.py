@@ -29,9 +29,9 @@ MUST_BE_CHECKED = [
     "contamination_check",
     "pack_sequences",
     "corpus_mixture_sample",
-    "split_train_val",
     "stratified_sample",
     "quota_sample",
+    "events_salted_cohort_join",  # skew tooling
     "text_lang_id",
     "text_quality",
     "text_token_count",
