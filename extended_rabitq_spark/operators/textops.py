@@ -326,3 +326,81 @@ def repetition_stats(docs: DataFrame, id_: str = "doc_id", text: str = "text") -
             ),
         )
     )
+
+
+PMI_MIN_COUNT = 3   # minimum bigram support (noise floor)
+PMI_TOPN = 50
+
+
+def token_pmi(
+    docs: DataFrame,
+    text: str = "text",
+    min_count: int = PMI_MIN_COUNT,
+    top_n: int = PMI_TOPN,
+) -> DataFrame:
+    """Corpus collocations: top-N word bigrams by pointwise mutual
+    information → (rnk, bigram, n_pair, pmi_r).
+
+    PMI is reported as the probability ratio
+    ``P(ab) / (P(a)·P(b))`` (its log is monotone, so ranking is
+    unaffected and the arithmetic stays a short, cross-engine-exact
+    chain of IEEE divisions — no libm ``log`` whose last ulp differs
+    between JVM and DuckDB).
+
+    Shape: one tokenize pass feeds (a) a corpus-total aggregate
+    (tokens, bigrams — two scalar sums, broadcast back), (b) unigram
+    counts, (c) bigram counts with a min-support filter.  The
+    min-support filter runs BEFORE the unigram joins, so at 100 TB the
+    joins carry only surviving collocations (the unigram table streams,
+    nothing driver-side), and the global top-N is
+    TakeOrderedAndProject + a tiny rank window, not a single-task
+    global sort."""
+    from pyspark.sql import Window
+
+    d = docs.select(F.expr(T.tokens(text)).alias("_toks"))
+    totals = d.agg(
+        F.sum(F.size("_toks")).cast("double").alias("n_w"),
+        F.sum(F.greatest(F.size("_toks") - 1, F.lit(0))).cast("double").alias("n_b"),
+    )
+    uni = (
+        d.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    bigrams = (
+        "CASE WHEN size(_toks) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(_toks) - 2), "
+        "i -> concat_ws(' ', _toks[i], _toks[i+1])) END"
+    )
+    bg = (
+        d.select(F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    u1 = uni.select(F.col("tok").alias("_w1"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("tok").alias("_w2"), F.col("c1").alias("c1b"))
+    scored = (
+        bg.withColumn("_w1", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("_w2", F.expr("split(bigram, ' ')[1]"))
+        .join(u1, on="_w1")
+        .join(u2, on="_w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            F.col("c2").alias("n_pair"),
+            (
+                (F.col("c2").cast("double") / F.col("n_b"))
+                / (
+                    (F.col("c1a").cast("double") / F.col("n_w"))
+                    * (F.col("c1b").cast("double") / F.col("n_w"))
+                )
+            ).alias("_pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("_pmi").desc(), F.col("bigram").asc()).limit(top_n)
+    w = Window.orderBy(F.col("_pmi").desc(), F.col("bigram").asc())
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("rnk", "bigram", "n_pair", F.round("_pmi", 6).alias("pmi_r"))
+    )

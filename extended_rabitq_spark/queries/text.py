@@ -288,3 +288,46 @@ def text_quality_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.ntile(10).over(w).cast("long").alias("len_decile")
     )
+
+
+_D_BIGRAMS = (
+    "CASE WHEN len(toks) < 2 THEN [] "
+    "ELSE list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i+1]) END"
+)
+
+_PMI_ORACLE = f"""
+WITH d AS (SELECT {_D_TOKS} AS toks FROM documents),
+tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_w,
+               CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_b
+        FROM d),
+uni AS (SELECT tok, count(*) AS c1
+        FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+bg AS (SELECT bigram, count(*) AS c2
+       FROM (SELECT unnest({_D_BIGRAMS}) AS bigram FROM d)
+       GROUP BY bigram
+       HAVING count(*) >= {textops.PMI_MIN_COUNT}),
+scored AS (
+  SELECT bg.bigram, bg.c2 AS n_pair,
+         (CAST(bg.c2 AS DOUBLE) / tot.n_b)
+           / ((CAST(a.c1 AS DOUBLE) / tot.n_w)
+              * (CAST(b.c1 AS DOUBLE) / tot.n_w)) AS pmi
+  FROM bg
+  JOIN uni a ON a.tok = string_split(bg.bigram, ' ')[1]
+  JOIN uni b ON b.tok = string_split(bg.bigram, ' ')[2]
+  CROSS JOIN tot
+),
+r AS (SELECT bigram, n_pair, pmi,
+             CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS BIGINT) AS rnk
+      FROM scored)
+SELECT rnk, bigram, n_pair, round(pmi, 6) AS pmi_r
+FROM r WHERE rnk <= {textops.PMI_TOPN}
+"""
+
+
+@register("token_pmi", _PMI_ORACLE)
+def token_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information (probability
+    ratio form — monotone in log-PMI, but free of cross-engine libm
+    drift).  Min-support 3; ties broken by bigram text."""
+    return textops.token_pmi(spark.read.parquet(f"{sf_dir}/documents.parquet"))
