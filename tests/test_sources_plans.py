@@ -431,3 +431,39 @@ def test_ingest_handles_spaces_and_glob_chars_in_names(spark, tmp_path):
     vecs_io.write_fvecs(lit, a)
     out = vecs_io.ingest_file(spark, lit, str(tmp_path / "lit.parquet"))
     assert out.count() == 4
+
+
+class TestRound4QueryPlans:
+    def test_token_pmi_parallel_topn_and_pruning(self, spark):
+        """PMI collocations: global top-N must be TakeOrderedAndProject
+        (parallel partials), and the documents scan must read ONLY the
+        text column (column pruning through tokenize/explode)."""
+        from extended_rabitq_spark.plans import inspect
+        from extended_rabitq_spark.queries.text import token_pmi_q
+
+        plan = inspect.physical_plan(token_pmi_q(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan
+        rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert rs and all("doc_id" not in ln and "lang" not in ln for ln in rs)
+
+    def test_events_retention_partial_aggs(self, spark):
+        """Cohort retention: both aggregations keep map-side partials
+        (HashAggregate pairs), no nested-loop join."""
+        from extended_rabitq_spark.plans import inspect
+        from extended_rabitq_spark.queries.events import events_retention_q
+
+        plan = inspect.physical_plan(events_retention_q(spark, SF_SMOKE))
+        assert plan.count("HashAggregate") >= 4
+        assert "NestedLoop" not in plan
+
+    def test_salted_join_spreads_salt_key(self, spark):
+        """The salted cohort join must key its join on (user_id, _salt)
+        — the whole point — and end in one partial-agg pair."""
+        from extended_rabitq_spark.plans import inspect
+        from extended_rabitq_spark.queries.events import (
+            events_salted_cohort_join_q,
+        )
+
+        plan = inspect.physical_plan(events_salted_cohort_join_q(spark, SF_SMOKE))
+        assert "_salt" in plan
+        assert "pmod" in plan
