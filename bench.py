@@ -92,7 +92,7 @@ def main() -> None:
         # WARM_REPS identical runs so round-over-round warm numbers are
         # comparable.  The cold first pass is reported separately.
         reps = []
-        for _ in range(WARM_REPS):
+        for _ in range(max(WARM_REPS, 1)):  # 0 would IndexError below
             t0 = time.perf_counter()
             fn()
             reps.append(time.perf_counter() - t0)
@@ -214,12 +214,17 @@ def main() -> None:
             try:
                 run_full(qmap[name](spark, sf_dir))
                 extras[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                print(f"bench: extra {name} failed: {exc}", file=sys.stderr)
+                extras[f"{name}_sec"] = -1.0
+                continue
+            try:  # separate: a warm-rep failure must not clobber the cold
                 extras[f"{name}_warm_sec"] = round(
                     median_warm(lambda n=name: run_full(qmap[n](spark, sf_dir))), 3
                 )
             except Exception as exc:
-                print(f"bench: extra {name} failed: {exc}", file=sys.stderr)
-                extras[f"{name}_sec"] = -1.0
+                print(f"bench: extra {name} warm failed: {exc}", file=sys.stderr)
+                extras[f"{name}_warm_sec"] = -1.0
 
     # ---- extras: the full relational catalogue (all 22 TPC-H shapes) ----
     tpch_names = sorted(n for n in qmap if n.startswith("tpch_q"))

@@ -337,6 +337,7 @@ def token_pmi(
     text: str = "text",
     min_count: int = PMI_MIN_COUNT,
     top_n: int = PMI_TOPN,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Corpus collocations: top-N word bigrams by pointwise mutual
     information → (rnk, bigram, n_pair, pmi_r).
@@ -347,21 +348,21 @@ def token_pmi(
     chain of IEEE divisions — no libm ``log`` whose last ulp differs
     between JVM and DuckDB).
 
-    Shape: one tokenize pass feeds (a) a corpus-total aggregate
-    (tokens, bigrams — two scalar sums, broadcast back), (b) unigram
-    counts, (c) bigram counts with a min-support filter.  The
-    min-support filter runs BEFORE the unigram joins, so at 100 TB the
-    joins carry only surviving collocations (the unigram table streams,
-    nothing driver-side), and the global top-N is
-    TakeOrderedAndProject + a tiny rank window, not a single-task
-    global sort."""
+    Shape: ONE tokenize pass, materialized (`localCheckpoint`, the same
+    staging move as the minhash pipeline — without it each consumer
+    re-tokenizes the corpus), feeding the unigram and bigram count
+    tables; the corpus totals are derived from those aggregates (sum of
+    unigram counts = token total; sum of pre-filter bigram counts =
+    bigram total), not from extra scans.  The min-support filter runs
+    BEFORE the unigram joins, so at 100 TB the joins carry only
+    surviving collocations (the unigram table streams, nothing
+    driver-side), and the global top-N is TakeOrderedAndProject + a
+    tiny rank window, not a single-task global sort."""
     from pyspark.sql import Window
 
     d = docs.select(F.expr(T.tokens(text)).alias("_toks"))
-    totals = d.agg(
-        F.sum(F.size("_toks")).cast("double").alias("n_w"),
-        F.sum(F.greatest(F.size("_toks") - 1, F.lit(0))).cast("double").alias("n_b"),
-    )
+    if checkpoint:  # False only for plan-inspection tests
+        d = d.localCheckpoint(eager=True)
     uni = (
         d.select(F.explode("_toks").alias("tok"))
         .groupBy("tok")
@@ -372,12 +373,15 @@ def token_pmi(
         "ELSE transform(sequence(0, size(_toks) - 2), "
         "i -> concat_ws(' ', _toks[i], _toks[i+1])) END"
     )
-    bg = (
+    bg_all = (
         d.select(F.explode(F.expr(bigrams)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("c2"))
-        .where(F.col("c2") >= min_count)
     )
+    totals = uni.agg(F.sum("c1").cast("double").alias("n_w")).crossJoin(
+        bg_all.agg(F.sum("c2").cast("double").alias("n_b"))
+    )
+    bg = bg_all.where(F.col("c2") >= min_count)
     u1 = uni.select(F.col("tok").alias("_w1"), F.col("c1").alias("c1a"))
     u2 = uni.select(F.col("tok").alias("_w2"), F.col("c1").alias("c1b"))
     scored = (

@@ -69,7 +69,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wall-clock in the SESSION timezone: pin it here (not only in
     # session.get_spark) so the cast is the identity under any caller's
     # SparkSession — e.g. the round driver's own — not just ours.
-    prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    try:
+        # no-default get returns the EFFECTIVE value (falls back to the
+        # JVM default tz), so an inherited non-UTC host zone warns too
+        prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        prior_tz = None
     if prior_tz not in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
         import warnings
 

@@ -437,14 +437,23 @@ class TestRound4QueryPlans:
     def test_token_pmi_parallel_topn_and_pruning(self, spark):
         """PMI collocations: global top-N must be TakeOrderedAndProject
         (parallel partials), and the documents scan must read ONLY the
-        text column (column pruning through tokenize/explode)."""
+        text column (column pruning through tokenize/explode).  Plan is
+        inspected with checkpoint=False — the production default stages
+        the token table behind a localCheckpoint, which hides the scan
+        from the final plan."""
+        from extended_rabitq_spark.operators import textops
         from extended_rabitq_spark.plans import inspect
-        from extended_rabitq_spark.queries.text import token_pmi_q
 
-        plan = inspect.physical_plan(token_pmi_q(spark, SF_SMOKE))
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        plan = inspect.physical_plan(textops.token_pmi(docs, checkpoint=False))
         assert "TakeOrderedAndProject" in plan
         rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert rs and all("doc_id" not in ln and "lang" not in ln for ln in rs)
+        # the registered (checkpointed) form stages the token table once
+        plan_ck = inspect.physical_plan(
+            textops.token_pmi(docs, checkpoint=True)
+        )
+        assert "ExistingRDD" in plan_ck
 
     def test_events_retention_partial_aggs(self, spark):
         """Cohort retention: both aggregations keep map-side partials

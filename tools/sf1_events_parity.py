@@ -71,9 +71,12 @@ def main() -> int:
         )
         if not ok:
             failures.append(name)
-            bad = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:1]
-            for i in bad:
-                print(f"  first diff: spark={s[i]} duck={d[i]}")
+            # symmetric diff, not a positional zip: a pure row-count
+            # mismatch with an equal common prefix must still print
+            only_s = sorted(set(s) - set(d))[:2]
+            only_d = sorted(set(d) - set(s))[:2]
+            print(f"  rows spark={len(s)} duck={len(d)}; "
+                  f"spark-only={only_s} duck-only={only_d}")
     print(f"RESULT: {len(names) - len(failures)}/{len(names)} match; "
           f"failures={failures}")
     spark.stop()
