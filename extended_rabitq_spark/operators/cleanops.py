@@ -1,0 +1,382 @@
+"""Corpus-cleaning operators for the LLM training-data pipeline surface.
+
+Beyond-reference (SURVEY §2.8 north star) — the cleanup/export stages a
+100 TB pretraining pipeline runs downstream of dedup:
+
+- ``segment_dedup``   — CCNet-style duplicated-segment removal: hash every
+  segment of every document, count corpus-wide, drop segments that appear
+  in ≥ ``min_dup`` distinct documents, reassemble the survivors.
+- ``doc_chunks``      — overlapping fixed-size chunking (the embedding /
+  context-window prep step).
+- ``shard_export``    — deterministic hash-shuffle of the corpus into N
+  training shards with a stable intra-shard order.
+- ``gopher_filter``   — Gopher-style rule-based quality gate, expressed
+  with integer-exact comparisons (no float thresholds → bitwise
+  cross-engine reproducible).
+- ``tfidf_terms``     — per-source top-k salient terms by tf·idf, idf in
+  probability-ratio form (monotone transform of log-idf; avoids libm
+  ``log`` whose last ulp differs across engines — same convention as
+  ``textops.token_pmi``).
+
+All five are pure column-expression plans (zero Python in the hot path);
+their only shuffles are the group-bys/joins named in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .textops import STOPWORDS
+
+# Segment dedup: fixed token-window segmentation (the fixture corpus has
+# no newlines; real corpora pass separator-split lines through the same
+# counting/reassembly pipeline).
+SEG_TOKENS = 10
+SEG_MIN_DUP = 2
+
+# Chunking defaults: 120-char windows advancing 80 chars (40 overlap).
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 80
+
+N_SHARDS = 8
+
+TFIDF_TOPK = 5
+
+# Gopher-rule thresholds (integer-exact: every rule is a cross-multiplied
+# integer comparison, never a float ratio).
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_AVG_LEN = 2  # avg token length lower bound
+GOPHER_MAX_AVG_LEN = 10  # upper bound
+GOPHER_STOP_DENOM = 50  # stopword ratio >= 1/50 (2%)
+GOPHER_DISTINCT_NUM = 3  # distinct-token ratio >= 3/10
+GOPHER_DISTINCT_DENOM = 10
+
+
+def _segments(toks: str, n: int) -> str:
+    """Spark-SQL: consecutive ``n``-token segments of a token array."""
+    return (
+        f"transform(sequence(0, CAST(ceil(size({toks}) / {n}.0) AS INT) - 1), "
+        f"i -> array_join(slice({toks}, i * {n} + 1, {n}), ' '))"
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_: str = "doc_id",
+    text: str = "text",
+    seg_tokens: int = SEG_TOKENS,
+    min_dup: int = SEG_MIN_DUP,
+) -> DataFrame:
+    """CCNet-style duplicated-segment removal.
+
+    Documents are segmented into consecutive ``seg_tokens``-token windows;
+    a segment occurring in ≥ ``min_dup`` DISTINCT documents is dropped
+    everywhere it occurs; survivors are reassembled in order.  Returns
+    ``(doc_id, n_segs, n_dup_segs, kept_text, n_chars_kept)``.
+
+    Scale shape: one tokenize+explode pass, one group-by on the 60-bit
+    segment hash (partial agg → tiny distinct-doc counts), one equi-join
+    back on the hash, one group-by doc_id to reassemble.  At 100 TB the
+    duplicated-segment table is the only state that crosses stages and it
+    shrinks with dedup quality; heavy-hitter segments (boilerplate) are
+    exactly the rows the count table compacts to one row each.
+    """
+    seg_expr = _segments(T.tokens(text), seg_tokens)
+    segs = docs.select(
+        F.col(id_).alias("doc_id"),
+        F.posexplode(F.expr(seg_expr)).alias("seg_idx", "seg"),
+    ).withColumn("seg_h", F.expr(T.hash60("seg")))
+    counts = segs.groupBy("seg_h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    joined = segs.join(counts, "seg_h")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(
+                F.when(F.col("nd") >= min_dup, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_dup_segs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("nd") < min_dup,
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .withColumn("n_chars_kept", F.length("kept_text").cast("bigint"))
+    )
+
+
+def d_segment_dedup(
+    seg_tokens: int = SEG_TOKENS, min_dup: int = SEG_MIN_DUP
+) -> str:
+    """DuckDB oracle for :func:`segment_dedup` (textually parallel)."""
+    toks = T.d_tokens("text")
+    n = seg_tokens
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+sg AS (SELECT doc_id,
+              list_transform(range(0, CAST(ceil(len(toks) / {n}.0) AS BIGINT)),
+                             i -> array_to_string(toks[i * {n} + 1 : i * {n} + {n}], ' ')) AS segs
+       FROM tk),
+seg AS (SELECT doc_id, generate_subscripts(segs, 1) - 1 AS seg_idx,
+               unnest(segs) AS seg FROM sg),
+segh AS (SELECT doc_id, seg_idx, seg, {T.d_hash60('seg')} AS seg_h FROM seg),
+cnt AS (SELECT seg_h, count(DISTINCT doc_id) AS nd FROM segh GROUP BY seg_h)
+SELECT s.doc_id,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN c.nd >= {min_dup} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                FILTER (WHERE c.nd < {min_dup}), '') AS kept_text,
+       CAST(length(coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                            FILTER (WHERE c.nd < {min_dup}), '')) AS BIGINT) AS n_chars_kept
+FROM segh s JOIN cnt c USING (seg_h)
+GROUP BY s.doc_id
+"""
+
+
+def doc_chunks(
+    docs: DataFrame,
+    id_: str = "doc_id",
+    text: str = "text",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping fixed-window chunking: ``(doc_id, chunk_idx,
+    chunk_text, chunk_len)``.
+
+    Chunk ``i`` covers characters ``[i·stride, i·stride + size)``; the
+    chunk count is ``ceil(max(len − overlap, 1) / stride)`` so the final
+    window always reaches the end of the document and no window starts
+    past it.  Map-only (explode of a generated index — no shuffle at
+    all); chunking 100 TB is embarrassingly parallel and the output
+    inherits the input partitioning.
+    """
+    overlap = size - stride
+    n_chunks = (
+        f"CAST(ceil(greatest(length({text}) - {overlap}, 1) / {stride}.0) AS INT)"
+    )
+    ex = docs.select(
+        F.col(id_).alias("doc_id"),
+        F.col(text).alias("_t"),
+        F.posexplode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias(
+            "chunk_idx", "_i"
+        ),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.expr(f"substring(_t, chunk_idx * {stride} + 1, {size})").alias(
+            "chunk_text"
+        ),
+    ).withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+
+
+def d_doc_chunks(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
+    """DuckDB oracle for :func:`doc_chunks`."""
+    overlap = size - stride
+    return f"""
+WITH ix AS (SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(greatest(length(text) - {overlap}, 1) / {stride}.0) AS BIGINT))) AS chunk_idx
+            FROM documents)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       substr(text, CAST(chunk_idx AS INT) * {stride} + 1, {size}) AS chunk_text,
+       CAST(length(substr(text, CAST(chunk_idx AS INT) * {stride} + 1, {size})) AS BIGINT) AS chunk_len
+FROM ix
+"""
+
+
+def shard_export(
+    docs: DataFrame, id_: str = "doc_id", n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``(doc_id, shard,
+    pos_in_shard, shard_key)``.
+
+    The shard and intra-shard order derive from a salted 60-bit md5 hash
+    of the id — a reshuffle-free, resumable global shuffle: any engine
+    (or a later incremental run) reproduces the same placement without
+    coordination.  One hash projection + one shuffle on ``shard`` for
+    the rank window; at 100 TB each shard's window sorts independently
+    (``n_shards`` parallel sorts, no global order).
+    """
+    key = T.hash60(f"concat('shard:', CAST({id_} AS STRING))")
+    w = Window.partitionBy("shard").orderBy("shard_key", "doc_id")
+    return (
+        docs.select(
+            F.col(id_).alias("doc_id"),
+            F.expr(key).alias("shard_key"),
+        )
+        .withColumn("shard", (F.col("shard_key") % n_shards).cast("int"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos_in_shard", "shard_key")
+    )
+
+
+def d_shard_export(n_shards: int = N_SHARDS) -> str:
+    """DuckDB oracle for :func:`shard_export`."""
+    key = T.d_hash60("('shard:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH k AS (SELECT doc_id, {key} AS shard_key FROM documents),
+s AS (SELECT doc_id, shard_key,
+             CAST(shard_key % {n_shards} AS INT) AS shard FROM k)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY shard_key, doc_id) AS BIGINT) AS pos_in_shard,
+       shard_key
+FROM s
+"""
+
+
+def gopher_filter(
+    docs: DataFrame, id_: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Gopher-style quality gate with integer-exact rules.
+
+    Emits one 0/1 column per rule plus the conjunction; every rule is a
+    cross-multiplied integer comparison (``2·n ≤ Σlen`` instead of
+    ``Σlen/n ≥ 2``) so both engines agree bitwise.  Map-only single pass.
+    """
+    toks = T.tokens(text)
+    stop = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + ")"
+    d = docs.select(
+        F.col(id_).alias("doc_id"),
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
+        ).alias("_sum_len"),
+        F.expr(
+            f"CAST(size(filter({toks}, t -> array_contains({stop}, t))) AS BIGINT)"
+        ).alias("_stop_hits"),
+        F.expr(f"CAST(size(array_distinct({toks})) AS BIGINT)").alias("_n_distinct"),
+    )
+    r_ntok = (F.col("n_tokens") >= GOPHER_MIN_TOKENS) & (
+        F.col("n_tokens") <= GOPHER_MAX_TOKENS
+    )
+    r_avg = (F.col("_sum_len") >= GOPHER_MIN_AVG_LEN * F.col("n_tokens")) & (
+        F.col("_sum_len") <= GOPHER_MAX_AVG_LEN * F.col("n_tokens")
+    )
+    r_stop = F.col("_stop_hits") * GOPHER_STOP_DENOM >= F.col("n_tokens")
+    r_dist = (
+        F.col("_n_distinct") * GOPHER_DISTINCT_DENOM
+        >= F.col("n_tokens") * GOPHER_DISTINCT_NUM
+    )
+    flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")  # noqa: E731
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        flag(r_ntok).alias("r_len"),
+        flag(r_avg).alias("r_avg_token_len"),
+        flag(r_stop).alias("r_stopword_ratio"),
+        flag(r_dist).alias("r_distinct_ratio"),
+        flag(r_ntok & r_avg & r_stop & r_dist).alias("keep"),
+    )
+
+
+def d_gopher_filter() -> str:
+    """DuckDB oracle for :func:`gopher_filter`."""
+    toks = T.d_tokens("text")
+    stop = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, t -> list_contains({stop}, t))) AS BIGINT) AS stop_hits,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM tk)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS} THEN 1 ELSE 0 END AS INT) AS r_len,
+       CAST(CASE WHEN sum_len >= {GOPHER_MIN_AVG_LEN} * n_tokens AND sum_len <= {GOPHER_MAX_AVG_LEN} * n_tokens THEN 1 ELSE 0 END AS INT) AS r_avg_token_len,
+       CAST(CASE WHEN stop_hits * {GOPHER_STOP_DENOM} >= n_tokens THEN 1 ELSE 0 END AS INT) AS r_stopword_ratio,
+       CAST(CASE WHEN n_distinct * {GOPHER_DISTINCT_DENOM} >= n_tokens * {GOPHER_DISTINCT_NUM} THEN 1 ELSE 0 END AS INT) AS r_distinct_ratio,
+       CAST(CASE WHEN n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+                  AND sum_len >= {GOPHER_MIN_AVG_LEN} * n_tokens AND sum_len <= {GOPHER_MAX_AVG_LEN} * n_tokens
+                  AND stop_hits * {GOPHER_STOP_DENOM} >= n_tokens
+                  AND n_distinct * {GOPHER_DISTINCT_DENOM} >= n_tokens * {GOPHER_DISTINCT_NUM}
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+"""
+
+
+def tfidf_terms(
+    docs: DataFrame,
+    group: str = "source",
+    text: str = "text",
+    k: int = TFIDF_TOPK,
+) -> DataFrame:
+    """Per-``group`` top-k salient terms by tf·idf: ``(source, rnk, tok,
+    tf, df, score_r)``.
+
+    idf uses the probability-ratio form ``(N + 1) / (df + 1)`` — a
+    monotone transform of the usual ``ln``-idf at fixed tf, chosen (like
+    ``token_pmi``) because the whole score is then a short chain of
+    IEEE-exact divisions/multiplications both engines round identically.
+
+    Shape: one tokenize+explode, one (group, tok) count, one tok-level
+    df aggregate joined back (both partial-agg friendly), a broadcast of
+    the 1-row N, and a per-group rank window — no global sort.
+    """
+    tok_tab = docs.select(
+        F.col(group).alias("grp"), F.explode(F.expr(T.tokens(text))).alias("tok")
+    )
+    tf = tok_tab.groupBy("grp", "tok").agg(F.count("*").alias("tf"))
+    df_tab = tf.groupBy("tok").agg(F.countDistinct("grp").alias("df"))
+    n_src = docs.agg(
+        F.countDistinct(F.col(group)).cast("double").alias("n_grp")
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("_score").desc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(df_tab, "tok")
+        .crossJoin(F.broadcast(n_src))
+        .withColumn(
+            "_score",
+            F.col("tf").cast("double")
+            * ((F.col("n_grp") + 1.0) / (F.col("df").cast("double") + 1.0)),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("grp").alias(group),
+            "rnk",
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("_score", 6).alias("score_r"),
+        )
+    )
+
+
+def d_tfidf_terms(group: str = "source", k: int = TFIDF_TOPK) -> str:
+    """DuckDB oracle for :func:`tfidf_terms`."""
+    toks = T.d_tokens("text")
+    return f"""
+WITH tok AS (SELECT {group} AS grp, unnest({toks}) AS tok FROM documents),
+tf AS (SELECT grp, tok, count(*) AS tf FROM tok GROUP BY grp, tok),
+dfx AS (SELECT tok, count(DISTINCT grp) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(DISTINCT {group}) AS DOUBLE) AS n_grp FROM documents),
+sc AS (SELECT tf.grp, tf.tok, tf.tf, dfx.df,
+              CAST(tf.tf AS DOUBLE) * ((n.n_grp + 1.0) / (CAST(dfx.df AS DOUBLE) + 1.0)) AS score
+       FROM tf JOIN dfx USING (tok) CROSS JOIN n),
+rk AS (SELECT grp, tok, tf, df, score,
+              row_number() OVER (PARTITION BY grp ORDER BY score DESC, tok ASC) AS rnk
+       FROM sc)
+SELECT grp AS {group}, CAST(rnk AS BIGINT) AS rnk, tok,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS score_r
+FROM rk WHERE rnk <= {k}
+"""

@@ -1,0 +1,50 @@
+"""Registered corpus-cleaning / export queries + DuckDB oracles.
+
+Beyond-reference pipeline stages (SURVEY §2.8 north star): CCNet-style
+segment dedup, overlapping chunking, deterministic shard export, a
+Gopher-style quality gate, and per-source tf·idf salient terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import cleanops
+from ..registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@register("dedup_lines", cleanops.d_segment_dedup())
+def dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-segment removal (10-token segments; a
+    segment occurring in ≥ 2 distinct docs is dropped everywhere)."""
+    return cleanops.segment_dedup(_docs(spark, sf_dir))
+
+
+@register("doc_chunks", cleanops.d_doc_chunks())
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 120-char / 80-stride chunking (map-only explode)."""
+    return cleanops.doc_chunks(_docs(spark, sf_dir))
+
+
+@register("training_shard_export", cleanops.d_shard_export())
+def shard_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash shuffle into 8 training shards with a
+    stable intra-shard position."""
+    return cleanops.shard_export(_docs(spark, sf_dir))
+
+
+@register("gopher_quality_filter", cleanops.d_gopher_filter())
+def gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate; every rule an integer-exact comparison."""
+    return cleanops.gopher_filter(_docs(spark, sf_dir))
+
+
+@register("tfidf_top_terms", cleanops.d_tfidf_terms())
+def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf·idf terms per source (ratio-form idf, cross-engine
+    exact)."""
+    return cleanops.tfidf_terms(_docs(spark, sf_dir))

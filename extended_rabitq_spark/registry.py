@@ -27,7 +27,7 @@ def register(name: str, oracle: str | None = None):
 
 
 # Importing the query modules populates the registry.
-from .queries import ann, dedup, events, ivf, pipeline, rabitq, sampling, text, tpch  # noqa: E402,F401
+from .queries import ann, clean, dedup, events, ivf, pipeline, rabitq, sampling, text, tpch  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Check-priority ordering.  The driver's correctness gate verifies the FIRST
@@ -79,6 +79,17 @@ _DEMOTED = [
                              # it mid-file would otherwise push
                              # corpus_length_quantiles — the only exact-
                              # percentile row — out of the window
+    # round-4 additions (cleanops): registered outside the window — every
+    # family they belong to already has a checked representative
+    # (dedup_* corpus-count dedup, multimodal_frames explode,
+    # stratified_sample hash-shuffle, text_quality map-only flags,
+    # token_topk/token_pmi token relevance); all five are verified by
+    # the cap-free parity replica + tests/test_cleanops.py.
+    "dedup_lines",
+    "doc_chunks",
+    "training_shard_export",
+    "gopher_quality_filter",
+    "tfidf_top_terms",
     "split_train_val",       # hash-fraction sampling family keeps its
                              # checked rep via stratified_sample (the
                              # per-stratum generalization of the same

@@ -1,0 +1,132 @@
+"""Semantic tests for the corpus-cleaning/export operators (cleanops).
+
+Oracle parity at sf0.01 lives in test_oracle_parity.py; these tests pin
+the *semantics* on hand-built fixtures where the expected output is
+derivable by eye.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from extended_rabitq_spark.operators import cleanops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_segment_dedup_removes_cross_doc_segments(spark):
+    # seg_tokens=3: doc 1 and 2 share the segment "a b c"; doc 3 is unique.
+    rows = [
+        (1, "a b c x y z"),
+        (2, "a b c q r s"),
+        (3, "u v w"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in cleanops.segment_dedup(
+            _docs(spark, rows), seg_tokens=3
+        ).collect()
+    }
+    assert out[1]["n_segs"] == 2 and out[1]["n_dup_segs"] == 1
+    assert out[1]["kept_text"] == "x y z"
+    assert out[2]["kept_text"] == "q r s"
+    assert out[3]["n_dup_segs"] == 0 and out[3]["kept_text"] == "u v w"
+    assert out[3]["n_chars_kept"] == 5
+
+
+def test_segment_dedup_within_doc_repeat_not_dup(spark):
+    # The same segment twice in ONE doc: distinct-doc count stays 1 → kept.
+    rows = [(1, "a b c a b c")]
+    r = cleanops.segment_dedup(_docs(spark, rows), seg_tokens=3).collect()[0]
+    assert r["n_dup_segs"] == 0
+    assert r["kept_text"] == "a b c a b c"
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    text = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    rows = [(1, text)]
+    chunks = (
+        cleanops.doc_chunks(_docs(spark, rows), size=120, stride=80)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # ceil((260-40)/80) = 3 chunks
+    assert [c["chunk_idx"] for c in chunks] == [0, 1, 2]
+    # Each chunk is the right substring; the last reaches the end.
+    for c in chunks:
+        start = c["chunk_idx"] * 80
+        assert c["chunk_text"] == text[start : start + 120]
+    assert chunks[-1]["chunk_text"].endswith(text[-1])
+    # Consecutive chunks overlap by size - stride = 40 chars.
+    assert chunks[0]["chunk_text"][80:] == chunks[1]["chunk_text"][:40]
+
+
+def test_doc_chunks_short_doc_single_chunk(spark):
+    rows = [(1, "short")]
+    chunks = cleanops.doc_chunks(_docs(spark, rows)).collect()
+    assert len(chunks) == 1
+    assert chunks[0]["chunk_text"] == "short" and chunks[0]["chunk_len"] == 5
+
+
+def test_shard_export_deterministic_dense_positions(spark):
+    rows = [(i, f"doc {i}") for i in range(100)]
+    a = cleanops.shard_export(_docs(spark, rows)).collect()
+    b = cleanops.shard_export(_docs(spark, rows)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert {r["doc_id"] for r in a} == set(range(100))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard"] < cleanops.N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+
+
+def test_gopher_filter_rules(spark):
+    # 45 tokens, all distinct, one stopword (1/45 ≈ 2.2% ≥ 2%).
+    long_good = "the " + " ".join(f"w{i}" for i in range(44))
+    rows = [
+        (1, long_good),  # passes all rules
+        (2, "tiny doc here"),  # fails min-token rule
+        (3, ("the " + "word " * 49) * 1),  # no distinct variety? 50 toks
+    ]
+    out = {
+        r["doc_id"]: r for r in cleanops.gopher_filter(_docs(spark, rows)).collect()
+    }
+    assert out[1]["keep"] == 1
+    assert out[2]["r_len"] == 0 and out[2]["keep"] == 0
+    # doc 3: 50 tokens, 2 distinct → distinct ratio 0.04 < 0.3
+    assert out[3]["r_distinct_ratio"] == 0 and out[3]["keep"] == 0
+
+
+def test_gopher_filter_integer_thresholds_exact(spark):
+    # Exactly at the stopword boundary: 1 stopword hit in 50 tokens = 2%.
+    text = "the " + " ".join(f"w{i}" for i in range(49))
+    r = cleanops.gopher_filter(_docs(spark, [(1, text)])).collect()[0]
+    assert r["n_tokens"] == 50
+    assert r["r_stopword_ratio"] == 1  # 1*50 >= 50 holds at equality
+    # One fewer stopword-per-token: 1 hit in 51 tokens < 2%.
+    text2 = "the " + " ".join(f"w{i}" for i in range(50))
+    r2 = cleanops.gopher_filter(_docs(spark, [(1, text2)])).collect()[0]
+    assert r2["r_stopword_ratio"] == 0
+
+
+def test_tfidf_terms_ranks_group_exclusive_terms_first(spark):
+    rows = [
+        (1, "alpha alpha alpha shared shared", "s1"),
+        (2, "beta beta shared shared shared", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = cleanops.tfidf_terms(docs, k=2).collect()
+    top = {r["source"]: r for r in out if r["rnk"] == 1}
+    # Terms exclusive to one source (df=1) outrank the shared term (df=2).
+    assert top["s1"]["tok"] == "alpha" and top["s1"]["df"] == 1
+    assert top["s2"]["tok"] == "beta"
+    for r in out:
+        assert r["rnk"] <= 2
+        # ratio-idf score: tf * (N+1)/(df+1) with N=2 sources
+        assert r["score_r"] == pytest.approx(
+            r["tf"] * 3.0 / (r["df"] + 1.0), abs=1e-6
+        )
