@@ -325,23 +325,25 @@ def tfidf_terms(
     ``token_pmi``) because the whole score is then a short chain of
     IEEE-exact divisions/multiplications both engines round identically.
 
-    Shape: one tokenize+explode, one (group, tok) count, one tok-level
-    df aggregate joined back (both partial-agg friendly), a broadcast of
-    the 1-row N, and a per-group rank window — no global sort.
+    Shape: one tokenize+explode, one (group, tok) count, document
+    frequency as ``count(*) OVER (PARTITION BY tok)`` (``tf`` is unique
+    per (group, tok), so row count per tok IS the distinct-group count —
+    no tok-level aggregate+join), a broadcast of the 1-row N, and a
+    per-group rank window — no global sort, three shuffles total.
     """
     tok_tab = docs.select(
         F.col(group).alias("grp"), F.explode(F.expr(T.tokens(text))).alias("tok")
     )
     tf = tok_tab.groupBy("grp", "tok").agg(F.count("*").alias("tf"))
-    df_tab = tf.groupBy("tok").agg(F.countDistinct("grp").alias("df"))
     n_src = docs.agg(
         F.countDistinct(F.col(group)).cast("double").alias("n_grp")
     )
+    w_df = Window.partitionBy("tok")
     w = Window.partitionBy("grp").orderBy(
         F.col("_score").desc(), F.col("tok").asc()
     )
     return (
-        tf.join(df_tab, "tok")
+        tf.withColumn("df", F.count("*").over(w_df))
         .crossJoin(F.broadcast(n_src))
         .withColumn(
             "_score",

@@ -476,3 +476,58 @@ class TestRound4QueryPlans:
         plan = inspect.physical_plan(events_salted_cohort_join_q(spark, SF_SMOKE))
         assert "_salt" in plan
         assert "pmod" in plan
+
+
+class TestCleanopsPlans:
+    def test_doc_chunks_is_map_only(self, spark):
+        """Chunking must be a pure explode — zero Exchange, and the
+        documents scan reads only (doc_id, text)."""
+        from extended_rabitq_spark.operators import cleanops
+        from extended_rabitq_spark.plans import inspect
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        plan = inspect.physical_plan(cleanops.doc_chunks(docs))
+        assert "Exchange" not in plan
+        rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert rs and all("lang" not in ln and "source" not in ln for ln in rs)
+
+    def test_gopher_filter_is_map_only(self, spark):
+        from extended_rabitq_spark.operators import cleanops
+        from extended_rabitq_spark.plans import inspect
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        plan = inspect.physical_plan(cleanops.gopher_filter(docs))
+        assert "Exchange" not in plan
+
+    def test_segment_dedup_shuffles_only_on_hash_and_doc(self, spark):
+        """dedup_lines: the only shuffles are the seg-hash count, the
+        join back, and the doc reassembly — partial aggs everywhere, no
+        nested-loop join."""
+        from extended_rabitq_spark.operators import cleanops
+        from extended_rabitq_spark.plans import inspect
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        df = cleanops.segment_dedup(docs)
+        assert "NestedLoop" not in inspect.physical_plan(df)
+        assert inspect.exchange_count(df) <= 4
+
+    def test_shard_export_sorts_per_shard_not_globally(self, spark):
+        """Rank windows must partition by shard (parallel sorts), never
+        a single global sort."""
+        from extended_rabitq_spark.operators import cleanops
+        from extended_rabitq_spark.plans import inspect
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        plan = inspect.physical_plan(cleanops.shard_export(docs))
+        assert "hashpartitioning(shard" in plan
+        assert "rangepartitioning" not in plan
+
+    def test_tfidf_broadcasts_totals_and_keeps_partials(self, spark):
+        from extended_rabitq_spark.operators import cleanops
+        from extended_rabitq_spark.plans import inspect
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        df = cleanops.tfidf_terms(docs)
+        plan = inspect.physical_plan(df)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert plan.count("HashAggregate") >= 4
