@@ -486,6 +486,225 @@ def compact_index(spark: SparkSession, path: str) -> None:
     shutil.rmtree(old)
 
 
+def delete_from_index(
+    spark: SparkSession, path: str, ids: DataFrame, id_: str = "id"
+) -> int:
+    """Index maintenance: delete vectors by id (beyond the reference —
+    its index is immutable).  Returns the number of rows removed.
+
+    Only the cluster partitions that actually contain deleted ids are
+    rewritten (dynamic partition overwrite): the delete set joins
+    broadcast against the codes scan to find affected ``cluster_id``
+    values, then an anti-join rewrites just those partitions.  At 100 TB
+    a delete touches O(affected clusters), not the whole index — and the
+    codes scan of unaffected partitions never runs (partition pruning on
+    the IN filter).  A partition whose every row is deleted is removed
+    outright (dynamic overwrite cannot express an empty partition).
+    Same non-atomicity caveat as :func:`compact_index`: run in a
+    quiescent reader window; on object stores prefer a table format
+    with ACID replace (Iceberg/Delta) for the swap.
+    """
+    import shutil
+
+    del_ids = ids.select(F.col(id_).alias("id")).distinct()
+    codes = spark.read.parquet(f"{path}/codes")
+    hit = (
+        codes.join(F.broadcast(del_ids), "id", "left_semi")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_del"))
+        .collect()
+    )
+    if not hit:
+        return 0
+    affected = [int(r["cluster_id"]) for r in hit]
+    n_deleted = sum(int(r["n_del"]) for r in hit)
+    remaining = codes.where(F.col("cluster_id").isin(affected)).join(
+        F.broadcast(del_ids), "id", "left_anti"
+    )
+    kept_parts = {
+        int(r["cluster_id"])
+        for r in remaining.select("cluster_id").distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if kept_parts:
+            (
+                remaining.repartition("cluster_id")
+                .write.mode("overwrite")
+                .partitionBy("cluster_id")
+                .parquet(f"{path}/codes")
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for cid in affected:
+        if cid not in kept_parts:
+            part_dir = f"{path}/codes/cluster_id={cid}"
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+    return n_deleted
+
+
+def rebalance_index(
+    spark: SparkSession,
+    path: str,
+    base: DataFrame,
+    max_ratio: float = 2.0,
+    id_: str = "id",
+    vec: str = "vec",
+    sample_per_cluster: int = 4096,
+    seed: int = DEFAULT_SEED,
+) -> dict:
+    """Index maintenance: split hot clusters in two (beyond the
+    reference — its K is fixed at build, README.md:29-33, so corpus
+    drift forces a full rebuild there).
+
+    Clusters with ``n > max_ratio · avg`` (the stragglers
+    :func:`index_stats` flags via ``imbalance_r``) are each split by a
+    driver-side 2-means on a bounded per-cluster sample; their vectors
+    re-quantize against the sub-centroids (one fused assign+quantize
+    pass over ONLY the hot vectors) and rewrite in place — one
+    sub-centroid keeps the old cluster_id, the other gets a fresh id.
+    Cold partitions and their codes are untouched: sub-centroids lie
+    inside the old Voronoi cell, so this is a local refinement, the
+    standard incremental-IVF maintenance move (a periodic full retrain
+    remains a rebuild, as for every IVF system).
+
+    Search semantics: at full probes, results are IDENTICAL (per-vector
+    codes depend only on the vector's own centroid; the exact re-rank is
+    unchanged) — asserted in tests.  At partial probes, probe selection
+    sees finer centroids where it was coarsest, so recall at equal
+    nprobe is preserved or improved while the hottest probe-join
+    partition halves.
+
+    Returns ``{"split": [old_ids...], "new_ids": [...], "rows_moved": n}``.
+    """
+    import shutil
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(f"{path}/codes")
+    sizes = codes.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    if not sizes:
+        return {"split": [], "new_ids": [], "rows_moved": 0}
+    avg = sum(int(r["n"]) for r in sizes) / len(sizes)
+    hot = sorted(
+        int(r["cluster_id"])
+        for r in sizes
+        if int(r["n"]) > max_ratio * avg and int(r["n"]) >= 2
+    )
+    if not hot:
+        return {"split": [], "new_ids": [], "rows_moved": 0}
+    max_cid = max(int(r["cluster_id"]) for r in sizes)
+    cents = spark.read.parquet(f"{path}/centroids")
+    cold_cents = cents.where(~F.col("cluster_id").isin(hot)).select(
+        "cluster_id", "centroid"
+    )
+
+    # Bounded per-cluster sample → driver 2-means per hot cluster (the
+    # same sampling posture as ivf.sampled_kmeans_centroids: the sample
+    # is O(hot · sample_per_cluster), never the corpus).
+    hot_ids = codes.where(F.col("cluster_id").isin(hot)).select(
+        F.col("cluster_id").alias("_old_cid"), "id"
+    )
+    hot_vecs = base.select(F.col(id_).alias("id"), F.col(vec).alias("_v")).join(
+        hot_ids, "id"
+    )
+    from ..functions import text as _T
+
+    w = Window.partitionBy("_old_cid").orderBy(
+        F.expr(_T.hash60("CAST(id AS STRING)")), F.col("id")
+    )
+    samp = (
+        hot_vecs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= sample_per_cluster)
+        .select("_old_cid", "_v")
+        .collect()
+    )
+    by_cluster: dict[int, list] = {}
+    for r in samp:
+        by_cluster.setdefault(int(r["_old_cid"]), []).append(r["_v"])
+
+    sub_rows, new_ids = [], []
+    next_id = max_cid + 1
+    for pos, cid in enumerate(hot):
+        X = np.asarray(by_cluster[cid], dtype=np.float64)
+        c0, c1 = _two_means(X, seed=seed + pos)
+        sub_rows.append((cid, [float(x) for x in c0]))
+        sub_rows.append((next_id, [float(x) for x in c1]))
+        new_ids.append(next_id)
+        next_id += 1
+    sub_cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(sub_rows, 1),
+        "cluster_id int, centroid array<double>",
+    )
+
+    # One fused assign+quantize pass over the hot vectors only.
+    new_codes, _ = build_index(
+        hot_vecs.select("id", F.col("_v").alias("vec")),
+        sub_cents,
+        total_bits=meta["total_bits"],
+        seed=meta["seed"],
+    )
+    if meta.get("packed"):
+        new_codes = _pack_index_df(new_codes, meta["total_bits"])
+
+    # Swap the hot partitions: stage new codes, rename old dirs out,
+    # move new ones in (compact_index's documented non-atomic posture).
+    tmp = f"{path}/codes_rebalancing"
+    new_codes.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(tmp)
+    rows_moved = 0
+    graveyard = f"{path}/codes_old_rebalance"
+    os.makedirs(graveyard, exist_ok=True)
+    for cid in hot:
+        old_dir = f"{path}/codes/cluster_id={cid}"
+        if os.path.isdir(old_dir):
+            os.rename(old_dir, f"{graveyard}/cluster_id={cid}")
+    for name in os.listdir(tmp):
+        if name.startswith("cluster_id="):
+            os.rename(f"{tmp}/{name}", f"{path}/codes/cluster_id={name.split('=')[1]}")
+    shutil.rmtree(tmp)
+    shutil.rmtree(graveyard)
+    rows_moved = int(
+        spark.read.parquet(f"{path}/codes")
+        .where(F.col("cluster_id").isin(hot + new_ids))
+        .count()
+    )
+
+    # Refresh the centroid side table (cold rows unchanged, hot replaced
+    # by their sub-centroids) and keep meta as-is.
+    _save_side_artifacts(
+        spark, cold_cents.unionByName(sub_cents), meta, path
+    )
+    return {"split": hot, "new_ids": new_ids, "rows_moved": rows_moved}
+
+
+def _two_means(X: np.ndarray, seed: int, iters: int = 25) -> tuple:
+    """Driver-side 2-means on a bounded sample (numpy Lloyd's; k=2).
+
+    Deterministic: seeded farthest-pair-ish init (extreme points along
+    the top principal direction of a seeded random projection)."""
+    rng = np.random.default_rng(seed)
+    proj = X @ rng.standard_normal(X.shape[1])
+    c = np.stack([X[int(np.argmin(proj))], X[int(np.argmax(proj))]])
+    if np.allclose(c[0], c[1]):
+        return c[0], c[1]
+    for _ in range(iters):
+        d0 = ((X - c[0]) ** 2).sum(axis=1)
+        d1 = ((X - c[1]) ** 2).sum(axis=1)
+        a = d1 < d0
+        if (~a).all() or a.all():
+            break
+        nc = np.stack([X[~a].mean(axis=0), X[a].mean(axis=0)])
+        if np.allclose(nc, c):
+            c = nc
+            break
+        c = nc
+    return c[0], c[1]
+
+
 def index_stats(codes: DataFrame) -> DataFrame:
     """Index health report → one row: (n_clusters, n_rows, min_cluster,
     max_cluster, avg_cluster_r, imbalance_r).

@@ -531,3 +531,139 @@ class TestCleanopsPlans:
         plan = inspect.physical_plan(df)
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert plan.count("HashAggregate") >= 4
+
+
+class TestIndexMaintenance:
+    def _skewed_index(self, spark, tmp_path, n_hot=40, n_cold=8):
+        """Index with one deliberately hot cluster: a tight blob of
+        n_hot vectors plus n_cold spread singletons, K=4."""
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        rng = np.random.default_rng(7)
+        hot = rng.standard_normal((n_hot, 8)) * 0.05 + np.array([5.0] * 8)
+        cold = rng.standard_normal((n_cold, 8)) * 3.0 - 4.0
+        rows = [
+            (i, [float(x) for x in v]) for i, v in enumerate(np.vstack([hot, cold]))
+        ]
+        base = spark.createDataFrame(rows, "id long, vec array<float>")
+        cents = ivf.sampled_kmeans_centroids(base, k=4, vec="vec")
+        index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+        path = str(tmp_path / "idx")
+        rabitq.save_index(index_df, cents, meta, path)
+        return base, path
+
+    def _full_probe_results(self, spark, path, base, k=5):
+        from extended_rabitq_spark.operators import rabitq
+
+        codes, cents_full, meta = rabitq.load_index(spark, path)
+        nclusters = cents_full.count()
+        qs = base.orderBy("id").limit(5).select(
+            F.col("id").alias("qid"), F.col("vec").alias("qvec")
+        )
+        res = rabitq.rabitq_search(
+            qs, codes, cents_full, meta, nprobe=nclusters, k=k, rerank_base=base
+        )
+        return sorted((r.qid, r.rank, r.id) for r in res.collect())
+
+    def test_delete_rewrites_only_affected_partitions(self, spark, tmp_path):
+        from extended_rabitq_spark.operators import rabitq
+
+        base, path = self._skewed_index(spark, tmp_path)
+        before = self._full_probe_results(spark, path, base, k=5)
+        # Delete ids that are NOT among any query's top-5 so the
+        # remaining full-probe results must be bitwise unchanged.
+        hit_ids = {t[2] for t in before}
+        victims = [i for i in range(48) if i not in hit_ids][:6]
+        codes0 = spark.read.parquet(f"{path}/codes")
+        import glob
+        import os
+        mtimes_before = {
+            d: os.path.getmtime(d) for d in glob.glob(f"{path}/codes/cluster_id=*")
+        }
+        victims_df = spark.createDataFrame([(v,) for v in victims], "id long")
+        affected = {
+            int(r["cluster_id"])
+            for r in codes0.join(victims_df, "id", "left_semi")
+            .select("cluster_id").distinct().collect()
+        }
+        n = rabitq.delete_from_index(spark, path, victims_df)
+        assert n == len(victims)
+        codes1 = spark.read.parquet(f"{path}/codes")
+        assert codes1.count() == 48 - len(victims)
+        assert codes1.join(victims_df, "id", "left_semi").count() == 0
+        # untouched partitions were not rewritten
+        for d, t in mtimes_before.items():
+            cid = int(d.split("=")[1])
+            if cid not in affected:
+                assert os.path.getmtime(d) == t, d
+        after = self._full_probe_results(spark, path, base, k=5)
+        assert before == after
+
+    def test_delete_all_rows_of_a_cluster_drops_partition(self, spark, tmp_path):
+        from extended_rabitq_spark.operators import rabitq
+
+        base, path = self._skewed_index(spark, tmp_path)
+        codes = spark.read.parquet(f"{path}/codes")
+        sizes = {
+            int(r["cluster_id"]): int(r["n"])
+            for r in codes.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+        }
+        cid = min(sizes, key=sizes.get)
+        members = [
+            int(r["id"]) for r in codes.where(F.col("cluster_id") == cid).collect()
+        ]
+        n = rabitq.delete_from_index(
+            spark, path, spark.createDataFrame([(v,) for v in members], "id long")
+        )
+        assert n == len(members)
+        import os
+        assert not os.path.isdir(f"{path}/codes/cluster_id={cid}")
+        left = spark.read.parquet(f"{path}/codes")
+        assert left.count() == 48 - len(members)
+
+    def test_rebalance_splits_hot_cluster_preserving_full_probe_results(
+        self, spark, tmp_path
+    ):
+        from extended_rabitq_spark.operators import rabitq
+
+        base, path = self._skewed_index(spark, tmp_path)
+        codes = spark.read.parquet(f"{path}/codes")
+        stats0 = rabitq.index_stats(codes).collect()[0]
+        before = self._full_probe_results(spark, path, base, k=5)
+        out = rabitq.rebalance_index(spark, path, base, max_ratio=2.0)
+        assert out["split"], "fixture must produce a hot cluster"
+        assert out["new_ids"] and out["rows_moved"] > 0
+        codes1 = spark.read.parquet(f"{path}/codes")
+        # no rows lost, every code row's cluster exists in the centroids
+        assert codes1.count() == 48
+        cents1 = spark.read.parquet(f"{path}/centroids")
+        dangling = (
+            codes1.select("cluster_id").distinct()
+            .join(cents1.select("cluster_id"), "cluster_id", "left_anti")
+            .count()
+        )
+        assert dangling == 0
+        stats1 = rabitq.index_stats(codes1).collect()[0]
+        assert stats1["n_clusters"] == stats0["n_clusters"] + len(out["new_ids"])
+        # the straggler halves; imbalance_r can stay flat since avg
+        # drops too (max/avg both shrink) — max_cluster is the claim
+        assert stats1["max_cluster"] < stats0["max_cluster"]
+        # full-probe search results are bitwise identical (per-vector
+        # codes depend only on the vector's own centroid; rerank exact)
+        after = self._full_probe_results(spark, path, base, k=5)
+        assert before == after
+
+    def test_rebalance_noop_when_balanced(self, spark, tmp_path):
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)
+        ]
+        base = spark.createDataFrame(rows, "id long, vec array<float>")
+        cents = ivf.sampled_kmeans_centroids(base, k=4, vec="vec")
+        index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+        path = str(tmp_path / "idx2")
+        rabitq.save_index(index_df, cents, meta, path)
+        out = rabitq.rebalance_index(spark, path, base, max_ratio=10.0)
+        assert out == {"split": [], "new_ids": [], "rows_moved": 0}
