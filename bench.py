@@ -40,6 +40,10 @@ EXTRA_QUERIES = [
     "dedup_embedding_ann",
     "dedup_components",
     "contamination_check",
+    # round-4 cleanops: the two with non-trivial shuffle shapes (chunking
+    # and the quality gate are map-only and too cheap to be informative)
+    "dedup_lines",
+    "tfidf_top_terms",
 ]
 
 
