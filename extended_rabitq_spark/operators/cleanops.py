@@ -17,8 +17,10 @@ Beyond-reference (SURVEY §2.8 north star) — the cleanup/export stages a
   probability-ratio form (monotone transform of log-idf; avoids libm
   ``log`` whose last ulp differs across engines — same convention as
   ``textops.token_pmi``).
+- ``integrity_audit`` — one-row dataset-quality audit: doc↔embedding
+  referential integrity, metadata drift, vector-payload health.
 
-All five are pure column-expression plans (zero Python in the hot path);
+All are pure column-expression plans (zero Python in the hot path);
 their only shuffles are the group-bys/joins named in each docstring.
 """
 
@@ -381,4 +383,97 @@ SELECT grp AS {group}, CAST(rnk AS BIGINT) AS rnk, tok,
        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        round(score, 6) AS score_r
 FROM rk WHERE rnk <= {k}
+"""
+
+
+def integrity_audit(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Corpus integrity audit → ONE summary row of dataset-quality
+    counters: referential integrity between documents and embeddings,
+    metadata drift, and vector-payload health.
+
+    Columns: ``n_docs, n_embeddings, docs_missing_embedding,
+    embeddings_missing_doc, n_chars_mismatch, n_empty_text,
+    n_nonfinite_vec, n_zero_vec, n_dims``.
+
+    Every counter is an integer (bitwise cross-engine).  Shape: two
+    anti-join counts (broadcast the distinct-id projections — at 100 TB
+    these are the only shuffles, and they carry one BIGINT per row) and
+    two single-pass aggregates; nothing quadratic, no Python.
+    """
+    d_ids = docs.select(F.col("doc_id").alias("_id"))
+    e_ids = emb.select(F.col("vec_id").alias("_id"))
+    docs_missing = d_ids.join(e_ids, "_id", "left_anti").count()
+    emb_missing = e_ids.join(d_ids, "_id", "left_anti").count()
+    doc_stats = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).cast("bigint").alias("n_chars_mismatch"),
+        F.sum(F.when(F.trim(F.col("text")) == "", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty_text"),
+    )
+    bad_vec = (
+        "exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"
+    )
+    zero_vec = "aggregate(embedding, 0D, (a, x) -> a + x * x) = 0D"
+    emb_stats = emb.agg(
+        F.count("*").cast("bigint").alias("n_embeddings"),
+        F.sum(F.when(F.expr(bad_vec), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonfinite_vec"),
+        F.sum(F.when(F.expr(zero_vec), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_vec"),
+        F.countDistinct(F.size("embedding")).cast("bigint").alias("n_dims"),
+    )
+    spark = docs.sparkSession
+    link = spark.createDataFrame(
+        [(int(docs_missing), int(emb_missing))],
+        "docs_missing_embedding bigint, embeddings_missing_doc bigint",
+    )
+    return (
+        doc_stats.crossJoin(emb_stats)
+        .crossJoin(F.broadcast(link))
+        .select(
+            "n_docs",
+            "n_embeddings",
+            "docs_missing_embedding",
+            "embeddings_missing_doc",
+            "n_chars_mismatch",
+            "n_empty_text",
+            "n_nonfinite_vec",
+            "n_zero_vec",
+            "n_dims",
+        )
+    )
+
+
+def d_integrity_audit() -> str:
+    """DuckDB oracle for :func:`integrity_audit`."""
+    return """
+WITH dm AS (SELECT count(*) AS docs_missing_embedding
+            FROM documents d WHERE NOT EXISTS
+              (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)),
+em AS (SELECT count(*) AS embeddings_missing_doc
+       FROM embeddings e WHERE NOT EXISTS
+         (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)),
+ds AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+              CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text
+       FROM documents),
+es AS (SELECT CAST(count(*) AS BIGINT) AS n_embeddings,
+              CAST(sum(CASE WHEN len(list_filter(embedding,
+                     x -> isnan(x) OR abs(x) = CAST('infinity' AS DOUBLE))) > 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite_vec,
+              CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), embedding),
+                     (a, x) -> a + x * x) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
+              CAST(count(DISTINCT len(embedding)) AS BIGINT) AS n_dims
+       FROM embeddings)
+SELECT ds.n_docs, es.n_embeddings,
+       CAST(dm.docs_missing_embedding AS BIGINT) AS docs_missing_embedding,
+       CAST(em.embeddings_missing_doc AS BIGINT) AS embeddings_missing_doc,
+       ds.n_chars_mismatch, ds.n_empty_text,
+       es.n_nonfinite_vec, es.n_zero_vec, es.n_dims
+FROM ds, es, dm, em
 """

@@ -48,3 +48,13 @@ def tfidf_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf·idf terms per source (ratio-form idf, cross-engine
     exact)."""
     return cleanops.tfidf_terms(_docs(spark, sf_dir))
+
+
+@register("corpus_integrity_audit", cleanops.d_integrity_audit())
+def integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset-quality audit: doc↔embedding referential
+    integrity, metadata drift, vector-payload health."""
+    return cleanops.integrity_audit(
+        _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+    )

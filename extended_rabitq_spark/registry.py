@@ -86,6 +86,7 @@ _DEMOTED = [
     # token_topk/token_pmi token relevance); all five are verified by
     # the cap-free parity replica + tests/test_cleanops.py.
     "dedup_lines",
+    "corpus_integrity_audit",
     "doc_chunks",
     "training_shard_export",
     "gopher_quality_filter",

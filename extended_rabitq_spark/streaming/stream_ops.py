@@ -342,3 +342,91 @@ def attribution_join(
         v["user_id"].alias("user_id"),
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
+
+
+def streaming_dedup_ingest(
+    new_docs: DataFrame,
+    corpus_path: str,
+    decisions_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.4,
+    id_: str = "doc_id",
+    text: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Continuous deduplicating corpus ingest: a stream of documents is
+    gated per micro-batch against the ALREADY-ACCEPTED corpus (exact
+    md5 tier + MinHash band tier via ``dedup.incremental_dedup``) and
+    only unique survivors append to ``corpus_path`` — the streaming
+    completion of the production ingest shape the batch operator
+    documents (new×corpus joins only, never corpus×corpus).
+
+    Within a micro-batch, exact duplicates collapse first (keep the
+    smallest id — the same survivor rule as ``dedup_apply``), so a
+    batch carrying its own repeats cannot admit two copies.  Every
+    incoming doc's verdict lands in ``decisions_path`` as
+    ``(doc_id, status, dup_of)``; survivors are re-readable immediately
+    by the next batch (each batch reads the corpus fresh).  State: the
+    source-offset checkpoint only — same at-least-once caveat as
+    ``streaming_index_ingest`` on checkpoint loss.  At 100 TB the
+    corpus's signatures/bands become persisted artifacts instead of
+    in-lineage recomputation (see ``incremental_dedup``'s scale note);
+    the gate's join shape is unchanged.
+
+    Returns the started StreamingQuery.
+    """
+    import os
+
+    from ..operators.dedup import incremental_dedup, normalized
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # intra-batch exact collapse: keep min id per normalized hash
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_h").orderBy(id_)
+        batch = (
+            normalized(batch_df, text)
+            .withColumn("_h", F.md5("_norm"))
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_keep", F.min(id_).over(Window.partitionBy("_h")))
+        )
+        survivors_intra = batch.where(F.col("_rn") == 1).drop(
+            "_h", "_rn", "_keep", "_norm"
+        )
+        intra_dups = batch.where(F.col("_rn") > 1)
+        if os.path.isdir(corpus_path) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_path)
+        ):
+            corpus = spark.read.parquet(corpus_path)
+            verdict = incremental_dedup(
+                survivors_intra, corpus, threshold=threshold, id_=id_, text=text
+            )
+        else:  # first batch: empty corpus, everything unique
+            verdict = survivors_intra.select(
+                F.col(id_),
+                F.lit("unique").alias("status"),
+                F.lit(None).cast("long").alias("dup_of"),
+            )
+        intra_verdict = intra_dups.select(
+            F.col(id_),
+            F.lit("exact_dup").alias("status"),
+            F.col("_keep").cast("long").alias("dup_of"),
+        )
+        verdict = verdict.unionByName(intra_verdict).localCheckpoint(eager=True)
+        verdict.write.mode("append").parquet(decisions_path)
+        unique_ids = verdict.where(F.col("status") == "unique").select(id_)
+        batch_df.join(F.broadcast(unique_ids), on=id_, how="left_semi").write.mode(
+            "append"
+        ).parquet(corpus_path)
+
+    writer = (
+        new_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("dedup_ingest")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -130,3 +130,35 @@ def test_tfidf_terms_ranks_group_exclusive_terms_first(spark):
         assert r["score_r"] == pytest.approx(
             r["tf"] * 3.0 / (r["df"] + 1.0), abs=1e-6
         )
+
+
+def test_integrity_audit_detects_planted_issues(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "good doc text", "en", "s1", 13),
+            (2, "   ", "en", "s1", 3),          # empty after trim
+            (3, "mismatch", "en", "s1", 99),    # n_chars wrong
+            (4, "no embedding", "en", "s1", 12),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [0.0, 0.0]),                    # zero vector
+            (3, [float("nan"), 1.0]),           # non-finite
+            (9, [1.0, 2.0, 3.0]),               # orphan + odd dim
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    from extended_rabitq_spark.operators import cleanops
+
+    r = cleanops.integrity_audit(docs, emb).collect()[0]
+    assert r["n_docs"] == 4 and r["n_embeddings"] == 4
+    assert r["docs_missing_embedding"] == 1   # doc 4
+    assert r["embeddings_missing_doc"] == 1   # vec 9
+    assert r["n_chars_mismatch"] == 1         # doc 3
+    assert r["n_empty_text"] == 1             # doc 2
+    assert r["n_nonfinite_vec"] == 1          # vec 3
+    assert r["n_zero_vec"] == 1               # vec 2
+    assert r["n_dims"] == 2                   # dims {2, 3}

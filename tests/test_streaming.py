@@ -286,3 +286,60 @@ def test_stream_stream_attribution_matches_batch(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_ingest_gates_corpus(spark, tmp_path):
+    """Two micro-batches through the deduplicating ingest gate: an
+    intra-batch exact dup, a cross-batch exact dup, and a cross-batch
+    near-dup are all rejected with the right verdicts; the corpus ends
+    with only unique survivors."""
+    import time as _time
+
+    from extended_rabitq_spark.streaming.stream_ops import streaming_dedup_ingest
+
+    base3 = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    docs1 = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, base3),
+        (6, "alpha beta gamma delta epsilon zeta eta theta"),  # intra dup of 1
+    ]
+    docs2 = [
+        (7, "one two three four five six seven eight nine ten"),  # exact dup of 2
+        (8, base3.replace("today", "tonight")),                   # near dup of 3
+        (9, "completely different content with no overlap at all whatsoever"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id LONG, text STRING"
+    spark.createDataFrame(docs1, schema).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    _time.sleep(1.1)  # file-source orders by mod time: b1 strictly first
+    spark.createDataFrame(docs2, schema).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    corpus_path = str(tmp_path / "corpus")
+    decisions_path = str(tmp_path / "decisions")
+    q = streaming_dedup_ingest(
+        stream, corpus_path, decisions_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    corpus_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    )
+    assert corpus_ids == [1, 2, 3, 9]
+    dec = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(decisions_path).collect()
+    }
+    assert dec[1] == ("unique", None)
+    assert dec[6] == ("exact_dup", 1)
+    assert dec[7] == ("exact_dup", 2)
+    assert dec[8][0] == "near_dup" and dec[8][1] == 3
+    assert dec[9] == ("unique", None)
