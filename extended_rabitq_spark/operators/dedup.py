@@ -695,12 +695,65 @@ def connected_components(
     return lbl.select(F.col("id").alias(id_), F.col("comp").alias("component_id"))
 
 
+def save_dedup_artifacts(
+    corpus_docs: DataFrame, path: str, id_: str = "doc_id", text: str = "text"
+) -> None:
+    """Persist the corpus-side dedup state :func:`incremental_dedup`
+    needs — content hashes, the DF_CAP stop-shingle list, and MinHash
+    band keys — so ingest gates stop re-deriving them from corpus TEXT
+    on every shard (the scale note in incremental_dedup's docstring,
+    made real).  ONE corpus scan computes all three: the raw shingle
+    table is staged and feeds both the stop list and (filtered) the
+    signatures.
+
+    Layout: ``{path}/content_hashes`` (doc_id, h), ``{path}/stop_shingles``
+    (shingle), ``{path}/bands`` (doc_id, band, key).  The stop list is a
+    corpus-level property frozen at save time; band keys on BOTH sides
+    of any later join must use THIS list (a refreshed list changes band
+    keys and requires re-saving bands — a periodic maintenance rebuild,
+    like centroid retraining)."""
+    normalized(corpus_docs, text).select(
+        F.col(id_).alias("doc_id"), F.md5("_norm").alias("h")
+    ).write.mode("overwrite").parquet(f"{path}/content_hashes")
+    sh0 = raw_shingles(corpus_docs, id_, text).localCheckpoint(eager=True)
+    stop = stop_shingles(corpus_docs, shingles=sh0)
+    stop.write.mode("overwrite").parquet(f"{path}/stop_shingles")
+    sh = sh0.join(F.broadcast(stop), on="shingle", how="left_anti")
+    _band_keys(_signatures_from_shingles(sh)).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+
+
+def append_dedup_artifacts(
+    new_docs: DataFrame, path: str, id_: str = "doc_id", text: str = "text"
+) -> None:
+    """Extend saved dedup artifacts with newly accepted docs: their
+    hashes and band keys (computed under the SAVED stop list, keeping
+    band keys consistent) append as new parquet files — no rewrite of
+    existing state.  The stop list itself is not updated (document
+    frequency drifts as the corpus grows; refresh via
+    :func:`save_dedup_artifacts` periodically, like any frozen
+    statistic)."""
+    spark = new_docs.sparkSession
+    normalized(new_docs, text).select(
+        F.col(id_).alias("doc_id"), F.md5("_norm").alias("h")
+    ).write.mode("append").parquet(f"{path}/content_hashes")
+    stop = spark.read.parquet(f"{path}/stop_shingles")
+    sh = raw_shingles(new_docs, id_, text).join(
+        F.broadcast(stop), on="shingle", how="left_anti"
+    )
+    _band_keys(_signatures_from_shingles(sh)).write.mode("append").parquet(
+        f"{path}/bands"
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
     threshold: float = 0.4,
     id_: str = "doc_id",
     text: str = "text",
+    artifacts: str | None = None,
 ) -> DataFrame:
     """Dedup an incoming shard AGAINST an existing corpus (the
     production ingest shape: the corpus is already deduped; only
@@ -713,16 +766,26 @@ def incremental_dedup(
     broadcasts it).  Near tier: MinHash band keys computed on BOTH sides
     with the same seeds, band-collision equi-join restricted to
     new×corpus, exact-Jaccard verification on collided pairs only.  At
-    scale the corpus's signatures/bands are precomputed artifacts
-    (persist ``minhash_signatures``) — this operator recomputes them
-    in-lineage so the oracle can check the whole composition.
+    scale the corpus's signatures/bands are precomputed artifacts —
+    pass ``artifacts`` (a :func:`save_dedup_artifacts` path) and the
+    corpus-side hashes, stop list, and band keys are READ from parquet
+    instead of recomputed from corpus text; only the verify tier still
+    touches corpus text, restricted to candidate docs.  Without
+    ``artifacts`` everything is recomputed in-lineage so the oracle can
+    check the whole composition.
     """
+    spark = new_docs.sparkSession
     nh = normalized(new_docs, text).select(
         F.col(id_).alias("new_id"), F.md5("_norm").alias("h")
     )
-    ch = normalized(corpus_docs, text).select(
-        F.col(id_).alias("corpus_id"), F.md5("_norm").alias("h")
-    )
+    if artifacts is not None:
+        ch = spark.read.parquet(f"{artifacts}/content_hashes").select(
+            F.col("doc_id").alias("corpus_id"), "h"
+        )
+    else:
+        ch = normalized(corpus_docs, text).select(
+            F.col(id_).alias("corpus_id"), F.md5("_norm").alias("h")
+        )
     exact = (
         nh.join(ch, on="h")
         .groupBy("new_id")
@@ -733,18 +796,24 @@ def incremental_dedup(
     # boilerplate), and per-side caps would compute the two sides'
     # signatures over different shingle sets, desyncing band keys and
     # deflating verified Jaccard for boilerplate-heavy docs.
-    c_stop = stop_shingles(corpus_docs, id_, text)
+    if artifacts is not None:
+        c_stop = spark.read.parquet(f"{artifacts}/stop_shingles")
+        c_bands = spark.read.parquet(f"{artifacts}/bands").withColumnRenamed(
+            "doc_id", "corpus_id"
+        )
+    else:
+        c_stop = stop_shingles(corpus_docs, id_, text)
+        c_sh = raw_shingles(corpus_docs, id_, text).join(
+            F.broadcast(c_stop), on="shingle", how="left_anti"
+        )
+        c_bands = _band_keys(_signatures_from_shingles(c_sh)).withColumnRenamed(
+            "doc_id", "corpus_id"
+        )
     n_sh = raw_shingles(new_docs, id_, text).join(
-        F.broadcast(c_stop), on="shingle", how="left_anti"
-    )
-    c_sh = raw_shingles(corpus_docs, id_, text).join(
         F.broadcast(c_stop), on="shingle", how="left_anti"
     )
     n_bands = _band_keys(_signatures_from_shingles(n_sh)).withColumnRenamed(
         "doc_id", "new_id"
-    )
-    c_bands = _band_keys(_signatures_from_shingles(c_sh)).withColumnRenamed(
-        "doc_id", "corpus_id"
     )
     cand = (
         n_bands.join(c_bands, on=["band", "key"])

@@ -353,6 +353,7 @@ def streaming_dedup_ingest(
     id_: str = "doc_id",
     text: str = "text",
     trigger_available_now: bool = True,
+    artifacts_path: str | None = None,
 ):
     """Continuous deduplicating corpus ingest: a stream of documents is
     gated per micro-batch against the ALREADY-ACCEPTED corpus (exact
@@ -368,16 +369,28 @@ def streaming_dedup_ingest(
     ``(doc_id, status, dup_of)``; survivors are re-readable immediately
     by the next batch (each batch reads the corpus fresh).  State: the
     source-offset checkpoint only — same at-least-once caveat as
-    ``streaming_index_ingest`` on checkpoint loss.  At 100 TB the
-    corpus's signatures/bands become persisted artifacts instead of
-    in-lineage recomputation (see ``incremental_dedup``'s scale note);
-    the gate's join shape is unchanged.
+    ``streaming_index_ingest`` on checkpoint loss.
+
+    ``artifacts_path`` is the 100 TB mode: corpus-side hashes, stop
+    list, and MinHash band keys persist as parquet artifacts
+    (``save_dedup_artifacts``), each batch's gate READS them instead of
+    re-shingling the whole corpus text, and each batch appends its
+    survivors' artifact rows — per-batch work becomes O(batch × bands),
+    independent of corpus size except for the candidate-restricted
+    verify tier.  Without it, each batch recomputes corpus state
+    in-lineage (fine at fixture scale, quadratic-ish over a stream's
+    lifetime).
 
     Returns the started StreamingQuery.
     """
     import os
 
-    from ..operators.dedup import incremental_dedup, normalized
+    from ..operators.dedup import (
+        append_dedup_artifacts,
+        incremental_dedup,
+        normalized,
+        save_dedup_artifacts,
+    )
 
     def _sink(batch_df: DataFrame, _epoch: int) -> None:
         if batch_df.isEmpty():
@@ -397,12 +410,14 @@ def streaming_dedup_ingest(
             "_h", "_rn", "_keep", "_norm"
         )
         intra_dups = batch.where(F.col("_rn") > 1)
-        if os.path.isdir(corpus_path) and any(
+        have_corpus = os.path.isdir(corpus_path) and any(
             f.endswith(".parquet") for f in os.listdir(corpus_path)
-        ):
+        )
+        if have_corpus:
             corpus = spark.read.parquet(corpus_path)
             verdict = incremental_dedup(
-                survivors_intra, corpus, threshold=threshold, id_=id_, text=text
+                survivors_intra, corpus, threshold=threshold, id_=id_, text=text,
+                artifacts=artifacts_path,
             )
         else:  # first batch: empty corpus, everything unique
             verdict = survivors_intra.select(
@@ -418,9 +433,13 @@ def streaming_dedup_ingest(
         verdict = verdict.unionByName(intra_verdict).localCheckpoint(eager=True)
         verdict.write.mode("append").parquet(decisions_path)
         unique_ids = verdict.where(F.col("status") == "unique").select(id_)
-        batch_df.join(F.broadcast(unique_ids), on=id_, how="left_semi").write.mode(
-            "append"
-        ).parquet(corpus_path)
+        accepted = batch_df.join(F.broadcast(unique_ids), on=id_, how="left_semi")
+        accepted.write.mode("append").parquet(corpus_path)
+        if artifacts_path is not None:
+            if have_corpus:
+                append_dedup_artifacts(accepted, artifacts_path, id_=id_, text=text)
+            else:  # first batch defines the artifact set (incl. stop list)
+                save_dedup_artifacts(accepted, artifacts_path, id_=id_, text=text)
 
     writer = (
         new_docs.writeStream.foreachBatch(_sink)

@@ -273,6 +273,74 @@ class TestIncrementalDedup:
             assert (dup_of is None) == (status == "unique")
 
 
+    def test_artifacts_path_value_equal(self, spark, tmp_path):
+        """incremental_dedup with saved artifacts must return exactly
+        the in-lineage verdicts (same hashes, same stop list, same band
+        keys — read from parquet instead of recomputed)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.where(F.col("doc_id") < 40)
+        new = docs.where(F.col("doc_id") >= 40).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        ).unionByName(
+            corpus.where(F.col("doc_id") == 7).select(
+                (F.col("doc_id") + 9000).alias("doc_id"), "text"
+            )
+        )
+        path = str(tmp_path / "artifacts")
+        dedup.save_dedup_artifacts(corpus, path)
+        inline = sorted(
+            (r.doc_id, r.status, r.dup_of)
+            for r in dedup.incremental_dedup(new, corpus).collect()
+        )
+        via_art = sorted(
+            (r.doc_id, r.status, r.dup_of)
+            for r in dedup.incremental_dedup(new, corpus, artifacts=path).collect()
+        )
+        assert inline == via_art and any(s == "exact_dup" for _, s, _ in inline)
+
+    def test_append_artifacts_matches_resave(self, spark, tmp_path):
+        """Appending a shard's artifact rows must yield the same band/hash
+        tables as recomputing hashes+bands for the grown corpus under the
+        ORIGINAL stop list (the documented consistency contract)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.where(F.col("doc_id") < 40)
+        shard = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+        path = str(tmp_path / "a")
+        dedup.save_dedup_artifacts(corpus, path)
+        dedup.append_dedup_artifacts(shard, path)
+        bands = spark.read.parquet(f"{path}/bands")
+        hashes = spark.read.parquet(f"{path}/content_hashes")
+        stop = spark.read.parquet(f"{path}/stop_shingles")
+        grown = corpus.unionByName(shard)
+        exp_hashes = dedup.normalized(grown, "text").select(
+            F.col("doc_id"), F.md5("_norm").alias("h")
+        )
+        sh = dedup.raw_shingles(grown).join(
+            F.broadcast(stop), on="shingle", how="left_anti"
+        )
+        exp_bands = dedup._band_keys(dedup._signatures_from_shingles(sh))
+        assert sorted(map(tuple, hashes.collect())) == sorted(
+            map(tuple, exp_hashes.collect())
+        )
+        assert sorted(map(tuple, bands.collect())) == sorted(
+            map(tuple, exp_bands.collect())
+        )
+
+
 class TestPackSequences:
     def test_invariants(self, spark):
         from conftest import SF_SMOKE

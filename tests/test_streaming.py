@@ -343,3 +343,68 @@ def test_streaming_dedup_ingest_gates_corpus(spark, tmp_path):
     assert dec[7] == ("exact_dup", 2)
     assert dec[8][0] == "near_dup" and dec[8][1] == 3
     assert dec[9] == ("unique", None)
+
+
+def test_streaming_dedup_ingest_artifacts_mode_same_verdicts(spark, tmp_path):
+    """artifacts_path mode (corpus bands/hashes read from parquet, never
+    re-shingled from text) must produce exactly the plain-mode verdicts,
+    and the artifact tables must track the accepted corpus."""
+    import time as _time
+
+    from extended_rabitq_spark.streaming.stream_ops import streaming_dedup_ingest
+
+    base3 = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    docs1 = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, base3),
+        (6, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    docs2 = [
+        (7, "one two three four five six seven eight nine ten"),
+        (8, base3.replace("today", "tonight")),
+        (9, "completely different content with no overlap at all whatsoever"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id LONG, text STRING"
+    spark.createDataFrame(docs1, schema).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    _time.sleep(1.1)
+    spark.createDataFrame(docs2, schema).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    corpus_path = str(tmp_path / "corpus")
+    art_path = str(tmp_path / "artifacts")
+    q = streaming_dedup_ingest(
+        stream, corpus_path, str(tmp_path / "dec"), str(tmp_path / "ckpt"),
+        artifacts_path=art_path,
+    )
+    q.awaitTermination(120)
+    corpus_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    )
+    assert corpus_ids == [1, 2, 3, 9]
+    dec = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(str(tmp_path / "dec")).collect()
+    }
+    assert dec[6] == ("exact_dup", 1)
+    assert dec[7] == ("exact_dup", 2)
+    assert dec[8][0] == "near_dup" and dec[8][1] == 3
+    # artifacts track the accepted corpus exactly
+    h_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{art_path}/content_hashes").collect()
+    )
+    assert h_ids == [1, 2, 3, 9]
+    band_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{art_path}/bands").collect()
+    }
+    assert band_ids == {1, 2, 3, 9}
