@@ -67,7 +67,7 @@ WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id 
      r AS (SELECT qid, id, dist,
                   CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS BIGINT) AS rank
            FROM d)
-SELECT qid, rank, id, round(dist, 6) AS dist_r FROM r WHERE rank <= {K}
+SELECT qid, rank, id, round(dist, 6) + 0.0 AS dist_r FROM r WHERE rank <= {K}
 """
 
 
@@ -78,7 +78,14 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct expression). dist rounded for cross-engine hash stability of
     the division."""
     df = knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K, metric="cosine")
-    return df.select("qid", "rank", "id", F.round("dist", 6).alias("dist_r"))
+    # + 0.0 canonicalizes IEEE negative zero: with exact-duplicate
+    # vectors, 1 - cos lands on ±0.0 whose SIGN differs across engines
+    # (the fold orders round cos to either side of 1.0); -0.0 + 0.0 is
+    # +0.0 in IEEE, applied in the oracle SQL too.  Found by the sf1
+    # twin-replication soak (tools/sf1_embeddings_parity.py).
+    return df.select(
+        "qid", "rank", "id", (F.round("dist", 6) + F.lit(0.0)).alias("dist_r")
+    )
 
 
 _VEC_STATS_ORACLE = f"""

@@ -534,7 +534,7 @@ class TestCleanopsPlans:
 
 
 class TestIndexMaintenance:
-    def _skewed_index(self, spark, tmp_path, n_hot=40, n_cold=8):
+    def _skewed_index(self, spark, tmp_path, n_hot=40, n_cold=8, packed=False):
         """Index with one deliberately hot cluster: a tight blob of
         n_hot vectors plus n_cold spread singletons, K=4."""
         from extended_rabitq_spark.operators import ivf, rabitq
@@ -549,7 +549,7 @@ class TestIndexMaintenance:
         cents = ivf.sampled_kmeans_centroids(base, k=4, vec="vec")
         index_df, meta = rabitq.build_index(base, cents, total_bits=4)
         path = str(tmp_path / "idx")
-        rabitq.save_index(index_df, cents, meta, path)
+        rabitq.save_index(index_df, cents, meta, path, packed=packed)
         return base, path
 
     def _full_probe_results(self, spark, path, base, k=5):
@@ -667,3 +667,18 @@ class TestIndexMaintenance:
         rabitq.save_index(index_df, cents, meta, path)
         out = rabitq.rebalance_index(spark, path, base, max_ratio=10.0)
         assert out == {"split": [], "new_ids": [], "rows_moved": 0}
+
+    def test_rebalance_packed_index_preserves_results(self, spark, tmp_path):
+        """rebalance_index on a PACKED index (Q4 BINARY codes) must
+        repack the rewritten partitions and keep full-probe results
+        bitwise identical."""
+        from extended_rabitq_spark.operators import rabitq
+
+        base, path = self._skewed_index(spark, tmp_path, packed=True)
+        before = self._full_probe_results(spark, path, base, k=5)
+        out = rabitq.rebalance_index(spark, path, base, max_ratio=2.0)
+        assert out["split"]
+        codes = spark.read.parquet(f"{path}/codes")
+        assert dict(codes.dtypes)["code_packed"] == "binary"  # stayed packed
+        after = self._full_probe_results(spark, path, base, k=5)
+        assert before == after

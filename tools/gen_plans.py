@@ -117,6 +117,29 @@ def main() -> None:
         "lineitem² survives planning (guarded in tests/test_sources_plans).",
     )
 
+    add(
+        "dedup_lines (CCNet segment dedup)",
+        QUERIES["dedup_lines"](spark, SF),
+        "Tokenize+posexplode into 10-token segments, ONE shuffle on the "
+        "60-bit segment hash for the distinct-doc counts (partial "
+        "HashAggregate pair), equi-join back, and one reassembly "
+        "aggregation keyed on doc_id — bounded at <= 4 Exchanges by test.",
+    )
+    add(
+        "doc_chunks (overlapping chunking)",
+        QUERIES["doc_chunks"](spark, SF),
+        "Zero-Exchange map-only plan: a generated chunk-index sequence "
+        "posexploded against the text column; the documents scan reads "
+        "only (doc_id, text) (ReadSchema pruned, asserted in tests).",
+    )
+    add(
+        "training_shard_export (deterministic shard shuffle)",
+        QUERIES["training_shard_export"](spark, SF),
+        "Salted md5 hash -> shard id; the rank window partitions BY SHARD "
+        "(hashpartitioning, n_shards parallel sorts) — never a global "
+        "rangepartitioning sort.",
+    )
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text(HDR + "\n".join(sections))
     print(f"wrote {out}")
