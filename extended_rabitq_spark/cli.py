@@ -1,0 +1,198 @@
+"""Command-line entry points — the drop-in analog of the reference's
+executables (``create_index <dataset> <K> <B>``, ``src/create_index.cpp:10-54``;
+``test_search <dataset> <B>``, ``src/test_search.cpp:23-153``) plus the
+lifecycle verbs the immutable reference lacks.
+
+    python -m extended_rabitq_spark ingest       SRC OUT.parquet
+    python -m extended_rabitq_spark create-index BASE.parquet IDX --k 16 --b 4
+    python -m extended_rabitq_spark search       IDX QUERIES.parquet --base BASE.parquet
+    python -m extended_rabitq_spark stats        IDX
+    python -m extended_rabitq_spark compact      IDX
+    python -m extended_rabitq_spark delete       IDX --ids 3,17,42
+    python -m extended_rabitq_spark rebalance    IDX BASE.parquet
+
+Vector tables are parquet with ``(id, vec)`` or ``(vec_id, embedding)``
+columns (auto-detected); ``ingest`` converts fvecs/ivecs/fbin shards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _vectors(spark: SparkSession, path: str) -> DataFrame:
+    """Load a vector table, normalizing column names to (id, vec)."""
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if {"id", "vec"} <= cols:
+        return df.select("id", "vec")
+    if {"vec_id", "embedding"} <= cols:
+        return df.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+    raise SystemExit(
+        f"{path}: expected (id, vec) or (vec_id, embedding) columns, got {sorted(cols)}"
+    )
+
+
+def cmd_ingest(spark: SparkSession, a: argparse.Namespace) -> int:
+    from .sources import vecs_io
+
+    if any(ch in a.src for ch in "*?["):
+        df = vecs_io.ingest_dir(spark, a.src, a.out)
+    else:
+        df = vecs_io.ingest_file(spark, a.src, a.out)
+    print(f"ingested {df.count()} vectors -> {a.out}")
+    return 0
+
+
+def cmd_create_index(spark: SparkSession, a: argparse.Namespace) -> int:
+    from .harness import save_indexing_time_csv
+    from .operators import ivf, rabitq
+
+    base = _vectors(spark, a.base)
+    t0 = time.perf_counter()
+    cents = ivf.sampled_kmeans_centroids(base, k=a.k, vec="vec")
+    index_df, meta = rabitq.build_index(base, cents, total_bits=a.b)
+    rabitq.save_index(index_df, cents, meta, a.index, packed=a.packed)
+    dt = time.perf_counter() - t0
+    n = spark.read.parquet(f"{a.index}/codes").count()
+    print(f"index built: {n} vectors, K={a.k}, B={a.b}, "
+          f"packed={a.packed}, {dt:.1f}s -> {a.index}")
+    if a.results_dir:
+        save_indexing_time_csv(a.results_dir, a.dataset, dt)
+    return 0
+
+
+def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
+    from .harness import nprobe_sweep, save_results_csv
+    from .operators import rabitq
+
+    codes, cents_full, meta = rabitq.load_index(spark, a.index)
+    queries = _vectors(spark, a.queries).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    base = _vectors(spark, a.base)
+    centroids = cents_full.select("cluster_id", "centroid")
+    grid = [int(x) for x in a.grid.split(",")] if a.grid else None
+    rows = nprobe_sweep(
+        queries, base, centroids, k=a.k, grid=grid, mode="rabitq",
+        index_df=codes, centroids_full=cents_full, meta=meta,
+        rounds=a.rounds,
+    )
+    print("nprobe,QPS,recall,ratio")
+    for r in rows:
+        print(f"{r.nprobe},{r.qps:.2f},{r.recall:.5f},{r.ratio:.5f}")
+    if a.results_dir:
+        tag = f"exhaf{int(meta.get('total_bits', 0))}"
+        save_results_csv(rows, a.results_dir, a.dataset, tag)
+    return 0
+
+
+def cmd_stats(spark: SparkSession, a: argparse.Namespace) -> int:
+    from .operators import rabitq
+
+    codes = spark.read.parquet(f"{a.index}/codes")
+    for r in rabitq.index_stats(codes).collect():
+        for k in r.asDict():
+            print(f"{k}: {r[k]}")
+    return 0
+
+
+def cmd_compact(spark: SparkSession, a: argparse.Namespace) -> int:
+    from .operators import rabitq
+
+    rabitq.compact_index(spark, a.index)
+    print(f"compacted {a.index}")
+    return 0
+
+
+def cmd_delete(spark: SparkSession, a: argparse.Namespace) -> int:
+    from .operators import rabitq
+
+    ids = [int(x) for x in a.ids.split(",") if x.strip()]
+    ids_df = spark.createDataFrame([(i,) for i in ids], "id long")
+    n = rabitq.delete_from_index(spark, a.index, ids_df)
+    print(f"deleted {n} of {len(ids)} requested ids from {a.index}")
+    return 0
+
+
+def cmd_rebalance(spark: SparkSession, a: argparse.Namespace) -> int:
+    from .operators import rabitq
+
+    base = _vectors(spark, a.base)
+    out = rabitq.rebalance_index(spark, a.index, base, max_ratio=a.max_ratio)
+    print(
+        f"split clusters {out['split']} -> new ids {out['new_ids']}; "
+        f"{out['rows_moved']} rows rewritten"
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="extended_rabitq_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("ingest", help="fvecs/ivecs/fbin -> parquet (S1/S2)")
+    s.add_argument("src")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("create-index", help="train + quantize + save (create_index)")
+    s.add_argument("base")
+    s.add_argument("index")
+    s.add_argument("--k", type=int, default=16, help="IVF cluster count")
+    s.add_argument("--b", type=int, default=4, help="total bits per dim")
+    s.add_argument("--packed", action="store_true", help="Q4 BINARY codes")
+    s.add_argument("--results-dir", default=None)
+    s.add_argument("--dataset", default="dataset")
+    s.set_defaults(fn=cmd_create_index)
+
+    s = sub.add_parser("search", help="nprobe sweep on a saved index (test_search)")
+    s.add_argument("index")
+    s.add_argument("queries")
+    s.add_argument("--base", required=True, help="base vectors (GT + ratio)")
+    s.add_argument("--k", type=int, default=100)
+    s.add_argument("--grid", default=None, help="comma nprobe grid")
+    s.add_argument("--rounds", type=int, default=1)
+    s.add_argument("--results-dir", default=None)
+    s.add_argument("--dataset", default="dataset")
+    s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("stats", help="cluster-balance report")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_stats)
+
+    s = sub.add_parser("compact", help="one file per cluster partition")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_compact)
+
+    s = sub.add_parser("delete", help="delete vectors by id")
+    s.add_argument("index")
+    s.add_argument("--ids", required=True, help="comma-separated ids")
+    s.set_defaults(fn=cmd_delete)
+
+    s = sub.add_parser("rebalance", help="split hot clusters")
+    s.add_argument("index")
+    s.add_argument("base")
+    s.add_argument("--max-ratio", type=float, default=2.0)
+    s.set_defaults(fn=cmd_rebalance)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .session import get_spark
+
+    a = build_parser().parse_args(argv)
+    spark = get_spark("exrabitq-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return a.fn(spark, a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

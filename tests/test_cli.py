@@ -1,0 +1,66 @@
+"""CLI lifecycle test: the drop-in analogs of the reference's
+create_index / test_search executables plus the maintenance verbs,
+driven through cli.main() (argparse path included)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from extended_rabitq_spark import cli
+from extended_rabitq_spark.sources import vecs_io
+
+
+def test_cli_full_lifecycle(spark, tmp_path, capsys):
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((80, 8)).astype(np.float32)
+    src = str(tmp_path / "base.fvecs")
+    vecs_io.write_fvecs(src, mat)
+    base_pq = str(tmp_path / "base.parquet")
+    idx = str(tmp_path / "idx")
+
+    assert cli.main(["ingest", src, base_pq]) == 0
+    assert "ingested 80 vectors" in capsys.readouterr().out
+
+    assert cli.main(["create-index", base_pq, idx, "--k", "4", "--b", "4"]) == 0
+    assert "index built: 80 vectors" in capsys.readouterr().out
+
+    # queries: first 5 base vectors round-tripped through parquet
+    q_pq = str(tmp_path / "q.parquet")
+    spark.read.parquet(base_pq).where("id < 5").write.parquet(q_pq)
+    assert cli.main([
+        "search", idx, q_pq, "--base", base_pq, "--k", "5", "--grid", "2,4",
+        "--results-dir", str(tmp_path / "res"), "--dataset", "smoke",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("nprobe,QPS,recall,ratio")
+    assert len(out.strip().splitlines()) == 3  # header + 2 grid rows
+    csv = (tmp_path / "res" / "exrabitq" / "smoke_exhaf4.csv").read_text()
+    assert csv.splitlines()[0] == "nprobe,QPS,recall,ratio"
+    # quantized sweep at full probes: high recall, near-1 ratio (the
+    # engine is approximate by design — the reference's own anchor is
+    # recall 0.653 at nprobe 5/4096)
+    # (no strict monotonicity at this toy scale: the rank cut keeps a
+    # FIXED gamma*k estimate slots, so extra probed clusters can crowd
+    # out a true neighbor - SURVEY 4.2.2's documented delta vs the
+    # reference's sequential threshold)
+    r2, r4 = [ln.split(",") for ln in csv.strip().splitlines()[1:]]
+    assert float(r2[2]) >= 0.7 and float(r4[2]) >= 0.7
+    assert float(r4[3]) < 1.05
+
+    assert cli.main(["stats", idx]) == 0
+    assert "n_clusters: 4" in capsys.readouterr().out
+
+    assert cli.main(["delete", idx, "--ids", "70,71,9999"]) == 0
+    assert "deleted 2 of 3" in capsys.readouterr().out
+
+    assert cli.main(["compact", idx]) == 0
+    capsys.readouterr()
+    assert cli.main(["rebalance", idx, base_pq, "--max-ratio", "1.5"]) == 0
+    capsys.readouterr()
+    # index still serves correctly end-to-end after the maintenance chain
+    assert cli.main([
+        "search", idx, q_pq, "--base", base_pq, "--k", "5", "--grid", "99",
+    ]) == 0
+    out = capsys.readouterr().out
+    row = out.strip().splitlines()[-1].split(",")
+    assert float(row[2]) >= 0.7 and float(row[3]) < 1.05
