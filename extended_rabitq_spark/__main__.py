@@ -1,7 +1,8 @@
-"""``python -m extended_rabitq_spark`` → CLI (see cli.py)."""
+"""``python -m extended_rabitq_spark`` -> CLI (see cli.py)."""
 
 import sys
 
 from .cli import main
 
-sys.exit(main())
+if __name__ == "__main__":
+    sys.exit(main())

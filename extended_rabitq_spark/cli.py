@@ -65,7 +65,7 @@ def cmd_create_index(spark: SparkSession, a: argparse.Namespace) -> int:
     print(f"index built: {n} vectors, K={a.k}, B={a.b}, "
           f"packed={a.packed}, {dt:.1f}s -> {a.index}")
     if a.results_dir:
-        save_indexing_time_csv(a.results_dir, a.dataset, dt)
+        save_indexing_time_csv(a.results_dir, a.dataset, dt / 60.0)  # minutes
     return 0
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from .textops import STOPWORDS
+from .textops import STOPWORDS, _arr_lit
 
 # Segment dedup: fixed token-window segmentation (the fixture corpus has
 # no newlines; real corpora pass separator-split lines through the same
@@ -252,7 +252,7 @@ def gopher_filter(
     ``Σlen/n ≥ 2``) so both engines agree bitwise.  Map-only single pass.
     """
     toks = T.tokens(text)
-    stop = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + ")"
+    stop = _arr_lit(STOPWORDS["en"])
     d = docs.select(
         F.col(id_).alias("doc_id"),
         F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
@@ -332,8 +332,13 @@ def tfidf_terms(
     per (group, tok), so row count per tok IS the distinct-group count —
     no tok-level aggregate+join), a broadcast of the 1-row N, and a
     per-group rank window — no global sort, three shuffles total.
+
+    NULL groups are excluded up front on BOTH sides: SQL
+    ``count(DISTINCT grp)`` ignores NULL while a window ``count(*)``
+    would count it, so admitting NULL-source rows would silently desync
+    df between the engines.
     """
-    tok_tab = docs.select(
+    tok_tab = docs.where(F.col(group).isNotNull()).select(
         F.col(group).alias("grp"), F.explode(F.expr(T.tokens(text))).alias("tok")
     )
     tf = tok_tab.groupBy("grp", "tok").agg(F.count("*").alias("tf"))
@@ -369,7 +374,8 @@ def d_tfidf_terms(group: str = "source", k: int = TFIDF_TOPK) -> str:
     """DuckDB oracle for :func:`tfidf_terms`."""
     toks = T.d_tokens("text")
     return f"""
-WITH tok AS (SELECT {group} AS grp, unnest({toks}) AS tok FROM documents),
+WITH tok AS (SELECT {group} AS grp, unnest({toks}) AS tok FROM documents
+           WHERE {group} IS NOT NULL),
 tf AS (SELECT grp, tok, count(*) AS tf FROM tok GROUP BY grp, tok),
 dfx AS (SELECT tok, count(DISTINCT grp) AS df FROM tf GROUP BY tok),
 n AS (SELECT CAST(count(DISTINCT {group}) AS DOUBLE) AS n_grp FROM documents),
@@ -395,15 +401,26 @@ def integrity_audit(docs: DataFrame, emb: DataFrame) -> DataFrame:
     embeddings_missing_doc, n_chars_mismatch, n_empty_text,
     n_nonfinite_vec, n_zero_vec, n_dims``.
 
-    Every counter is an integer (bitwise cross-engine).  Shape: two
-    anti-join counts (broadcast the distinct-id projections — at 100 TB
-    these are the only shuffles, and they carry one BIGINT per row) and
-    two single-pass aggregates; nothing quadratic, no Python.
+    Every counter is an integer (bitwise cross-engine).  Shape: one
+    full-outer join of the two thin id projections (the only shuffle
+    carrying one BIGINT per row at 100 TB) aggregated into both
+    missing-link counts, plus two single-pass aggregates; fully LAZY —
+    constructing the DataFrame runs no jobs, the whole audit is one
+    reproducible plan.  Nothing quadratic, no Python.
     """
-    d_ids = docs.select(F.col("doc_id").alias("_id"))
-    e_ids = emb.select(F.col("vec_id").alias("_id"))
-    docs_missing = d_ids.join(e_ids, "_id", "left_anti").count()
-    emb_missing = e_ids.join(d_ids, "_id", "left_anti").count()
+    d_ids = docs.select(F.col("doc_id").alias("_id"), F.lit(1).alias("_d"))
+    e_ids = emb.select(F.col("vec_id").alias("_id"), F.lit(1).alias("_e"))
+    link = (
+        d_ids.join(e_ids, "_id", "full_outer")
+        .agg(
+            F.sum(F.when(F.col("_e").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_missing_embedding"),
+            F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("embeddings_missing_doc"),
+        )
+    )
     doc_stats = docs.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(
@@ -426,11 +443,6 @@ def integrity_audit(docs: DataFrame, emb: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_zero_vec"),
         F.countDistinct(F.size("embedding")).cast("bigint").alias("n_dims"),
-    )
-    spark = docs.sparkSession
-    link = spark.createDataFrame(
-        [(int(docs_missing), int(emb_missing))],
-        "docs_missing_embedding bigint, embeddings_missing_doc bigint",
     )
     return (
         doc_stats.crossJoin(emb_stats)

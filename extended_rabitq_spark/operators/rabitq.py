@@ -542,6 +542,17 @@ def delete_from_index(
             part_dir = f"{path}/codes/cluster_id={cid}"
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
+    # If the delete emptied EVERY cluster, leave a readable empty table
+    # (schema-only parquet): a codes dir with no partition dirs would
+    # fail schema inference on the next load.
+    if not any(
+        name.startswith("cluster_id=") for name in os.listdir(f"{path}/codes")
+    ):
+        # schema captured up front: writing `codes.limit(0)` back to its
+        # own source path would trip Spark's overwrite-while-reading check
+        spark.createDataFrame([], codes.schema).write.mode("overwrite").parquet(
+            f"{path}/codes"
+        )
     return n_deleted
 
 
@@ -624,6 +635,16 @@ def rebalance_index(
     by_cluster: dict[int, list] = {}
     for r in samp:
         by_cluster.setdefault(int(r["_old_cid"]), []).append(r["_v"])
+    # A hot cluster whose ids are missing from (a stale/mismatched)
+    # `base` cannot be split — fail loudly rather than KeyError, and
+    # refuse degenerate 1-row samples (two identical sub-centroids).
+    uncovered = [c for c in hot if len(by_cluster.get(c, [])) < 2]
+    if uncovered:
+        raise ValueError(
+            f"rebalance_index: base table covers < 2 vectors for hot "
+            f"cluster(s) {uncovered} — pass the same base the index was "
+            f"built from"
+        )
 
     sub_rows, new_ids = [], []
     next_id = max_cid + 1

@@ -83,7 +83,8 @@ _DEMOTED = [
     # family they belong to already has a checked representative
     # (dedup_* corpus-count dedup, multimodal_frames explode,
     # stratified_sample hash-shuffle, text_quality map-only flags,
-    # token_topk/token_pmi token relevance); all five are verified by
+    # token_topk/token_pmi token relevance, corpus_stats one-row
+    # aggregate profiles); all six are verified by
     # the cap-free parity replica + tests/test_cleanops.py.
     "dedup_lines",
     "corpus_integrity_audit",

@@ -363,8 +363,12 @@ def streaming_dedup_ingest(
     documents (new×corpus joins only, never corpus×corpus).
 
     Within a micro-batch, exact duplicates collapse first (keep the
-    smallest id — the same survivor rule as ``dedup_apply``), so a
-    batch carrying its own repeats cannot admit two copies.  Every
+    smallest id — the same survivor rule as ``dedup_apply``), then an
+    intra-batch NEAR-dup tier (``minhash_lsh_pairs`` over the batch)
+    rejects any doc with a smaller-id near-duplicate in the same batch
+    — without it the gate's output would depend on batch boundaries
+    (two near-dups arriving together would both be admitted, while
+    split across batches the second is rejected).  Every
     incoming doc's verdict lands in ``decisions_path`` as
     ``(doc_id, status, dup_of)``; survivors are re-readable immediately
     by the next batch (each batch reads the corpus fresh).  State: the
@@ -388,6 +392,7 @@ def streaming_dedup_ingest(
     from ..operators.dedup import (
         append_dedup_artifacts,
         incremental_dedup,
+        minhash_lsh_pairs,
         normalized,
         save_dedup_artifacts,
     )
@@ -410,6 +415,27 @@ def streaming_dedup_ingest(
             "_h", "_rn", "_keep", "_norm"
         )
         intra_dups = batch.where(F.col("_rn") > 1)
+        # intra-batch near-dup tier: reject any survivor with a
+        # smaller-id near-duplicate in the same batch (pairwise
+        # keep-min — matches the component-min convention for chains;
+        # batch-local stop list, since this tier compares only within
+        # the batch).
+        near_pairs = minhash_lsh_pairs(
+            survivors_intra, threshold=threshold, id_=id_, text=text
+        )
+        intra_near = near_pairs.groupBy("doc_b").agg(
+            F.min("doc_a").alias("_near_of")
+        )
+        intra_near_verdict = intra_near.select(
+            F.col("doc_b").alias(id_),
+            F.lit("near_dup").alias("status"),
+            F.col("_near_of").cast("long").alias("dup_of"),
+        )
+        survivors_intra = survivors_intra.join(
+            F.broadcast(intra_near.select(F.col("doc_b").alias(id_))),
+            on=id_,
+            how="left_anti",
+        )
         have_corpus = os.path.isdir(corpus_path) and any(
             f.endswith(".parquet") for f in os.listdir(corpus_path)
         )
@@ -430,7 +456,11 @@ def streaming_dedup_ingest(
             F.lit("exact_dup").alias("status"),
             F.col("_keep").cast("long").alias("dup_of"),
         )
-        verdict = verdict.unionByName(intra_verdict).localCheckpoint(eager=True)
+        verdict = (
+            verdict.unionByName(intra_verdict)
+            .unionByName(intra_near_verdict)
+            .localCheckpoint(eager=True)
+        )
         verdict.write.mode("append").parquet(decisions_path)
         unique_ids = verdict.where(F.col("status") == "unique").select(id_)
         accepted = batch_df.join(F.broadcast(unique_ids), on=id_, how="left_semi")

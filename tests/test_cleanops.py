@@ -162,3 +162,21 @@ def test_integrity_audit_detects_planted_issues(spark):
     assert r["n_nonfinite_vec"] == 1          # vec 3
     assert r["n_zero_vec"] == 1               # vec 2
     assert r["n_dims"] == 2                   # dims {2, 3}
+
+
+def test_integrity_audit_is_lazy(spark):
+    """Constructing the audit DataFrame must run ZERO Spark jobs (the
+    missing-link counters are plan nodes, not driver-side collects)."""
+    from extended_rabitq_spark.operators import cleanops
+
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "s", 1)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    emb = spark.createDataFrame([(1, [1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None))
+    df = cleanops.integrity_audit(docs, emb)
+    after = set(st.getJobIdsForGroup(None))
+    assert before == after, "audit construction must be lazy"
+    assert df.collect()[0]["n_docs"] == 1

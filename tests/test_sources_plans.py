@@ -682,3 +682,24 @@ class TestIndexMaintenance:
         assert dict(codes.dtypes)["code_packed"] == "binary"  # stayed packed
         after = self._full_probe_results(spark, path, base, k=5)
         assert before == after
+
+    def test_delete_every_row_leaves_readable_empty_index(self, spark, tmp_path):
+        from extended_rabitq_spark.operators import rabitq
+
+        base, path = self._skewed_index(spark, tmp_path)
+        all_ids = spark.createDataFrame([(i,) for i in range(48)], "id long")
+        n = rabitq.delete_from_index(spark, path, all_ids)
+        assert n == 48
+        left = spark.read.parquet(f"{path}/codes")  # must not raise
+        assert left.count() == 0
+        assert "cluster_id" in left.columns and "id" in left.columns
+
+    def test_rebalance_rejects_stale_base(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from extended_rabitq_spark.operators import rabitq
+
+        base, path = self._skewed_index(spark, tmp_path)
+        stale = base.where("id >= 46")  # misses the hot cluster's vectors
+        with _pytest.raises(ValueError, match="covers < 2 vectors"):
+            rabitq.rebalance_index(spark, path, stale, max_ratio=2.0)

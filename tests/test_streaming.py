@@ -304,10 +304,12 @@ def test_streaming_dedup_ingest_gates_corpus(spark, tmp_path):
         (3, base3),
         (6, "alpha beta gamma delta epsilon zeta eta theta"),  # intra dup of 1
     ]
+    base9 = "completely different content with no overlap at all whatsoever in this corpus today"
     docs2 = [
         (7, "one two three four five six seven eight nine ten"),  # exact dup of 2
         (8, base3.replace("today", "tonight")),                   # near dup of 3
-        (9, "completely different content with no overlap at all whatsoever"),
+        (9, base9),
+        (10, base9 + " indeed"),  # INTRA-batch near dup of 9
     ]
     src = tmp_path / "src"
     src.mkdir()
@@ -343,6 +345,9 @@ def test_streaming_dedup_ingest_gates_corpus(spark, tmp_path):
     assert dec[7] == ("exact_dup", 2)
     assert dec[8][0] == "near_dup" and dec[8][1] == 3
     assert dec[9] == ("unique", None)
+    # intra-batch near-dup: rejected against the smaller batch member,
+    # never admitted even though 9 and 10 arrived in the SAME batch
+    assert dec[10] == ("near_dup", 9)
 
 
 def test_streaming_dedup_ingest_artifacts_mode_same_verdicts(spark, tmp_path):

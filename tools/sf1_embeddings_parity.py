@@ -50,6 +50,7 @@ NAMES = [
     "ivf_ratio",
     "query_quantize_uniform",
     "query_quantize_symmetric",
+    "corpus_integrity_audit",
 ]
 
 RECALL_FLOOR_NP6 = 0.70
