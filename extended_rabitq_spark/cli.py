@@ -134,6 +134,16 @@ def cmd_rebalance(spark: SparkSession, a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_clean_corpus(spark: SparkSession, a: argparse.Namespace) -> int:
+    from .queries.pipeline import pipeline_clean_corpus
+
+    out = pipeline_clean_corpus(spark, a.data_dir, scale=a.scale)
+    out.write.mode("overwrite").parquet(a.out)
+    n = spark.read.parquet(a.out).count()
+    print(f"clean corpus: {n} surviving docs -> {a.out} (scale={a.scale})")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="extended_rabitq_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -176,6 +186,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("index")
     s.add_argument("--ids", required=True, help="comma-separated ids")
     s.set_defaults(fn=cmd_delete)
+
+    s = sub.add_parser(
+        "clean-corpus",
+        help="dedup + quality + near-dup prune over documents/embeddings",
+    )
+    s.add_argument("data_dir", help="dir with documents.parquet + embeddings.parquet")
+    s.add_argument("out", help="output parquet of surviving docs")
+    s.add_argument("--scale", action="store_true",
+                   help="ANN self-join near-dup stage (corpus-scale mode)")
+    s.set_defaults(fn=cmd_clean_corpus)
 
     s = sub.add_parser("rebalance", help="split hot clusters")
     s.add_argument("index")

@@ -64,3 +64,15 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     row = out.strip().splitlines()[-1].split(",")
     assert float(row[2]) >= 0.7 and float(row[3]) < 1.05
+
+
+def test_cli_clean_corpus(tmp_path, capsys, spark):
+    from conftest import SF_SMOKE
+
+    out = str(tmp_path / "clean.parquet")
+    assert cli.main(["clean-corpus", SF_SMOKE, out]) == 0
+    msg = capsys.readouterr().out
+    assert "surviving docs" in msg
+    survivors = spark.read.parquet(out)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert 0 < survivors.count() <= n_docs
