@@ -265,3 +265,34 @@ def knn_range_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs, index_df, cents_full, meta, radius2=RADIUS2,
         nprobe=n_clusters, rerank_base=base,
     )
+
+
+@register("knn_filtered_rabitq", _FILTERED_ORACLE)
+def knn_filtered_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accelerated metadata-filtered ANN sharing knn_filtered's exact
+    oracle: the allowed-id set left-semi-joins the INDEX rows (so only
+    matching codes are ever scored — pre-filtering at the index level,
+    the standard vector-DB filtered-search design), then full probes +
+    ``refine=None`` + exact re-rank make the result provably equal to
+    the exact form.  At production settings nprobe/refine become the
+    recall knobs exactly as in unfiltered search; the filter composes
+    with partition pruning (probed AND allowed)."""
+    from ..operators import ivf, rabitq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
+    base = _base_df(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    cents = ivf.label_centroids(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
+    )
+    index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+    index_f = index_df.join(F.broadcast(keep), on="id", how="left_semi")
+    base_f = base.join(F.broadcast(keep), on="id", how="left_semi")
+    cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
+    n_clusters = cents.count()
+    res = rabitq.rabitq_search(
+        qs, index_f, cents_full, meta, nprobe=n_clusters, k=K,
+        refine=None, rerank_base=base_f, full_probes=True,
+    )
+    return res.select("qid", "rank", "id", F.col("est_dist").alias("dist"))

@@ -552,3 +552,46 @@ def events_salted_cohort_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("cohort_week", "event_type").agg(
         F.count("*").alias("n_events")
     )
+
+
+_LATEST_ORACLE = """
+WITH r AS (SELECT user_id, event_id, ts, event_type,
+                  CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_fp,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_type, value_fp AS last_value_fp
+FROM r WHERE rn = 1
+"""
+
+
+@register("events_latest_state", _LATEST_ORACLE)
+def events_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert view: the latest event per user (latest-wins by
+    (ts, event_id) — the materialized form of a keyed compaction /
+    SCD-type-1 snapshot).  One hash shuffle on user_id; the window
+    compiles to a partial WindowGroupLimit, so each map task keeps one
+    candidate row per user before the exchange.  Value in fixed-point
+    micros (the repo's exact_value_sum convention) for bitwise parity."""
+    from pyspark.sql import Window
+
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").alias(
+                "last_value_fp"
+            ),
+        )
+    )

@@ -51,6 +51,9 @@ _DEMOTED = [
     "knn_exact_combined",    # value-equal twin of knn_exact (same oracle)
     "knn_ip",                # P8 metric variant; knn_exact/knn_cosine stay
     "knn_range_rabitq",      # same oracle as knn_range (accelerated twin)
+    "knn_filtered_rabitq",   # same oracle as knn_filtered (accelerated
+                             # pre-filtered index search, lossless at
+                             # full probes + exact rerank)
     "dedup_simhash",         # all-pairs oracle twin of dedup_simhash_banded
     "dedup_embedding_cosine",  # all-pairs twin of dedup_embedding_ann
     "ivf_probes_hier",       # same oracle as ivf_probes / ivf_probes_graph
@@ -73,6 +76,9 @@ _DEMOTED = [
                              # events_lead_lag (offset window)
     "corpus_stats_rollup",   # grouping-sets family kept checked via the
                              # strictly-superset corpus_stats_cube
+    "events_latest_state",   # keyed-compaction family: rank-window
+                             # rep already checked via
+                             # events_top_type_per_user
     "events_retention",      # cohort shape = grouped-agg + co-partitioned
                              # join, both families already checked
                              # (events_funnel/events_pivot); registering
