@@ -489,3 +489,87 @@ SELECT ds.n_docs, es.n_embeddings,
        es.n_nonfinite_vec, es.n_zero_vec, es.n_dims
 FROM ds, es, dm, em
 """
+
+
+SPAN_TOKENS = 10
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_: str = "doc_id",
+    text: str = "text",
+    win: int = SPAN_TOKENS,
+    min_dup: int = SEG_MIN_DUP,
+) -> DataFrame:
+    """Exact substring-span dedup (the Lee et al. 'Deduplicating
+    Training Data makes LM better' shape): every OVERLAPPING ``win``-token
+    window is hashed corpus-wide; windows occurring in ≥ ``min_dup``
+    distinct docs mark duplicated positions, and per doc the consecutive
+    duplicated positions merge into MAXIMAL spans → ``(doc_id, span_idx,
+    start_tok, end_tok, span_windows)`` with ``end_tok`` exclusive.
+
+    Unlike :func:`segment_dedup` (disjoint segments — CCNet's cheap
+    form), stride-1 windows catch duplicated passages at ANY alignment;
+    the cost is a ``n_tokens``-row explode per doc instead of
+    ``n_tokens/win``.  Scale shape is identical: one explode, one
+    group-by on the window hash, one join back, one per-doc merge pass
+    (the island merge is two window functions over (doc_id, i) — no
+    extra shuffle beyond the doc_id one the output needs anyway).
+    """
+    toks = T.tokens(text)
+    wins = (
+        f"CASE WHEN size({toks}) < {win} THEN array() "
+        f"ELSE transform(sequence(0, size({toks}) - {win}), "
+        f"i -> array_join(slice({toks}, i + 1, {win}), ' ')) END"
+    )
+    w_tab = docs.select(
+        F.col(id_).alias("doc_id"),
+        F.posexplode(F.expr(wins)).alias("i", "win"),
+    ).withColumn("win_h", F.expr(T.hash60("win")))
+    counts = w_tab.groupBy("win_h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = (
+        w_tab.join(counts, "win_h")
+        .where(F.col("nd") >= min_dup)
+        .select("doc_id", "i")
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("i")
+    isl = dup.withColumn("_grp", F.col("i") - F.row_number().over(w_isl))
+    spans = isl.groupBy("doc_id", "_grp").agg(
+        F.min("i").cast("bigint").alias("start_tok"),
+        (F.max("i") + win).cast("bigint").alias("end_tok"),
+        F.count("*").cast("bigint").alias("span_windows"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy("start_tok")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(w_rank).cast("bigint").alias("span_idx"),
+        "start_tok",
+        "end_tok",
+        "span_windows",
+    )
+
+
+def d_span_dedup(win: int = SPAN_TOKENS, min_dup: int = SEG_MIN_DUP) -> str:
+    """DuckDB oracle for :func:`span_dedup`."""
+    toks = T.d_tokens("text")
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             array_to_string(toks[u.i + 1 : u.i + {win}], ' ') AS win
+      FROM tk, unnest(range(0, greatest(len(toks) - {win} + 1, 0))) AS u(i)),
+wh AS (SELECT doc_id, i, {T.d_hash60('win')} AS win_h FROM w),
+cnt AS (SELECT win_h, count(DISTINCT doc_id) AS nd FROM wh GROUP BY win_h),
+dup AS (SELECT wh.doc_id, wh.i FROM wh JOIN cnt USING (win_h) WHERE cnt.nd >= {min_dup}),
+isl AS (SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM dup),
+spans AS (SELECT doc_id,
+                 CAST(min(i) AS BIGINT) AS start_tok,
+                 CAST(max(i) + {win} AS BIGINT) AS end_tok,
+                 CAST(count(*) AS BIGINT) AS span_windows
+          FROM isl GROUP BY doc_id, grp)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) AS BIGINT) AS span_idx,
+       start_tok, end_tok, span_windows
+FROM spans
+"""

@@ -58,3 +58,10 @@ def integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
     )
+
+
+@register("dedup_spans", cleanops.d_span_dedup())
+def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup: maximal cross-doc duplicated
+    10-token spans at any alignment (stride-1 windows)."""
+    return cleanops.span_dedup(_docs(spark, sf_dir))

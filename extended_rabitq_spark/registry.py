@@ -93,6 +93,7 @@ _DEMOTED = [
     # aggregate profiles); all six are verified by
     # the cap-free parity replica + tests/test_cleanops.py.
     "dedup_lines",
+    "dedup_spans",
     "corpus_integrity_audit",
     "doc_chunks",
     "training_shard_export",

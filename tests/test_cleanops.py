@@ -180,3 +180,36 @@ def test_integrity_audit_is_lazy(spark):
     after = set(st.getJobIdsForGroup(None))
     assert before == after, "audit construction must be lazy"
     assert df.collect()[0]["n_docs"] == 1
+
+
+def test_span_dedup_merges_overlapping_windows(spark):
+    # win=3: docs 1 and 2 share tokens 2..6 ("c d e f g") = three
+    # duplicated 3-windows at i=2,3,4 in doc 1 -> ONE maximal span [2, 7).
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y c d e f g z"),
+    ]
+    out = cleanops.span_dedup(_docs(spark, rows), win=3).collect()
+    spans = {(r["doc_id"], r["start_tok"], r["end_tok"]): r for r in out}
+    assert (1, 2, 7) in spans and spans[(1, 2, 7)]["span_windows"] == 3
+    assert (2, 2, 7) in spans
+    assert all(r["span_idx"] == 1 for r in out)  # one span per doc
+
+
+def test_span_dedup_separate_islands_stay_separate(spark):
+    # Shared windows at the start AND end with a unique middle: two spans.
+    rows = [
+        (1, "p q r UNIQ1 UNIQ2 UNIQ3 s t u"),
+        (2, "p q r OTHER1 OTHER2 OTHER3 s t u"),
+    ]
+    out = {
+        (r["doc_id"], r["span_idx"]): (r["start_tok"], r["end_tok"])
+        for r in cleanops.span_dedup(_docs(spark, rows), win=3).collect()
+    }
+    assert out[(1, 1)] == (0, 3) and out[(1, 2)] == (6, 9)
+    assert out[(2, 1)] == (0, 3) and out[(2, 2)] == (6, 9)
+
+
+def test_span_dedup_short_docs_produce_no_windows(spark):
+    rows = [(1, "a b"), (2, "a b")]
+    assert cleanops.span_dedup(_docs(spark, rows), win=3).count() == 0
