@@ -212,8 +212,12 @@ def shard_export(
     of the id — a reshuffle-free, resumable global shuffle: any engine
     (or a later incremental run) reproduces the same placement without
     coordination.  One hash projection + one shuffle on ``shard`` for
-    the rank window; at 100 TB each shard's window sorts independently
-    (``n_shards`` parallel sorts, no global order).
+    the rank window; each shard's window sorts independently (no global
+    order).  At scale ``n_shards`` must GROW with the corpus (standard
+    practice: ~1-4 GB per training shard, so 100 TB → tens of thousands
+    of shards): each rank window sorts corpus/n_shards rows in one task
+    (spill-backed external sort), so the default 8 is a fixture setting,
+    not a 100 TB one.
     """
     key = T.hash60(f"concat('shard:', CAST({id_} AS STRING))")
     w = Window.partitionBy("shard").orderBy("shard_key", "doc_id")

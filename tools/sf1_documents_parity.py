@@ -40,6 +40,7 @@ SRC = "/root/testdata/sf0.1"
 NAMES = [
     "dedup_exact",
     "dedup_lines",
+    "dedup_spans",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_banded",
