@@ -277,3 +277,25 @@ def test_graph_probes_at_hnsw_trigger_scale(spark):
         beam_wall = time.perf_counter() - t0
     assert beam_wall < exact_wall * 1.5, (beam_wall, exact_wall)
     cents.unpersist(); qs.unpersist()
+
+
+@pytest.mark.parametrize(
+    "tool",
+    ["sf1_events_parity.py", "sf1_documents_parity.py", "sf1_embeddings_parity.py"],
+)
+def test_sf1_parity_tools(tool):
+    """The three sf1-scale (10x sf0.1) cross-engine parity sweeps as
+    env-gated soaks: events (1M rows, timestamp-tie density), documents
+    (50k docs, 9 exact twins each — adversarial for every dedup
+    family), embeddings (20k vectors, 10-way distance ties + RaBitQ
+    recall envelope at the bench anchor geometry).  Each tool exits
+    non-zero on any repr-level mismatch."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "tools" / tool
+    proc = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True, timeout=900
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-1000:]
