@@ -19,6 +19,10 @@ Beyond-reference (SURVEY §2.8 north star) — the cleanup/export stages a
   ``textops.token_pmi``).
 - ``integrity_audit`` — one-row dataset-quality audit: doc↔embedding
   referential integrity, metadata drift, vector-payload health.
+- ``span_dedup``      — exact substring-span dedup (stride-1 windows,
+  maximal-span merging — the Lee et al. shape).
+- ``source_divergence`` — per-source total-variation drift vs the
+  corpus token distribution (integer-exact; data-mixing QA).
 
 All are pure column-expression plans (zero Python in the hot path);
 their only shuffles are the group-bys/joins named in each docstring.
@@ -576,4 +580,88 @@ SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) AS BIGINT) AS span_idx,
        start_tok, end_tok, span_windows
 FROM spans
+"""
+
+
+def source_divergence(
+    docs: DataFrame, group: str = "source", text: str = "text"
+) -> DataFrame:
+    """Data-mixing drift diagnostic: total-variation distance between
+    each source's token distribution and the whole-corpus distribution →
+    ``(source, n_tokens_src, tv_num, tv_r)``.
+
+    TV(s, corpus) = ½ Σ_t |p_s(t) − p_c(t)|.  Everything stays INTEGER
+    until one final division: with c_s/c_c the token counts and N_s/N_c
+    the totals,  tv_num = Σ_{t∈s} |c_s·N_c − c_c·N_s|  +  N_s·(N_c −
+    Σ_{t∈s} c_c)   (the second term folds in every token absent from
+    the source without materializing the source×vocabulary cross join),
+    and  tv_r = tv_num / (2·N_s·N_c)  — a single exact-integer-to-double
+    division both engines round identically (the same reason the PMI
+    and tf·idf queries avoid libm forms).  Overflow bound: products stay
+    in int64 while N_s·N_c < 2⁶³ (≈3·10⁹ tokens per side) — past that,
+    switch the two sums to DECIMAL(38,0), as the TPC-H money aggregates
+    do.
+
+    Shape: one tokenize+explode, a (group, tok) count and a tok-total
+    count (both partial-agg), one equi-join on tok, one per-source
+    aggregate, and a broadcast of the 1-row corpus total.
+    """
+    tok_tab = docs.where(F.col(group).isNotNull()).select(
+        F.col(group).alias("grp"), F.explode(F.expr(T.tokens(text))).alias("tok")
+    )
+    cs = tok_tab.groupBy("grp", "tok").agg(F.count("*").alias("c_s"))
+    cc = cs.groupBy("tok").agg(F.sum("c_s").alias("c_c"))
+    ns = cs.groupBy("grp").agg(F.sum("c_s").alias("n_s"))
+    nc = cc.agg(F.sum("c_c").cast("bigint").alias("n_c"))
+    present = (
+        cs.join(cc, "tok")
+        .join(ns, "grp")
+        .crossJoin(F.broadcast(nc))
+        .groupBy("grp", "n_s", "n_c")
+        .agg(
+            F.sum(F.abs(F.col("c_s") * F.col("n_c") - F.col("c_c") * F.col("n_s")))
+            .cast("bigint")
+            .alias("_present"),
+            F.sum("c_c").cast("bigint").alias("_cc_present"),
+        )
+    )
+    return present.select(
+        F.col("grp").alias(group),
+        F.col("n_s").cast("bigint").alias("n_tokens_src"),
+        (
+            F.col("_present")
+            + F.col("n_s") * (F.col("n_c") - F.col("_cc_present"))
+        )
+        .cast("bigint")
+        .alias("tv_num"),
+        F.round(
+            (F.col("_present") + F.col("n_s") * (F.col("n_c") - F.col("_cc_present")))
+            .cast("double")
+            / (2.0 * F.col("n_s").cast("double") * F.col("n_c").cast("double")),
+            6,
+        ).alias("tv_r"),
+    )
+
+
+def d_source_divergence(group: str = "source") -> str:
+    """DuckDB oracle for :func:`source_divergence`."""
+    toks = T.d_tokens("text")
+    return f"""
+WITH tok AS (SELECT {group} AS grp, unnest({toks}) AS tok FROM documents
+             WHERE {group} IS NOT NULL),
+cs AS (SELECT grp, tok, count(*) AS c_s FROM tok GROUP BY grp, tok),
+cc AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c_c FROM cs GROUP BY tok),
+ns AS (SELECT grp, CAST(sum(c_s) AS BIGINT) AS n_s FROM cs GROUP BY grp),
+nc AS (SELECT CAST(sum(c_c) AS BIGINT) AS n_c FROM cc),
+pr AS (SELECT cs.grp, ns.n_s, nc.n_c,
+              CAST(sum(abs(cs.c_s * nc.n_c - cc.c_c * ns.n_s)) AS BIGINT) AS present,
+              CAST(sum(cc.c_c) AS BIGINT) AS cc_present
+       FROM cs JOIN cc USING (tok) JOIN ns USING (grp) CROSS JOIN nc
+       GROUP BY cs.grp, ns.n_s, nc.n_c)
+SELECT grp AS {group},
+       n_s AS n_tokens_src,
+       CAST(present + n_s * (n_c - cc_present) AS BIGINT) AS tv_num,
+       round(CAST(present + n_s * (n_c - cc_present) AS DOUBLE)
+             / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_c AS DOUBLE)), 6) AS tv_r
+FROM pr
 """

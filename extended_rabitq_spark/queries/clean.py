@@ -65,3 +65,10 @@ def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup: maximal cross-doc duplicated
     10-token spans at any alignment (stride-1 windows)."""
     return cleanops.span_dedup(_docs(spark, sf_dir))
+
+
+@register("source_divergence", cleanops.d_source_divergence())
+def source_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation drift vs the corpus token
+    distribution (integer-exact; the data-mixing QA diagnostic)."""
+    return cleanops.source_divergence(_docs(spark, sf_dir))

@@ -99,6 +99,7 @@ _DEMOTED = [
     "training_shard_export",
     "gopher_quality_filter",
     "tfidf_top_terms",
+    "source_divergence",
     "split_train_val",       # hash-fraction sampling family keeps its
                              # checked rep via stratified_sample (the
                              # per-stratum generalization of the same
