@@ -75,6 +75,24 @@ def main() -> None:
         # collect/noop, never count).
         df.write.format("noop").mode("overwrite").save()
 
+    def ensure_alive() -> None:
+        # A failed query can take the whole SparkContext with it (e.g.
+        # executor OOM at large SF): every later section would then fail
+        # instantly and record garbage.  Probe with a trivial job and
+        # rebuild the session if it's dead — timings stay per-section
+        # honest and one casualty can't poison the rest of the run.
+        nonlocal spark
+        try:
+            spark.range(1).count()
+        except Exception:
+            print("bench: spark session died; recreating", file=sys.stderr)
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = get_spark("exrabitq-bench", cpus=cpus)
+            spark.sparkContext.setLogLevel("ERROR")
+
     def timed(name: str, fn) -> None:
         nonlocal total
         t0 = time.perf_counter()
@@ -83,6 +101,7 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            ensure_alive()
             return
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
@@ -221,6 +240,7 @@ def main() -> None:
             except Exception as exc:
                 print(f"bench: extra {name} failed: {exc}", file=sys.stderr)
                 extras[f"{name}_sec"] = -1.0
+                ensure_alive()
                 continue
             try:  # separate: a warm-rep failure must not clobber the cold
                 extras[f"{name}_warm_sec"] = round(
@@ -229,6 +249,7 @@ def main() -> None:
             except Exception as exc:
                 print(f"bench: extra {name} warm failed: {exc}", file=sys.stderr)
                 extras[f"{name}_warm_sec"] = -1.0
+                ensure_alive()
 
     # ---- extras: the full relational catalogue (all 22 TPC-H shapes) ----
     tpch_names = sorted(n for n in qmap if n.startswith("tpch_q"))
@@ -240,6 +261,7 @@ def main() -> None:
             tpch_ok += 1
         except Exception as exc:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            ensure_alive()
     extras["tpch_suite_sec"] = round(time.perf_counter() - t0, 3)
     extras["tpch_suite_n"] = tpch_ok
 
