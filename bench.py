@@ -231,6 +231,7 @@ def main() -> None:
     # ±30%-noise host (r3's 11.7s vs r4's 18.3s for the same ANN code
     # was pure cold-sample noise) — the warm median is the comparable
     # figure. ----
+    WARM_SKIP_SEC = float(os.environ.get("SPARK_GRAFT_WARM_SKIP_SEC", "45"))
     for name in EXTRA_QUERIES:
         if name in qmap:
             t0 = time.perf_counter()
@@ -242,6 +243,13 @@ def main() -> None:
                 extras[f"{name}_sec"] = -1.0
                 ensure_alive()
                 continue
+            if extras[f"{name}_sec"] > WARM_SKIP_SEC:
+                # don't triple a already-long run (and at large SF the
+                # repeat pressure is what OOMs the session) — cold stands
+                print(f"bench: extra {name} warm skipped (cold "
+                      f"{extras[f'{name}_sec']}s > {WARM_SKIP_SEC}s)",
+                      file=sys.stderr)
+                continue
             try:  # separate: a warm-rep failure must not clobber the cold
                 extras[f"{name}_warm_sec"] = round(
                     median_warm(lambda n=name: run_full(qmap[n](spark, sf_dir))), 3
@@ -250,6 +258,20 @@ def main() -> None:
                 print(f"bench: extra {name} warm failed: {exc}", file=sys.stderr)
                 extras[f"{name}_warm_sec"] = -1.0
                 ensure_alive()
+
+    # Production-mode ANN dedup (nprobe-limited, the 100 TB configuration)
+    # alongside the lossless full-probe spec point timed above.
+    try:
+        from extended_rabitq_spark.operators.dedup import embedding_ann_pairs
+
+        emb_t = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        run_full(embedding_ann_pairs(emb_t, nprobe=4))
+        extras["dedup_embedding_ann_np4_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        print(f"bench: ann np4 failed: {exc}", file=sys.stderr)
+        extras["dedup_embedding_ann_np4_sec"] = -1.0
+        ensure_alive()
 
     # ---- extras: the full relational catalogue (all 22 TPC-H shapes) ----
     tpch_names = sorted(n for n in qmap if n.startswith("tpch_q"))
