@@ -60,10 +60,14 @@ def cmd_create_index(spark: SparkSession, a: argparse.Namespace) -> int:
     cents = ivf.sampled_kmeans_centroids(base, k=a.k, vec="vec")
     index_df, meta = rabitq.build_index(base, cents, total_bits=a.b)
     rabitq.save_index(index_df, cents, meta, a.index, packed=a.packed)
+    if a.graph:
+        ivf.save_centroid_graph(
+            spark, ivf.build_centroid_graph(cents), a.index
+        )
     dt = time.perf_counter() - t0
     n = spark.read.parquet(f"{a.index}/codes").count()
     print(f"index built: {n} vectors, K={a.k}, B={a.b}, "
-          f"packed={a.packed}, {dt:.1f}s -> {a.index}")
+          f"packed={a.packed}, graph={a.graph}, {dt:.1f}s -> {a.index}")
     if a.results_dir:
         save_indexing_time_csv(a.results_dir, a.dataset, dt / 60.0)  # minutes
     return 0
@@ -80,10 +84,16 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
     base = _vectors(spark, a.base)
     centroids = cents_full.select("cluster_id", "centroid")
     grid = [int(x) for x in a.grid.split(",")] if a.grid else None
+    probes_factory = None
+    if a.use_graph:
+        from .operators import ivf
+
+        graph = ivf.load_centroid_graph(spark, a.index)
+        probes_factory = lambda np_: ivf.graph_probes(queries, graph, np_)  # noqa: E731
     rows = nprobe_sweep(
         queries, base, centroids, k=a.k, grid=grid, mode="rabitq",
         index_df=codes, centroids_full=cents_full, meta=meta,
-        rounds=a.rounds,
+        rounds=a.rounds, probes_factory=probes_factory,
     )
     print("nprobe,QPS,recall,ratio")
     for r in rows:
@@ -159,6 +169,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=16, help="IVF cluster count")
     s.add_argument("--b", type=int, default=4, help="total bits per dim")
     s.add_argument("--packed", action="store_true", help="Q4 BINARY codes")
+    s.add_argument(
+        "--graph", action="store_true",
+        help="also build+save the W2 centroid graph (HNSW-analog probe "
+             "selection; the reference enables it at K >= 20000)",
+    )
     s.add_argument("--results-dir", default=None)
     s.add_argument("--dataset", default="dataset")
     s.set_defaults(fn=cmd_create_index)
@@ -170,6 +185,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=100)
     s.add_argument("--grid", default=None, help="comma nprobe grid")
     s.add_argument("--rounds", type=int, default=1)
+    s.add_argument(
+        "--use-graph", action="store_true",
+        help="probe via the saved <index>/graph artifact (W2 beam "
+             "search) instead of exact top-nprobe centroid ranking",
+    )
     s.add_argument("--results-dir", default=None)
     s.add_argument("--dataset", default="dataset")
     s.set_defaults(fn=cmd_search)

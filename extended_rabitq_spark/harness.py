@@ -46,6 +46,7 @@ def nprobe_sweep(
     meta: dict | None = None,
     rounds: int = 1,
     estimator: str = "searcher",
+    probes_factory=None,
 ) -> list[SweepRow]:
     """Sweep the nprobe grid ascending; stop at recall saturation or
     plateau.  mode='ivf' scans exact distances over probed clusters;
@@ -56,6 +57,12 @@ def nprobe_sweep(
     ratio, and end-to-end queries/sec (whole-batch wall clock — the
     honest Spark analog of the reference's sequential QPS,
     BASELINE.md interpretation note).
+
+    ``probes_factory`` (mode='rabitq' only): ``nprobe -> probes
+    DataFrame`` injected into :func:`rabitq_search` — the W2 seam (e.g.
+    ``lambda np_: ivf.graph_probes(queries, graph, np_)`` with a graph
+    loaded from the index artifact), mirroring the reference's sweep
+    running through its HNSW initializer when K ≥ 20000.
     """
     grid = grid or DEFAULT_GRID
     nq = queries.count()
@@ -82,6 +89,7 @@ def nprobe_sweep(
                     res = rabitq_ops.rabitq_search(
                         queries, index_df, centroids_full, meta, nprobe=nprobe, k=k,
                         estimator=estimator,
+                        probes=None if probes_factory is None else probes_factory(nprobe),
                     )
                 if "est_dist" in res.columns:
                     # E4: the ratio metric compares EXACT distances of the

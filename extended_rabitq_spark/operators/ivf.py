@@ -426,6 +426,74 @@ def build_centroid_graph(
     return {"ids": ids, "vecs": vecs, "adj": adj, "entries": entries}
 
 
+def save_centroid_graph(spark, graph: dict, path: str) -> None:
+    """Persist the W2 centroid graph as an index side artifact
+    (``<index>/graph``), so serving sessions load it instead of
+    re-running the K-query self-KNN build.  Parity: the reference
+    serializes its hnswlib initializer INSIDE the saved index
+    (``inc/index/Initializer.hpp`` save/load path) — a saved index is
+    search-ready without re-touching the centroid set.
+
+    Layout: one parquet of per-node rows ``(pos, cluster_id, vec,
+    adj, is_entry)``.  ``pos`` pins the array order so the loaded
+    adjacency indices stay valid; entry points are evenly spaced in
+    pos order by construction, so a flag column round-trips them.
+    At K = 10⁵, D = 1536 this is ~600 MB — written once per index
+    build, read with a column-pruned scan by every serving session.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ids, vecs, adj, entries = (
+        graph["ids"], graph["vecs"], graph["adj"], graph["entries"],
+    )
+
+    flag = np.zeros(len(ids), dtype=bool)
+    flag[entries] = True
+    pdf = pd.DataFrame(
+        {
+            "pos": np.arange(len(ids), dtype=np.int64),
+            "cluster_id": ids.astype("int64"),
+            "vec": [r.tolist() for r in vecs],
+            "adj": [r.tolist() for r in adj],
+            "is_entry": flag,
+        }
+    )
+    (
+        spark.createDataFrame(pdf)
+        .select(
+            "pos",
+            "cluster_id",
+            F.col("vec").cast("array<float>"),
+            F.col("adj").cast("array<int>"),
+            "is_entry",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/graph")
+    )
+
+
+def load_centroid_graph(spark, path: str) -> dict:
+    """Load a :func:`save_centroid_graph` artifact back into the
+    numpy dict :func:`graph_probes` broadcasts.  One ordered collect
+    of K rows — the same driver-side footprint the in-memory build
+    already has."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{path}/graph")
+        .orderBy("pos")
+        .collect()
+    )
+    ids = np.array([r["cluster_id"] for r in rows], dtype=np.int64)
+    vecs = np.array([r["vec"] for r in rows], dtype=np.float32)
+    adj = np.array([r["adj"] for r in rows], dtype=np.int32)
+    entries = np.array(
+        [r["pos"] for r in rows if r["is_entry"]], dtype=np.int32
+    )
+    return {"ids": ids, "vecs": vecs, "adj": adj, "entries": entries}
+
+
 def _beam_search(q, vecs, adj, entries, ef: int, nprobe: int):
     """Greedy best-first search over the centroid graph (layer-0 HNSW
     search, Initializer.hpp:103-115 → hnswlib searchKnn).  Returns

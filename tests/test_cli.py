@@ -21,8 +21,12 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     assert cli.main(["ingest", src, base_pq]) == 0
     assert "ingested 80 vectors" in capsys.readouterr().out
 
-    assert cli.main(["create-index", base_pq, idx, "--k", "4", "--b", "4"]) == 0
+    assert cli.main(
+        ["create-index", base_pq, idx, "--k", "4", "--b", "4", "--graph"]
+    ) == 0
     assert "index built: 80 vectors" in capsys.readouterr().out
+    # --graph persisted the W2 artifact next to codes/centroids
+    assert (tmp_path / "idx" / "graph").exists()
 
     # queries: first 5 base vectors round-tripped through parquet
     q_pq = str(tmp_path / "q.parquet")
@@ -46,6 +50,16 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     r2, r4 = [ln.split(",") for ln in csv.strip().splitlines()[1:]]
     assert float(r2[2]) >= 0.7 and float(r4[2]) >= 0.7
     assert float(r4[3]) < 1.05
+
+    # graph-probed sweep (the reference's HNSW initializer path): at
+    # fixture K=4 the beam is exhaustive, so recall matches exact probes
+    assert cli.main([
+        "search", idx, q_pq, "--base", base_pq, "--k", "5", "--grid", "4",
+        "--use-graph",
+    ]) == 0
+    out = capsys.readouterr().out
+    row = out.strip().splitlines()[-1].split(",")
+    assert float(row[2]) >= 0.7 and float(row[3]) < 1.05
 
     assert cli.main(["stats", idx]) == 0
     assert "n_clusters: 4" in capsys.readouterr().out

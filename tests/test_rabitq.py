@@ -861,6 +861,32 @@ class TestGraphProbes:
         # full exploration ⟹ identical probe choices (ranks and ids)
         assert approx == exact
 
+    def test_graph_save_load_roundtrip(self, spark, tmp_path):
+        """save_centroid_graph/load_centroid_graph round-trips every
+        array bitwise and the loaded graph produces an IDENTICAL probe
+        DataFrame — a saved index is search-ready without re-running
+        the self-KNN build (reference parity: the hnswlib initializer
+        is serialized inside the saved index, Initializer.hpp)."""
+        import numpy as np
+
+        from extended_rabitq_spark.operators import ivf
+
+        qs, cents = self._fixture(spark)
+        graph = ivf.build_centroid_graph(cents, M=8, n_entries=3)
+        path = str(tmp_path / "idx")
+        ivf.save_centroid_graph(spark, graph, path)
+        loaded = ivf.load_centroid_graph(spark, path)
+        for k in ("ids", "vecs", "adj", "entries"):
+            np.testing.assert_array_equal(graph[k], loaded[k])
+            assert graph[k].dtype == loaded[k].dtype
+        before = sorted(
+            tuple(r) for r in ivf.graph_probes(qs, graph, nprobe=3).collect()
+        )
+        after = sorted(
+            tuple(r) for r in ivf.graph_probes(qs, loaded, nprobe=3).collect()
+        )
+        assert before == after
+
     def test_synthetic_large_k_recall(self, spark):
         """K=256 gaussian centroids, 20 queries: default-ef beam search
         keeps probe recall ≥ 0.95 vs exact W1; a starved beam (ef=8)
