@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions import vector as V
+from .bloom import bloom_or, bloom_prefilter, build_bloom, load_blooms, save_blooms
 
 DF_CAP = 100  # shingle document-frequency cap (skew guard)
 
@@ -712,6 +713,7 @@ def save_dedup_artifacts(
     of any later join must use THIS list (a refreshed list changes band
     keys and requires re-saving bands — a periodic maintenance rebuild,
     like centroid retraining)."""
+    spark = corpus_docs.sparkSession
     normalized(corpus_docs, text).select(
         F.col(id_).alias("doc_id"), F.md5("_norm").alias("h")
     ).write.mode("overwrite").parquet(f"{path}/content_hashes")
@@ -721,6 +723,22 @@ def save_dedup_artifacts(
     sh = sh0.join(F.broadcast(stop), on="shingle", how="left_anti")
     _band_keys(_signatures_from_shingles(sh)).write.mode("overwrite").parquet(
         f"{path}/bands"
+    )
+    # Bloom pre-gate artifacts (operators.bloom): the ingest gate tests
+    # an incoming batch against these BEFORE touching the corpus-sized
+    # hash/band tables — the all-unique batch (the common case) costs
+    # O(batch), not O(corpus).  Lossless: no false negatives, FPs fall
+    # through to the exact joins.  Built from the just-written parquet
+    # (one cheap re-scan, no recompute of the shingle lineage).
+    ch_df = spark.read.parquet(f"{path}/content_hashes")
+    bd_df = spark.read.parquet(f"{path}/bands")
+    save_blooms(
+        spark,
+        {
+            "hashes": build_bloom(ch_df, ["h"]),
+            "bands": build_bloom(bd_df, ["band", "key"]),
+        },
+        f"{path}/blooms",
     )
 
 
@@ -735,16 +753,33 @@ def append_dedup_artifacts(
     :func:`save_dedup_artifacts` periodically, like any frozen
     statistic)."""
     spark = new_docs.sparkSession
-    normalized(new_docs, text).select(
+    nh = normalized(new_docs, text).select(
         F.col(id_).alias("doc_id"), F.md5("_norm").alias("h")
-    ).write.mode("append").parquet(f"{path}/content_hashes")
+    ).localCheckpoint(eager=True)
+    nh.write.mode("append").parquet(f"{path}/content_hashes")
     stop = spark.read.parquet(f"{path}/stop_shingles")
     sh = raw_shingles(new_docs, id_, text).join(
         F.broadcast(stop), on="shingle", how="left_anti"
     )
-    _band_keys(_signatures_from_shingles(sh)).write.mode("append").parquet(
-        f"{path}/bands"
-    )
+    nb = _band_keys(_signatures_from_shingles(sh)).localCheckpoint(eager=True)
+    nb.write.mode("append").parquet(f"{path}/bands")
+    # Bloom append = OR of a delta bloom built with the SAME (m, k):
+    # no rewrite of corpus keys, same no-rewrite contract as the parquet
+    # appends above.  (FP rate drifts up as the corpus outgrows the
+    # sizing; refresh via save_dedup_artifacts periodically, like the
+    # stop list.)
+    import os
+
+    if os.path.exists(f"{path}/blooms"):
+        blooms = load_blooms(spark, f"{path}/blooms")
+        bh, bb = blooms["hashes"], blooms["bands"]
+        blooms["hashes"] = bloom_or(
+            bh, build_bloom(nh, ["h"], m=bh["m"], k=bh["k"])
+        )
+        blooms["bands"] = bloom_or(
+            bb, build_bloom(nb, ["band", "key"], m=bb["m"], k=bb["k"])
+        )
+        save_blooms(spark, blooms, f"{path}/blooms")
 
 
 def incremental_dedup(
@@ -754,6 +789,7 @@ def incremental_dedup(
     id_: str = "doc_id",
     text: str = "text",
     artifacts: str | None = None,
+    use_bloom: bool = True,
 ) -> DataFrame:
     """Dedup an incoming shard AGAINST an existing corpus (the
     production ingest shape: the corpus is already deduped; only
@@ -773,11 +809,25 @@ def incremental_dedup(
     touches corpus text, restricted to candidate docs.  Without
     ``artifacts`` everything is recomputed in-lineage so the oracle can
     check the whole composition.
+
+    When the artifacts include Bloom filters (``use_bloom``, default),
+    the new side is **pre-gated** before either corpus join: hashes and
+    band keys that the bloom rules out (definite non-members) never
+    probe the corpus tables.  Lossless by the no-false-negative
+    property — gated ≡ ungated bitwise (tested) — and it turns the
+    common all-unique batch into O(batch) work.
     """
+    import os
+
     spark = new_docs.sparkSession
+    blooms = None
+    if artifacts is not None and use_bloom and os.path.exists(f"{artifacts}/blooms"):
+        blooms = load_blooms(spark, f"{artifacts}/blooms")
     nh = normalized(new_docs, text).select(
         F.col(id_).alias("new_id"), F.md5("_norm").alias("h")
     )
+    if blooms is not None:
+        nh = bloom_prefilter(nh, blooms["hashes"], ["h"])
     if artifacts is not None:
         ch = spark.read.parquet(f"{artifacts}/content_hashes").select(
             F.col("doc_id").alias("corpus_id"), "h"
@@ -815,6 +865,8 @@ def incremental_dedup(
     n_bands = _band_keys(_signatures_from_shingles(n_sh)).withColumnRenamed(
         "doc_id", "new_id"
     )
+    if blooms is not None:
+        n_bands = bloom_prefilter(n_bands, blooms["bands"], ["band", "key"])
     cand = (
         n_bands.join(c_bands, on=["band", "key"])
         .select("new_id", "corpus_id")
