@@ -164,3 +164,58 @@ def range_search(
         pairs.select(F.col(qid), F.col(id_), dist.alias("dist"))
         .where(F.col("dist") <= radius2)
     )
+
+
+def maxsim_topk(
+    queries: DataFrame,
+    entities: DataFrame,
+    k: int = 3,
+    gid: str = "gid",
+    qid: str = "qid",
+    qvec: str = "qvec",
+    ent: str = "ent",
+    vec: str = "vec",
+) -> DataFrame:
+    """Late-interaction multi-vector scoring (ColBERT-style MaxSim; no
+    reference counterpart — the multi-vector generalization of its
+    single-vector queries) → (gid, rank, ent, score).
+
+    queries: (gid, qid, qvec) — query GROUPS of vectors; entities:
+    (ent, vec) — each entity owns a SET of member vectors.
+    score(g, e) = Σ_{q ∈ g} max_{v ∈ e} ⟨q, v⟩: every query vector
+    independently finds its best-matching member vector, and the group
+    sums the per-vector maxima.  Top-k entities per group, ties broken
+    by entity id.
+
+    Plan shape: broadcast the bounded query side into the entity-vector
+    scan (one pass over the big table — the same contract as
+    :func:`exact_knn`), partial-agg max per (gid, qid, ent), then a
+    second partial-agg sum per (gid, ent) — both shuffles carry only
+    aggregated rows, never the raw cross product.  Cross-engine
+    exactness: the inner max over IEEE doubles is order-independent;
+    the outer sum rounds each max to 6 decimals and sums DECIMAL(38,6)
+    (exact, order-free) — the same convention as the TPC-H money
+    aggregates.  At 100 TB the ANN index accelerates the inner max per
+    query vector (top-1 search per q, then regroup) — this exact form
+    is the oracle twin.
+    """
+    d = entities.crossJoin(F.broadcast(queries)).select(
+        F.col(gid).alias("gid"),
+        F.col(qid).alias("qid"),
+        F.col(ent).alias("ent"),
+        F.expr(V.dot(qvec, vec)).alias("ip"),
+    )
+    m = d.groupBy("gid", "qid", "ent").agg(
+        F.round(F.max("ip"), 6).cast("decimal(38,6)").alias("ms")
+    )
+    s = m.groupBy("gid", "ent").agg(
+        F.sum("ms").cast("decimal(38,6)").alias("score")
+    )
+    w = Window.partitionBy("gid").orderBy(
+        F.col("score").desc(), F.col("ent").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("gid", "rank", "ent", "score")
+    )

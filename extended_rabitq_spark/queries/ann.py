@@ -296,3 +296,46 @@ def knn_filtered_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         refine=None, rerank_base=base_f, full_probes=True,
     )
     return res.select("qid", "rank", "id", F.col("est_dist").alias("dist"))
+
+
+_NGROUPS = 4  # query groups for the late-interaction query
+
+_MAXSIM_ORACLE = f"""
+WITH q AS (SELECT vec_id % {_NGROUPS} AS gid, vec_id AS qid, embedding AS qvec
+           FROM embeddings WHERE vec_id < {NQ}),
+     b AS (SELECT label AS ent, embedding AS vec
+           FROM embeddings WHERE vec_id >= {NQ}),
+     d AS (SELECT gid, qid, ent, {O.dot('q.qvec', 'b.vec')} AS ip
+           FROM b CROSS JOIN q),
+     m AS (SELECT gid, qid, ent,
+                  CAST(round(max(ip), 6) AS DECIMAL(38,6)) AS ms
+           FROM d GROUP BY gid, qid, ent),
+     s AS (SELECT gid, ent, CAST(sum(ms) AS DECIMAL(38,6)) AS score
+           FROM m GROUP BY gid, ent),
+     r AS (SELECT gid, ent, score,
+                  CAST(row_number() OVER (PARTITION BY gid
+                       ORDER BY score DESC, ent) AS BIGINT) AS rank
+           FROM s)
+SELECT gid, rank, ent, score FROM r WHERE rank <= 3
+"""
+
+
+@register("maxsim_label_topk", _MAXSIM_ORACLE)
+def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (ColBERT-style MaxSim):
+    query vectors grouped ``gid = qid % 4`` form multi-vector queries;
+    each ``label`` is a multi-vector entity (its member base vectors).
+    score(g, e) = Σ_{q∈g} max_{v∈e} ⟨q, v⟩; top-3 entities per group.
+
+    Beyond the reference (single-vector queries only); the Spark plan
+    is two partial-agg shuffles over aggregated rows — the raw
+    query×vector product never shuffles (operators.knn.maxsim_topk).
+    The outer sum is DECIMAL(38,6)-exact, so the oracle hashes bitwise.
+    """
+    qs = _queries_df(spark, sf_dir).select(
+        (F.col("qid") % _NGROUPS).alias("gid"), "qid", "qvec"
+    )
+    ents = base_vectors(spark, sf_dir).select(
+        F.col("label").alias("ent"), F.col("embedding").alias("vec")
+    )
+    return knn.maxsim_topk(qs, ents, k=3)

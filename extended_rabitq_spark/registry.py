@@ -100,6 +100,10 @@ _DEMOTED = [
     "gopher_quality_filter",
     "tfidf_top_terms",
     "source_divergence",
+    "maxsim_label_topk",     # multi-vector late-interaction scoring —
+                             # the similarity-search family already has
+                             # three checked reps (knn_exact/knn_cosine/
+                             # doc_similarity); cap-free replica covers it
     "split_train_val",       # hash-fraction sampling family keeps its
                              # checked rep via stratified_sample (the
                              # per-stratum generalization of the same

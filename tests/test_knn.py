@@ -69,3 +69,53 @@ def test_combined_ties_across_partitions(spark):
     a = _collect_sorted(knn.exact_knn(queries, base, k=15))
     b = _collect_sorted(knn.exact_knn_combined(queries, base, k=15))
     assert a == b
+
+
+def test_maxsim_topk_hand_computed(spark):
+    """MaxSim late interaction on a hand-computable fixture: each query
+    vector picks its best member vector per entity; the group sums the
+    maxima; entities rank by (score DESC, ent ASC)."""
+    from decimal import Decimal
+
+    ents = _df(
+        spark,
+        [
+            # entity 1: specialists for x-axis and y-axis
+            (1, [1.0, 0.0]), (1, [0.0, 1.0]),
+            # entity 2: one diagonal generalist
+            (2, [0.6, 0.6]),
+        ],
+        "ent int, vec array<float>",
+    )
+    # one group with an x-query and a y-query
+    qs = _df(
+        spark,
+        [(0, 0, [2.0, 0.0]), (0, 1, [0.0, 2.0])],
+        "gid long, qid long, qvec array<float>",
+    )
+    got = {
+        (r.gid, r.rank): (r.ent, r.score)
+        for r in knn.maxsim_topk(qs, ents, k=2).collect()
+    }
+    # entity 1: max⟨qx,·⟩=2.0 (x-specialist), max⟨qy,·⟩=2.0 → 4.0
+    # entity 2: 1.2 + 1.2 → 2.4: the generalist loses to the specialists
+    assert got[(0, 1)] == (1, Decimal("4.000000"))
+    assert got[(0, 2)] == (2, Decimal("2.400000"))
+
+
+def test_maxsim_topk_tie_break_and_k(spark):
+    """Score ties rank by entity id ascending; k caps output per group."""
+    ents = _df(
+        spark,
+        [(7, [1.0]), (3, [1.0]), (5, [0.5])],
+        "ent int, vec array<float>",
+    )
+    qs = _df(spark, [(0, 0, [1.0]), (1, 1, [2.0])],
+             "gid long, qid long, qvec array<float>")
+    rows = knn.maxsim_topk(qs, ents, k=2).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.gid, []).append((r.rank, r.ent))
+    # tie between ents 3 and 7 at score 1.0 (then 2.0): id ascending wins
+    assert sorted(by_group[0]) == [(1, 3), (2, 7)]
+    assert sorted(by_group[1]) == [(1, 3), (2, 7)]
