@@ -714,14 +714,23 @@ def save_dedup_artifacts(
     keys and requires re-saving bands — a periodic maintenance rebuild,
     like centroid retraining)."""
     spark = corpus_docs.sparkSession
+    # Layouts are probe-friendly: hashes repartitioned BY h and bands by
+    # (band, key), each sorted within partitions — parquet min/max zone
+    # maps then let a pushed key predicate (the post-bloom IN-list,
+    # incremental_dedup) skip every untouched row group, so a gated
+    # batch reads only the corpus row groups its candidate keys land in.
     normalized(corpus_docs, text).select(
         F.col(id_).alias("doc_id"), F.md5("_norm").alias("h")
-    ).write.mode("overwrite").parquet(f"{path}/content_hashes")
+    ).repartition("h").sortWithinPartitions("h").write.mode("overwrite").parquet(
+        f"{path}/content_hashes"
+    )
     sh0 = raw_shingles(corpus_docs, id_, text).localCheckpoint(eager=True)
     stop = stop_shingles(corpus_docs, shingles=sh0)
     stop.write.mode("overwrite").parquet(f"{path}/stop_shingles")
     sh = sh0.join(F.broadcast(stop), on="shingle", how="left_anti")
-    _band_keys(_signatures_from_shingles(sh)).write.mode("overwrite").parquet(
+    _band_keys(_signatures_from_shingles(sh)).repartition(
+        "band", "key"
+    ).sortWithinPartitions("band", "key").write.mode("overwrite").parquet(
         f"{path}/bands"
     )
     # Bloom pre-gate artifacts (operators.bloom): the ingest gate tests
@@ -815,7 +824,13 @@ def incremental_dedup(
     band keys that the bloom rules out (definite non-members) never
     probe the corpus tables.  Lossless by the no-false-negative
     property — gated ≡ ungated bitwise (tested) — and it turns the
-    common all-unique batch into O(batch) work.
+    common all-unique batch into O(batch) work.  The gated survivor
+    keys (≤ ``pushdown_max_keys``) are additionally pushed into the
+    corpus parquet scans as IN-list predicates: the artifact tables are
+    written key-sorted (:func:`save_dedup_artifacts`), so parquet
+    min/max zone maps skip every row group no surviving key lands in —
+    corpus IO per batch scales with the batch's candidate set, not the
+    corpus.
     """
     import os
 
@@ -823,15 +838,27 @@ def incremental_dedup(
     blooms = None
     if artifacts is not None and use_bloom and os.path.exists(f"{artifacts}/blooms"):
         blooms = load_blooms(spark, f"{artifacts}/blooms")
+    pushdown_max_keys = 100_000  # IN-list bound: keep literal lists sane
     nh = normalized(new_docs, text).select(
         F.col(id_).alias("new_id"), F.md5("_norm").alias("h")
     )
     if blooms is not None:
-        nh = bloom_prefilter(nh, blooms["hashes"], ["h"])
+        # checkpoint: the gated survivors are read twice (key collect +
+        # join) — don't run the Arrow probe stage twice
+        nh = bloom_prefilter(nh, blooms["hashes"], ["h"]).localCheckpoint(
+            eager=True
+        )
     if artifacts is not None:
         ch = spark.read.parquet(f"{artifacts}/content_hashes").select(
             F.col("doc_id").alias("corpus_id"), "h"
         )
+        if blooms is not None:
+            hk = [
+                r["h"]
+                for r in nh.select("h").distinct().limit(pushdown_max_keys + 1).collect()
+            ]
+            if len(hk) <= pushdown_max_keys:
+                ch = ch.where(F.col("h").isin(hk))
     else:
         ch = normalized(corpus_docs, text).select(
             F.col(id_).alias("corpus_id"), F.md5("_norm").alias("h")
@@ -866,7 +893,22 @@ def incremental_dedup(
         "doc_id", "new_id"
     )
     if blooms is not None:
-        n_bands = bloom_prefilter(n_bands, blooms["bands"], ["band", "key"])
+        n_bands = bloom_prefilter(
+            n_bands, blooms["bands"], ["band", "key"]
+        ).localCheckpoint(eager=True)
+        if artifacts is not None:
+            bk = [
+                r["key"]
+                for r in n_bands.select("key")
+                .distinct()
+                .limit(pushdown_max_keys + 1)
+                .collect()
+            ]
+            if len(bk) <= pushdown_max_keys:
+                # key strings are high-entropy signature concatenations:
+                # pushing key alone (zone-map skippable) is as selective
+                # as the (band, key) pair the join still enforces
+                c_bands = c_bands.where(F.col("key").isin(bk))
     cand = (
         n_bands.join(c_bands, on=["band", "key"])
         .select("new_id", "corpus_id")

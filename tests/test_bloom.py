@@ -138,3 +138,40 @@ class TestBloomGatedIncremental:
         )
         survivors = bloom.bloom_prefilter(fresh, blooms["hashes"], ["h"]).count()
         assert survivors <= 25  # ≪ 500: the gate is doing its job
+
+
+class TestBloomPushdown:
+    def test_inlist_pushdown_reaches_corpus_scan(self, spark, tmp_path):
+        """With bloom gating, the surviving keys are pushed into the
+        corpus parquet scans as IN-list predicates (PushedFilters shows
+        In(h,...)/In(key,...)) — zone-map row-group skipping at scale."""
+        import pyspark.sql.functions as F
+        from conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.where(F.col("doc_id") < 40)
+        path = str(tmp_path / "art")
+        dedup.save_dedup_artifacts(corpus, path)
+        new = corpus.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 9000).alias("doc_id"), "text"
+        )
+        out = dedup.incremental_dedup(new, corpus, artifacts=path)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # hash tier: the IN-list reached the content_hashes parquet scan
+        assert "In(h, [" in plan
+        # band tier: its subtree runs eagerly inside the candidate
+        # localCheckpoint, so it can't appear in `out`'s plan — assert
+        # the same predicate shape pushes on the artifact table itself
+        band_plan = (
+            spark.read.parquet(f"{path}/bands")
+            .where(F.col("key").isin(["k1", "k2"]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "In(key, [" in band_plan
+        # and the verdicts are right: every probe doc is an exact dup
+        got = {r.doc_id: r.status for r in out.collect()}
+        assert got == {9000 + i: "exact_dup" for i in range(5)}
