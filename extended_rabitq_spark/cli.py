@@ -74,7 +74,7 @@ def cmd_create_index(spark: SparkSession, a: argparse.Namespace) -> int:
 
 
 def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
-    from .harness import nprobe_sweep, save_results_csv
+    from .harness import nprobe_sweep, save_results_csv, tune_nprobe
     from .operators import rabitq
 
     codes, cents_full, meta = rabitq.load_index(spark, a.index)
@@ -90,11 +90,21 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
 
         graph = ivf.load_centroid_graph(spark, a.index)
         probes_factory = lambda np_: ivf.graph_probes(queries, graph, np_)  # noqa: E731
-    rows = nprobe_sweep(
-        queries, base, centroids, k=a.k, grid=grid, mode="rabitq",
-        index_df=codes, centroids_full=cents_full, meta=meta,
-        rounds=a.rounds, probes_factory=probes_factory,
-    )
+    if a.target_recall is not None:
+        np_sel, rows = tune_nprobe(
+            queries, base, centroids, target_recall=a.target_recall,
+            k=a.k, grid=grid, mode="rabitq",
+            index_df=codes, centroids_full=cents_full, meta=meta,
+        )
+        got = next(r for r in rows if r.nprobe == np_sel)
+        print(f"tuned nprobe={np_sel} recall={got.recall:.5f} "
+              f"(target {a.target_recall})")
+    else:
+        rows = nprobe_sweep(
+            queries, base, centroids, k=a.k, grid=grid, mode="rabitq",
+            index_df=codes, centroids_full=cents_full, meta=meta,
+            rounds=a.rounds, probes_factory=probes_factory,
+        )
     print("nprobe,QPS,recall,ratio")
     for r in rows:
         print(f"{r.nprobe},{r.qps:.2f},{r.recall:.5f},{r.ratio:.5f}")
@@ -189,6 +199,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--use-graph", action="store_true",
         help="probe via the saved <index>/graph artifact (W2 beam "
              "search) instead of exact top-nprobe centroid ranking",
+    )
+    s.add_argument(
+        "--target-recall", type=float, default=None,
+        help="auto-tune: stop the sweep at the smallest nprobe meeting "
+             "this recall@k and report it",
     )
     s.add_argument("--results-dir", default=None)
     s.add_argument("--dataset", default="dataset")

@@ -47,6 +47,7 @@ def nprobe_sweep(
     rounds: int = 1,
     estimator: str = "searcher",
     probes_factory=None,
+    recall_stop: float = RECALL_SATURATION,
 ) -> list[SweepRow]:
     """Sweep the nprobe grid ascending; stop at recall saturation or
     plateau.  mode='ivf' scans exact distances over probed clusters;
@@ -120,7 +121,7 @@ def nprobe_sweep(
             wall = sum(walls) / len(walls)
             out.append(SweepRow(nprobe, float(rec), float(rat), nq / wall, wall))
             res.unpersist()
-            if rec > RECALL_SATURATION or abs(rec - prev_recall) < PLATEAU_EPS:
+            if rec > recall_stop or abs(rec - prev_recall) < PLATEAU_EPS:
                 break
             prev_recall = rec
     finally:
@@ -128,6 +129,47 @@ def nprobe_sweep(
         if indexed is not None:
             indexed.unpersist()
     return out
+
+
+def tune_nprobe(
+    queries: DataFrame,
+    base: DataFrame,
+    centroids: DataFrame,
+    target_recall: float = 0.95,
+    k: int = 10,
+    grid: list[int] | None = None,
+    mode: str = "rabitq",
+    index_df: DataFrame | None = None,
+    centroids_full: DataFrame | None = None,
+    meta: dict | None = None,
+    estimator: str = "searcher",
+) -> tuple[int, list[SweepRow]]:
+    """W5 serving knob: the smallest grid nprobe whose measured recall@k
+    meets ``target_recall`` on the given validation queries → (nprobe,
+    executed sweep rows).  The sweep stops as soon as the target is met
+    (the reference's saturation loop, src/test_search.cpp:155-199, with
+    the target as the stop line instead of the fixed 0.997) — cheaper
+    than a full-grid sweep, and the returned rows document the achieved
+    (recall, ratio, QPS) at the chosen setting.
+
+    If no grid point reaches the target (or recall plateaus first), the
+    largest executed nprobe is returned — callers can check the rows'
+    tail recall to detect an unmet target.
+
+    Production shape: run at index-build time on a held-out query
+    sample, persist the chosen nprobe next to the index meta, serve
+    with it; re-tune when the index is rebuilt (like centroid
+    retraining).
+    """
+    rows = nprobe_sweep(
+        queries, base, centroids, k=k, grid=grid, mode=mode,
+        index_df=index_df, centroids_full=centroids_full, meta=meta,
+        estimator=estimator, recall_stop=target_recall,
+    )
+    for r in rows:
+        if r.recall >= target_recall:
+            return r.nprobe, rows
+    return rows[-1].nprobe, rows
 
 
 def sweep_to_df(spark: SparkSession, rows: list[SweepRow]) -> DataFrame:

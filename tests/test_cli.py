@@ -90,3 +90,26 @@ def test_cli_clean_corpus(tmp_path, capsys, spark):
     survivors = spark.read.parquet(out)
     n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert 0 < survivors.count() <= n_docs
+
+
+def test_cli_search_target_recall(spark, tmp_path, capsys):
+    """--target-recall runs the auto-tuner and reports the chosen nprobe."""
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((60, 8)).astype(np.float32)
+    src = str(tmp_path / "b.fvecs")
+    vecs_io.write_fvecs(src, mat)
+    base_pq = str(tmp_path / "b.parquet")
+    idx = str(tmp_path / "i")
+    assert cli.main(["ingest", src, base_pq]) == 0
+    assert cli.main(["create-index", base_pq, idx, "--k", "4", "--b", "4"]) == 0
+    q_pq = str(tmp_path / "q.parquet")
+    spark.read.parquet(base_pq).where("id < 5").write.parquet(q_pq)
+    capsys.readouterr()
+    assert cli.main([
+        "search", idx, q_pq, "--base", base_pq, "--k", "5",
+        "--grid", "1,2,4", "--target-recall", "0.6",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("tuned nprobe=")
+    tuned = float(out.splitlines()[0].split("recall=")[1].split()[0])
+    assert tuned >= 0.6

@@ -192,6 +192,41 @@ class TestSweep:
         assert recalls[-1] > 0.99  # nprobe = K (all clusters) ≡ exact
         assert all(r.qps > 0 for r in rows)
 
+    def test_tune_nprobe_picks_smallest_meeting_target(self, spark):
+        """tune_nprobe returns the first grid nprobe whose recall meets
+        the target, stops sweeping once met, and falls back to the
+        largest executed nprobe for unreachable targets."""
+        from extended_rabitq_spark.harness import tune_nprobe
+        from extended_rabitq_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        # modest target: met before the full grid → early stop
+        np_sel, rows = tune_nprobe(
+            queries, base, cents, target_recall=0.5, k=10,
+            grid=[1, 3, 10, 16], mode="ivf",
+        )
+        chosen = next(r for r in rows if r.nprobe == np_sel)
+        assert chosen.recall >= 0.5
+        # every EARLIER executed grid point missed the target
+        for r in rows:
+            if r.nprobe < np_sel:
+                assert r.recall < 0.5
+        assert len(rows) < 4  # stopped before exhausting the grid
+        # unreachable target: sweeps everything, returns the max
+        np_all, rows_all = tune_nprobe(
+            queries, base, cents, target_recall=1.1, k=10,
+            grid=[1, 16], mode="ivf",
+        )
+        assert np_all == rows_all[-1].nprobe == 16
+        assert rows_all[-1].recall <= 1.0
+
     def test_results_csv_sinks(self, tmp_path):
         """S7: the reference's two committed CSV artifacts —
         results/exrabitq/<ds>_<tag>.csv (header nprobe,QPS,recall,ratio,
