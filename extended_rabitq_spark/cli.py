@@ -57,8 +57,15 @@ def cmd_create_index(spark: SparkSession, a: argparse.Namespace) -> int:
 
     base = _vectors(spark, a.base)
     t0 = time.perf_counter()
+    if a.metric == "cosine":
+        # train centroids in the space the index quantizes in
+        from .functions import vector as V
+
+        base = base.withColumn("vec", F.expr(V.l2_normalize("vec")))
     cents = ivf.sampled_kmeans_centroids(base, k=a.k, vec="vec")
-    index_df, meta = rabitq.build_index(base, cents, total_bits=a.b)
+    index_df, meta = rabitq.build_index(
+        base, cents, total_bits=a.b, metric=a.metric
+    )
     rabitq.save_index(index_df, cents, meta, a.index, packed=a.packed)
     if a.graph:
         ivf.save_centroid_graph(
@@ -90,11 +97,13 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
 
         graph = ivf.load_centroid_graph(spark, a.index)
         probes_factory = lambda np_: ivf.graph_probes(queries, graph, np_)  # noqa: E731
+    metric = meta.get("metric", "l2")
     if a.target_recall is not None:
         np_sel, rows = tune_nprobe(
             queries, base, centroids, target_recall=a.target_recall,
             k=a.k, grid=grid, mode="rabitq",
             index_df=codes, centroids_full=cents_full, meta=meta,
+            metric=metric,
         )
         got = next(r for r in rows if r.nprobe == np_sel)
         print(f"tuned nprobe={np_sel} recall={got.recall:.5f} "
@@ -103,7 +112,7 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
         rows = nprobe_sweep(
             queries, base, centroids, k=a.k, grid=grid, mode="rabitq",
             index_df=codes, centroids_full=cents_full, meta=meta,
-            rounds=a.rounds, probes_factory=probes_factory,
+            rounds=a.rounds, probes_factory=probes_factory, metric=metric,
         )
     print("nprobe,QPS,recall,ratio")
     for r in rows:
@@ -178,6 +187,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("index")
     s.add_argument("--k", type=int, default=16, help="IVF cluster count")
     s.add_argument("--b", type=int, default=4, help="total bits per dim")
+    s.add_argument(
+        "--metric", choices=["l2", "cosine"], default="l2",
+        help="distance metric; cosine normalizes vectors at build and "
+             "queries at search (recorded in index meta)",
+    )
     s.add_argument("--packed", action="store_true", help="Q4 BINARY codes")
     s.add_argument(
         "--graph", action="store_true",

@@ -48,6 +48,7 @@ def nprobe_sweep(
     estimator: str = "searcher",
     probes_factory=None,
     recall_stop: float = RECALL_SATURATION,
+    metric: str = "l2",
 ) -> list[SweepRow]:
     """Sweep the nprobe grid ascending; stop at recall saturation or
     plateau.  mode='ivf' scans exact distances over probed clusters;
@@ -66,11 +67,15 @@ def nprobe_sweep(
     running through its HNSW initializer when K ≥ 20000.
     """
     grid = grid or DEFAULT_GRID
+    if metric != "l2" and mode == "ivf":
+        raise ValueError("nprobe_sweep: mode='ivf' supports metric='l2' only")
     nq = queries.count()
     # GT via the map-side-combined scan — identical output to the
     # declarative form (tests/test_knn.py) at a fraction of the cost on
-    # large bases (measured 117s → 1.5s at 100k×100q).
-    gt = knn_ops.exact_knn_combined(queries, base, k=k)
+    # large bases (measured 117s → 1.5s at 100k×100q).  With a
+    # cosine-metric index, GT and the E4 ratio recompute both use the
+    # cosine distance so recall/ratio are metric-consistent.
+    gt = knn_ops.exact_knn_combined(queries, base, k=k, metric=metric)
     gt.persist().count()
     indexed = None
     if mode == "ivf":
@@ -104,7 +109,7 @@ def nprobe_sweep(
                             "qid",
                             "rank",
                             "id",
-                            knn_ops.distance_col("l2", "qvec", "vec").alias("dist"),
+                            knn_ops.distance_col(metric, "qvec", "vec").alias("dist"),
                         )
                     )
                 res.persist().count()
@@ -143,6 +148,7 @@ def tune_nprobe(
     centroids_full: DataFrame | None = None,
     meta: dict | None = None,
     estimator: str = "searcher",
+    metric: str = "l2",
 ) -> tuple[int, list[SweepRow]]:
     """W5 serving knob: the smallest grid nprobe whose measured recall@k
     meets ``target_recall`` on the given validation queries → (nprobe,
@@ -164,7 +170,7 @@ def tune_nprobe(
     rows = nprobe_sweep(
         queries, base, centroids, k=k, grid=grid, mode=mode,
         index_df=index_df, centroids_full=centroids_full, meta=meta,
-        estimator=estimator, recall_stop=target_recall,
+        estimator=estimator, recall_stop=target_recall, metric=metric,
     )
     for r in rows:
         if r.recall >= target_recall:

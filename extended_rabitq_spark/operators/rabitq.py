@@ -233,6 +233,7 @@ def build_index(
     seed: int = DEFAULT_SEED,
     id_: str = "id",
     vec: str = "vec",
+    metric: str = "l2",
 ) -> tuple[DataFrame, dict]:
     """IVF+RaBitQ index build (create_index end-to-end,
     src/create_index.cpp:10-54).
@@ -251,7 +252,19 @@ def build_index(
     partitioned write (the Spark analog of the per-cluster OpenMP loop,
     inc/index/IVF.hpp:142-148).  Measured 6× faster than the
     join+window build at 100k vectors; the gap widens with scale.
+
+    ``metric='cosine'``: vectors are L2-normalized before assignment
+    and quantization (cosine ≡ L2 on the unit sphere — the reference's
+    own preprocessing for non-L2 metrics, python/utils/preprocess.py:
+    3-5), and the meta records the metric so :func:`rabitq_search`
+    normalizes the query side (and any rerank base) to match.  Pass
+    centroids trained on the NORMALIZED vectors for sensible
+    partitions (any centroids keep full-probe correctness).
     """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"build_index: unsupported metric {metric!r}")
+    if metric == "cosine":
+        base = base.withColumn(vec, F.expr(V.l2_normalize(vec)))
     spark = base.sparkSession
     dim = len(base.select(vec).first()[0])
     D = pad64(dim)
@@ -297,7 +310,8 @@ def build_index(
     index_df = base.select(id_, vec).mapInPandas(assign_and_quantize, schema).repartition(
         "cluster_id"
     )
-    meta = {"dim": dim, "D": D, "total_bits": total_bits, "seed": seed}
+    meta = {"dim": dim, "D": D, "total_bits": total_bits, "seed": seed,
+            "metric": metric}
     return index_df, meta
 
 
@@ -1319,6 +1333,17 @@ def rabitq_search(
         if probes is not None and qid in probes.columns:
             probes = probes.withColumnRenamed(qid, "qid")
         qid, qvec = "qid", "qvec"
+    if meta.get("metric") == "cosine":
+        # cosine-metric index (build_index(metric='cosine')): the codes
+        # live on the unit sphere, so the query side (and any exact
+        # re-rank vectors) must be normalized too — L2 ranking over
+        # unit vectors ≡ cosine ranking (dist = 2·(1−cos), monotone,
+        # tie structure preserved).
+        queries = queries.withColumn(qvec, F.expr(V.l2_normalize(qvec)))
+        if rerank_base is not None:
+            rerank_base = rerank_base.withColumn(
+                "vec", F.expr(V.l2_normalize("vec"))
+            )
     if probes is not None and scorer in ("arrow", "arrow_broadcast"):
         # the broadcast scorer's probe prep is driver-side by design;
         # injected probe DataFrames (e.g. graph_probes, W2) route to the

@@ -1082,3 +1082,72 @@ def test_custom_qid_with_injected_graph_probes(spark):
         qs, idx, cf, meta, nprobe=3, k=5, qid="query_id", qvec="qv", probes=gp
     ).collect()
     assert len(res) == 50
+
+
+class TestCosineMetricIndex:
+    def test_cosine_index_full_probes_matches_exact_cosine(self, spark):
+        """build_index(metric='cosine') + rabitq_search at full probes
+        with exact re-rank ranks EXACTLY like brute-force cosine KNN
+        (cosine ≡ L2 on the unit sphere is rank-preserving: dist =
+        2·(1−cos)); raw (unnormalized) vectors go in on both sides —
+        the index handles the normalization."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.functions import vector as V
+        from extended_rabitq_spark.operators import ivf, knn, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        # centroids trained in the normalized space (the build contract)
+        cents = ivf.label_centroids(
+            emb.where(F.col("vec_id") >= 10).withColumn(
+                "embedding", F.expr(V.l2_normalize("embedding"))
+            )
+        )
+        idx, meta = rabitq.build_index(base, cents, total_bits=4, metric="cosine")
+        assert meta["metric"] == "cosine"
+        cf = rabitq.centroids_with_rotation(spark, cents, meta)
+        K = cents.count()
+        res = rabitq.rabitq_search(
+            queries, idx, cf, meta, nprobe=K, k=10, rerank_base=base,
+        )
+        got = sorted((r.qid, r.rank, r.id) for r in res.collect())
+        exp = sorted(
+            (r.qid, r.rank, r.id)
+            for r in knn.exact_knn(queries, base, k=10, metric="cosine").collect()
+        )
+        assert got == exp
+
+    def test_l2_meta_unchanged_by_default(self, spark):
+        """Default metric stays 'l2' and search does NOT normalize."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        _, meta = rabitq.build_index(base, cents, total_bits=4)
+        assert meta["metric"] == "l2"
+
+    def test_bad_metric_raises(self, spark):
+        import pytest
+        from conftest import SF_SMOKE
+        import pyspark.sql.functions as F
+
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        cents = ivf.label_centroids(emb)
+        with pytest.raises(ValueError, match="unsupported metric"):
+            rabitq.build_index(base, cents, metric="dotself")
