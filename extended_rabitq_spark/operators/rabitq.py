@@ -433,9 +433,11 @@ def append_to_index(
     with open(f"{path}/meta.json") as f:
         meta = json.load(f)
     centroids = spark.read.parquet(f"{path}/centroids").select("cluster_id", "centroid")
+    # metric rides with the index: a cosine index normalizes appended
+    # vectors exactly like the original build did
     index_df, _ = build_index(
         new_vectors, centroids, total_bits=meta["total_bits"], seed=meta["seed"],
-        id_=id_, vec=vec,
+        id_=id_, vec=vec, metric=meta.get("metric", "l2"),
     )
     if meta.get("packed"):
         index_df = _pack_index_df(index_df, meta["total_bits"])
@@ -635,6 +637,11 @@ def rebalance_index(
     hot_vecs = base.select(F.col(id_).alias("id"), F.col(vec).alias("_v")).join(
         hot_ids, "id"
     )
+    metric = meta.get("metric", "l2")
+    if metric == "cosine":
+        # the saved codes/centroids live on the unit sphere — sample,
+        # 2-means, and re-quantize in that same space
+        hot_vecs = hot_vecs.withColumn("_v", F.expr(V.l2_normalize("_v")))
     from ..functions import text as _T
 
     w = Window.partitionBy("_old_cid").orderBy(
@@ -680,6 +687,7 @@ def rebalance_index(
         sub_cents,
         total_bits=meta["total_bits"],
         seed=meta["seed"],
+        metric=metric,  # idempotent re-normalization for cosine
     )
     if meta.get("packed"):
         new_codes = _pack_index_df(new_codes, meta["total_bits"])

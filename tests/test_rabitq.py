@@ -1151,3 +1151,58 @@ class TestCosineMetricIndex:
         cents = ivf.label_centroids(emb)
         with pytest.raises(ValueError, match="unsupported metric"):
             rabitq.build_index(base, cents, metric="dotself")
+
+
+def test_cosine_index_lifecycle_append_rebalance(spark, tmp_path):
+    """A cosine-metric index stays metric-consistent through the
+    mutable lifecycle: append re-normalizes the new vectors, rebalance
+    samples/splits/re-quantizes on the unit sphere — full-probe search
+    with exact rerank still matches brute-force cosine KNN over the
+    grown base after both operations."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_SMOKE
+    from extended_rabitq_spark.functions import vector as V
+    from extended_rabitq_spark.operators import ivf, knn, rabitq
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base0 = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    extra = emb.where(F.col("vec_id") >= 40).select(
+        F.col("vec_id").alias("id"),
+        # scale the appended vectors: cosine must be scale-invariant
+        F.expr("transform(embedding, x -> x * 7.0D)").alias("vec"),
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = ivf.label_centroids(
+        emb.where(F.col("vec_id") >= 10).withColumn(
+            "embedding", F.expr(V.l2_normalize("embedding"))
+        )
+    )
+    idx, meta = rabitq.build_index(base0, cents, total_bits=4, metric="cosine")
+    path = str(tmp_path / "cosidx")
+    rabitq.save_index(idx, cents, meta, path)
+    rabitq.append_to_index(extra, path)
+    grown = base0.unionByName(extra)
+
+    def full_search():
+        codes, cf, m = rabitq.load_index(spark, path)
+        K = cf.count()
+        return sorted(
+            (r.qid, r.rank, r.id)
+            for r in rabitq.rabitq_search(
+                queries, codes, cf, m, nprobe=K, k=10, rerank_base=grown
+            ).collect()
+        )
+
+    exp = sorted(
+        (r.qid, r.rank, r.id)
+        for r in knn.exact_knn(queries, grown, k=10, metric="cosine").collect()
+    )
+    assert full_search() == exp
+    # rebalance on the grown RAW base (rebalance normalizes internally)
+    out = rabitq.rebalance_index(spark, path, grown, max_ratio=1.2)
+    assert full_search() == exp, out
