@@ -140,6 +140,38 @@ def main() -> None:
         "rangepartitioning sort.",
     )
 
+    add(
+        "maxsim_label_topk (late-interaction multi-vector)",
+        QUERIES["maxsim_label_topk"](spark, SF),
+        "Broadcast NLJ of the bounded query side into the entity-vector "
+        "scan, then TWO partial-agg HashAggregate pairs (max per "
+        "(gid,qid,ent), DECIMAL sum per (gid,ent)) — only aggregated "
+        "rows cross either exchange; top-k window over the tiny scored "
+        "table.",
+    )
+
+    # bloom-gated incremental dedup: show the IN-list reaching the
+    # corpus hash scan (the band subtree executes inside a checkpoint)
+    from extended_rabitq_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") < 40)
+    art = f"{tmp}/art"
+    dd.save_dedup_artifacts(corpus, art)
+    new = corpus.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    add(
+        "incremental_dedup with bloom-gated artifacts",
+        dd.incremental_dedup(new, corpus, artifacts=art),
+        "The batch side is pre-gated by the broadcast Bloom bitmaps "
+        "(Arrow probe stages, executed eagerly via localCheckpoint); the "
+        "surviving keys appear as an `In(h, [...])` pushed filter on the "
+        "key-sorted content_hashes scan — row-group zone maps skip "
+        "untouched corpus data.  The band-tier subtree (with its own "
+        "`In(key, ...)` pushdown) runs inside the candidate checkpoint.",
+    )
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text(HDR + "\n".join(sections))
     print(f"wrote {out}")
