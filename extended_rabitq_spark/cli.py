@@ -57,14 +57,18 @@ def cmd_create_index(spark: SparkSession, a: argparse.Namespace) -> int:
 
     base = _vectors(spark, a.base)
     t0 = time.perf_counter()
+    # train centroids in the space the index quantizes in
+    train_base, mips_m = base, None
     if a.metric == "cosine":
-        # train centroids in the space the index quantizes in
         from .functions import vector as V
 
         base = base.withColumn("vec", F.expr(V.l2_normalize("vec")))
-    cents = ivf.sampled_kmeans_centroids(base, k=a.k, vec="vec")
+        train_base = base
+    elif a.metric == "ip":
+        train_base, mips_m = rabitq.mips_prepare(base, vec="vec")
+    cents = ivf.sampled_kmeans_centroids(train_base, k=a.k, vec="vec")
     index_df, meta = rabitq.build_index(
-        base, cents, total_bits=a.b, metric=a.metric
+        base, cents, total_bits=a.b, metric=a.metric, mips_m=mips_m
     )
     rabitq.save_index(index_df, cents, meta, a.index, packed=a.packed)
     if a.graph:
@@ -188,9 +192,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=16, help="IVF cluster count")
     s.add_argument("--b", type=int, default=4, help="total bits per dim")
     s.add_argument(
-        "--metric", choices=["l2", "cosine"], default="l2",
-        help="distance metric; cosine normalizes vectors at build and "
-             "queries at search (recorded in index meta)",
+        "--metric", choices=["l2", "cosine", "ip"], default="l2",
+        help="distance metric; cosine normalizes vectors, ip applies "
+             "the MIPS augmented-coordinate reduction (both recorded "
+             "in index meta and honored by search)",
     )
     s.add_argument("--packed", action="store_true", help="Q4 BINARY codes")
     s.add_argument(

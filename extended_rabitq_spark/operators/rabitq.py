@@ -226,6 +226,33 @@ def unpack_codes(packed: np.ndarray, total_bits: int, D: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+def _mips_aug_expr(vec: str, m: float) -> str:
+    """SQL text appending the MIPS coordinate √(max(M²−‖x‖², 0))."""
+    return (
+        f"concat(transform({vec}, x -> CAST(x AS DOUBLE)), "
+        f"array(sqrt(greatest(CAST({m * m!r} AS DOUBLE) - {V.l2sq_self(vec)}, "
+        f"CAST(0.0 AS DOUBLE)))))"
+    )
+
+
+def mips_prepare(
+    base: DataFrame, vec: str = "vec", m: float | None = None
+) -> tuple[DataFrame, float]:
+    """MIPS→L2 reduction: augment each vector with √(M²−‖x‖²) so L2
+    ranking over the augmented vectors equals inner-product ranking
+    (Bachrach et al.'s order-preserving transformation; the standard
+    move for IP over an L2 index).  Returns (augmented df, M).
+
+    Use to train centroids for a ``metric='ip'`` index — the augmented
+    space is where the index's clustering lives.  ``m`` pins an
+    existing index's recorded norm (meta['mips_norm']); omitted, M is
+    one MAX aggregate over the corpus."""
+    if m is None:
+        row = base.select(F.max(F.expr(V.l2sq_self(vec))).alias("s")).first()
+        m = math.sqrt(float(row["s"] or 0.0))
+    return base.withColumn(vec, F.expr(_mips_aug_expr(vec, m))), m
+
+
 def build_index(
     base: DataFrame,
     centroids: DataFrame,
@@ -234,6 +261,7 @@ def build_index(
     id_: str = "id",
     vec: str = "vec",
     metric: str = "l2",
+    mips_m: float | None = None,
 ) -> tuple[DataFrame, dict]:
     """IVF+RaBitQ index build (create_index end-to-end,
     src/create_index.cpp:10-54).
@@ -260,11 +288,25 @@ def build_index(
     normalizes the query side (and any rerank base) to match.  Pass
     centroids trained on the NORMALIZED vectors for sensible
     partitions (any centroids keep full-probe correctness).
+
+    ``metric='ip'`` (max inner product): the classic MIPS→L2 reduction
+    — each vector x augments to [x, √(M²−‖x‖²)] with M = max corpus
+    norm (``mips_norm``; computed in one aggregate when omitted), and a
+    query augments to [q, 0]: ‖q'−x'‖² = ‖q‖² + M² − 2⟨q,x⟩, so L2
+    ranking in the augmented space IS inner-product ranking.  Pass
+    centroids trained on :func:`mips_prepare`-augmented vectors (they
+    must have dim+1 coordinates); the meta records metric and M so
+    search/append/rebalance stay in the augmented geometry.  Vectors
+    appended later with ‖x‖ > M get a clamped 0 coordinate — their IP
+    ranking degrades gracefully; rebuild when the corpus norm grows.
     """
-    if metric not in ("l2", "cosine"):
+    if metric not in ("l2", "cosine", "ip"):
         raise ValueError(f"build_index: unsupported metric {metric!r}")
+    mips_norm: float | None = None
     if metric == "cosine":
         base = base.withColumn(vec, F.expr(V.l2_normalize(vec)))
+    elif metric == "ip":
+        base, mips_norm = mips_prepare(base, vec=vec, m=mips_m)
     spark = base.sparkSession
     dim = len(base.select(vec).first()[0])
     D = pad64(dim)
@@ -312,6 +354,8 @@ def build_index(
     )
     meta = {"dim": dim, "D": D, "total_bits": total_bits, "seed": seed,
             "metric": metric}
+    if mips_norm is not None:
+        meta["mips_norm"] = mips_norm
     return index_df, meta
 
 
@@ -434,10 +478,13 @@ def append_to_index(
         meta = json.load(f)
     centroids = spark.read.parquet(f"{path}/centroids").select("cluster_id", "centroid")
     # metric rides with the index: a cosine index normalizes appended
-    # vectors exactly like the original build did
+    # vectors exactly like the original build did; an ip index augments
+    # them with the SAVED corpus norm (never a recomputed one — that
+    # would shift every stored coordinate's geometry)
     index_df, _ = build_index(
         new_vectors, centroids, total_bits=meta["total_bits"], seed=meta["seed"],
         id_=id_, vec=vec, metric=meta.get("metric", "l2"),
+        mips_m=meta.get("mips_norm"),
     )
     if meta.get("packed"):
         index_df = _pack_index_df(index_df, meta["total_bits"])
@@ -642,6 +689,9 @@ def rebalance_index(
         # the saved codes/centroids live on the unit sphere — sample,
         # 2-means, and re-quantize in that same space
         hot_vecs = hot_vecs.withColumn("_v", F.expr(V.l2_normalize("_v")))
+    # (metric == 'ip': hot_vecs stay RAW here — build_index augments
+    # them itself below; only the 2-means SAMPLE is augmented driver-
+    # side so the sub-centroids land in the saved augmented geometry)
     from ..functions import text as _T
 
     w = Window.partitionBy("_old_cid").orderBy(
@@ -667,6 +717,14 @@ def rebalance_index(
             f"built from"
         )
 
+    if metric == "ip":
+        m_saved = float(meta["mips_norm"])
+        for cid in list(by_cluster):
+            Xr = np.asarray(by_cluster[cid], dtype=np.float64)
+            aug = np.sqrt(np.maximum(m_saved * m_saved - (Xr * Xr).sum(axis=1), 0.0))
+            by_cluster[cid] = [
+                np.concatenate([x, [a]]) for x, a in zip(Xr, aug)
+            ]
     sub_rows, new_ids = [], []
     next_id = max_cid + 1
     for pos, cid in enumerate(hot):
@@ -687,7 +745,8 @@ def rebalance_index(
         sub_cents,
         total_bits=meta["total_bits"],
         seed=meta["seed"],
-        metric=metric,  # idempotent re-normalization for cosine
+        metric=metric,  # cosine: idempotent re-normalize; ip: augment
+        mips_m=meta.get("mips_norm"),
     )
     if meta.get("packed"):
         new_codes = _pack_index_df(new_codes, meta["total_bits"])
@@ -1351,6 +1410,23 @@ def rabitq_search(
         if rerank_base is not None:
             rerank_base = rerank_base.withColumn(
                 "vec", F.expr(V.l2_normalize("vec"))
+            )
+    elif meta.get("metric") == "ip":
+        # MIPS index (build_index(metric='ip')): queries augment with a
+        # zero coordinate, rerank vectors with the saved-M coordinate —
+        # augmented L2 ranking ≡ inner-product ranking per query
+        # (‖q'−x'‖² = ‖q‖² + M² − 2⟨q,x⟩).
+        m = float(meta["mips_norm"])
+        queries = queries.withColumn(
+            qvec,
+            F.expr(
+                f"concat(transform({qvec}, x -> CAST(x AS DOUBLE)), "
+                f"array(CAST(0.0 AS DOUBLE)))"
+            ),
+        )
+        if rerank_base is not None:
+            rerank_base = rerank_base.withColumn(
+                "vec", F.expr(_mips_aug_expr("vec", m))
             )
     if probes is not None and scorer in ("arrow", "arrow_broadcast"):
         # the broadcast scorer's probe prep is driver-side by design;

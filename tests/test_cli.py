@@ -113,3 +113,34 @@ def test_cli_search_target_recall(spark, tmp_path, capsys):
     assert out.startswith("tuned nprobe=")
     tuned = float(out.splitlines()[0].split("recall=")[1].split()[0])
     assert tuned >= 0.6
+
+
+def test_cli_ip_metric_index_and_search(spark, tmp_path, capsys):
+    """--metric ip: MIPS index end-to-end through the CLI; full-grid
+    recall against inner-product ground truth is high."""
+    rng = np.random.default_rng(13)
+    # varied norms so the MIPS augmentation actually matters
+    mat = (rng.standard_normal((60, 8)) * rng.uniform(0.2, 3.0, (60, 1))).astype(
+        np.float32
+    )
+    src = str(tmp_path / "b.fvecs")
+    vecs_io.write_fvecs(src, mat)
+    base_pq = str(tmp_path / "b.parquet")
+    idx = str(tmp_path / "i")
+    assert cli.main(["ingest", src, base_pq]) == 0
+    assert cli.main(
+        ["create-index", base_pq, idx, "--k", "4", "--b", "4", "--metric", "ip"]
+    ) == 0
+    import json
+
+    meta = json.load(open(f"{idx}/meta.json"))
+    assert meta["metric"] == "ip" and meta["mips_norm"] > 0
+    q_pq = str(tmp_path / "q.parquet")
+    spark.read.parquet(base_pq).where("id < 5").write.parquet(q_pq)
+    capsys.readouterr()
+    assert cli.main([
+        "search", idx, q_pq, "--base", base_pq, "--k", "5", "--grid", "4",
+    ]) == 0
+    out = capsys.readouterr().out
+    row = out.strip().splitlines()[-1].split(",")
+    assert float(row[2]) >= 0.9  # recall vs IP ground truth at full probes

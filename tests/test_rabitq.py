@@ -1206,3 +1206,93 @@ def test_cosine_index_lifecycle_append_rebalance(spark, tmp_path):
     # rebalance on the grown RAW base (rebalance normalizes internally)
     out = rabitq.rebalance_index(spark, path, grown, max_ratio=1.2)
     assert full_search() == exp, out
+
+
+class TestMipsMetricIndex:
+    def test_ip_index_full_probes_matches_exact_ip(self, spark):
+        """build_index(metric='ip') + full probes + exact rerank ranks
+        exactly like brute-force max-inner-product KNN: the augmented-
+        coordinate reduction ‖q'−x'‖² = ‖q‖² + M² − 2⟨q,x⟩ is
+        order-preserving per query."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, knn, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        # centroids trained in the augmented geometry (the contract)
+        aug, M = rabitq.mips_prepare(base, vec="vec")
+        cents = ivf.label_centroids(
+            aug.join(emb.select(F.col("vec_id").alias("id"), "label"), "id"),
+            vec="vec",
+        )
+        idx, meta = rabitq.build_index(base, cents, total_bits=4, metric="ip")
+        assert meta["metric"] == "ip" and abs(meta["mips_norm"] - M) < 1e-12
+        assert meta["dim"] == len(base.first()["vec"]) + 1
+        cf = rabitq.centroids_with_rotation(spark, cents, meta)
+        K = cents.count()
+        res = rabitq.rabitq_search(
+            queries, idx, cf, meta, nprobe=K, k=10, rerank_base=base,
+        )
+        got = sorted((r.qid, r.rank, r.id) for r in res.collect())
+        exp = sorted(
+            (r.qid, r.rank, r.id)
+            for r in knn.exact_knn(queries, base, k=10, metric="ip").collect()
+        )
+        assert got == exp
+
+    def test_ip_index_lifecycle_append_rebalance(self, spark, tmp_path):
+        """Append re-augments with the SAVED norm; rebalance splits in
+        the augmented geometry — full-probe results still match exact
+        MIPS over the grown base (appended vectors under the norm cap)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, knn, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base0 = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 40)).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        # appended vectors scaled down: norms stay under the saved M
+        extra = emb.where(F.col("vec_id") >= 40).select(
+            F.col("vec_id").alias("id"),
+            F.expr("transform(embedding, x -> x * 0.5D)").alias("vec"),
+        )
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        aug, _ = rabitq.mips_prepare(base0, vec="vec")
+        cents = ivf.label_centroids(
+            aug.join(emb.select(F.col("vec_id").alias("id"), "label"), "id"),
+            vec="vec",
+        )
+        idx, meta = rabitq.build_index(base0, cents, total_bits=4, metric="ip")
+        path = str(tmp_path / "ipidx")
+        rabitq.save_index(idx, cents, meta, path)
+        rabitq.append_to_index(extra, path)
+        grown = base0.unionByName(extra)
+
+        def full_search():
+            codes, cf, m = rabitq.load_index(spark, path)
+            K = cf.count()
+            return sorted(
+                (r.qid, r.rank, r.id)
+                for r in rabitq.rabitq_search(
+                    queries, codes, cf, m, nprobe=K, k=10, rerank_base=grown
+                ).collect()
+            )
+
+        exp = sorted(
+            (r.qid, r.rank, r.id)
+            for r in knn.exact_knn(queries, grown, k=10, metric="ip").collect()
+        )
+        assert full_search() == exp
+        out = rabitq.rebalance_index(spark, path, grown, max_ratio=1.2)
+        assert full_search() == exp, out
