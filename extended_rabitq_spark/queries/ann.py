@@ -339,3 +339,83 @@ def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("ent"), F.col("embedding").alias("vec")
     )
     return knn.maxsim_topk(qs, ents, k=3)
+
+
+@register("knn_cosine_rabitq", _COSINE_ORACLE)
+def knn_cosine_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accelerated cosine-metric ANN sharing knn_cosine's exact oracle:
+    ``build_index(metric='cosine')`` (unit-sphere quantization) + full
+    probes + ``refine=None`` + exact re-rank is provably rank-equal to
+    brute-force cosine KNN; the returned distance is then recomputed
+    with the oracle's own ``1 − cos`` fold on the RAW vectors (one
+    broadcast-shortlist join), so values hash bitwise.  At production
+    settings nprobe/refine become the recall knobs."""
+    from ..functions import vector as V
+    from ..operators import ivf, rabitq
+
+    base = _base_df(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    cents = ivf.label_centroids(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") >= NQ)
+        .withColumn("embedding", F.expr(V.l2_normalize("embedding")))
+    )
+    index_df, meta = rabitq.build_index(base, cents, total_bits=4, metric="cosine")
+    cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
+    n_clusters = cents.count()
+    res = rabitq.rabitq_search(
+        qs, index_df, cents_full, meta, nprobe=n_clusters, k=K,
+        refine=None, rerank_base=base, full_probes=True,
+    )
+    return (
+        res.select("qid", "rank", "id")
+        .join(base.select("id", "vec"), on="id")
+        .join(F.broadcast(qs), on="qid")
+        .select(
+            "qid", "rank", "id",
+            (
+                F.round(F.expr(f"1.0 - ({V.cosine_sim('qvec', 'vec')})"), 6)
+                + F.lit(0.0)
+            ).alias("dist_r"),
+        )
+    )
+
+
+@register("knn_ip_rabitq", _IP_ORACLE)
+def knn_ip_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accelerated max-inner-product ANN sharing knn_ip's exact oracle:
+    ``build_index(metric='ip')`` (MIPS augmented-coordinate reduction)
+    + full probes + ``refine=None`` + exact re-rank is rank-equal to
+    brute-force IP KNN; the distance is recomputed with the oracle's
+    ``−⟨q,x⟩`` fold on the raw vectors for bitwise value parity."""
+    from ..functions import vector as V
+    from ..operators import ivf, rabitq
+
+    base = _base_df(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    aug, _m = rabitq.mips_prepare(base, vec="vec")
+    cents = ivf.label_centroids(
+        aug.join(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                F.col("vec_id").alias("id"), "label"
+            ),
+            on="id",
+        ),
+        vec="vec",
+    )
+    index_df, meta = rabitq.build_index(base, cents, total_bits=4, metric="ip")
+    cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
+    n_clusters = cents.count()
+    res = rabitq.rabitq_search(
+        qs, index_df, cents_full, meta, nprobe=n_clusters, k=K,
+        refine=None, rerank_base=base, full_probes=True,
+    )
+    return (
+        res.select("qid", "rank", "id")
+        .join(base.select("id", "vec"), on="id")
+        .join(F.broadcast(qs), on="qid")
+        .select(
+            "qid", "rank", "id",
+            F.expr(f"-({V.dot('qvec', 'vec')})").alias("dist"),
+        )
+    )

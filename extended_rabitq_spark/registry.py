@@ -100,6 +100,12 @@ _DEMOTED = [
     "gopher_quality_filter",
     "tfidf_top_terms",
     "source_divergence",
+    "knn_cosine_rabitq",     # accelerated twin sharing knn_cosine's
+                             # oracle (lossless at full probes + exact
+                             # rerank on the cosine-metric index)
+    "knn_ip_rabitq",         # accelerated twin sharing knn_ip's oracle
+                             # (MIPS-reduction index, same lossless
+                             # full-probe + rerank argument)
     "maxsim_label_topk",     # multi-vector late-interaction scoring —
                              # the similarity-search family already has
                              # three checked reps (knn_exact/knn_cosine/
