@@ -112,6 +112,19 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
         got = next(r for r in rows if r.nprobe == np_sel)
         print(f"tuned nprobe={np_sel} recall={got.recall:.5f} "
               f"(target {a.target_recall})")
+        if a.save_tuned:
+            # persist the serving default next to the index (re-tune on
+            # rebuild, like centroid retraining)
+            import json
+
+            with open(f"{a.index}/meta.json") as fh:
+                m = json.load(fh)
+            m["tuned_nprobe"] = int(np_sel)
+            m["tuned_recall"] = round(float(got.recall), 6)
+            m["tuned_target"] = float(a.target_recall)
+            with open(f"{a.index}/meta.json", "w") as fh:
+                json.dump(m, fh)
+            print(f"saved tuned_nprobe={np_sel} -> {a.index}/meta.json")
     else:
         rows = nprobe_sweep(
             queries, base, centroids, k=a.k, grid=grid, mode="rabitq",
@@ -223,6 +236,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--target-recall", type=float, default=None,
         help="auto-tune: stop the sweep at the smallest nprobe meeting "
              "this recall@k and report it",
+    )
+    s.add_argument(
+        "--save-tuned", action="store_true",
+        help="with --target-recall: record the chosen nprobe in the "
+             "index meta.json as the serving default",
     )
     s.add_argument("--results-dir", default=None)
     s.add_argument("--dataset", default="dataset")

@@ -107,12 +107,17 @@ def test_cli_search_target_recall(spark, tmp_path, capsys):
     capsys.readouterr()
     assert cli.main([
         "search", idx, q_pq, "--base", base_pq, "--k", "5",
-        "--grid", "1,2,4", "--target-recall", "0.6",
+        "--grid", "1,2,4", "--target-recall", "0.6", "--save-tuned",
     ]) == 0
     out = capsys.readouterr().out
     assert out.startswith("tuned nprobe=")
     tuned = float(out.splitlines()[0].split("recall=")[1].split()[0])
     assert tuned >= 0.6
+    import json
+
+    meta = json.load(open(f"{idx}/meta.json"))
+    assert meta["tuned_nprobe"] in (1, 2, 4)
+    assert meta["tuned_recall"] >= 0.6 and meta["tuned_target"] == 0.6
 
 
 def test_cli_ip_metric_index_and_search(spark, tmp_path, capsys):

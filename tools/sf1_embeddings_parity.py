@@ -51,6 +51,14 @@ NAMES = [
     "query_quantize_uniform",
     "query_quantize_symmetric",
     "corpus_integrity_audit",
+    # r4 session 2: metric twins + late interaction — the 10× twin
+    # corpus is adversarial for these (every KNN ORDER BY has 10-way
+    # distance ties; the quantized twins must tie-break identically
+    # through the index + exact-rerank path)
+    "knn_ip",
+    "knn_cosine_rabitq",
+    "knn_ip_rabitq",
+    "maxsim_label_topk",
 ]
 
 RECALL_FLOOR_NP6 = 0.70
