@@ -378,3 +378,35 @@ def dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.minhash_lsh_pairs(docs), docs.select("doc_id")
     )
     return comp.where(F.col("doc_id") == F.col("component_id")).select("doc_id")
+
+
+_CLUSTER_SIZES_ORACLE = _COMPONENTS_ORACLE.replace(
+    "SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS component_id\n"
+    "FROM reach GROUP BY id",
+    ", comp AS (SELECT id, CAST(min(root) AS BIGINT) AS component_id\n"
+    "           FROM reach GROUP BY id),\n"
+    "szs AS (SELECT component_id, CAST(count(*) AS BIGINT) AS size\n"
+    "        FROM comp GROUP BY component_id)\n"
+    "SELECT size, CAST(count(*) AS BIGINT) AS n_clusters\n"
+    "FROM szs GROUP BY size",
+)
+
+
+@register("dedup_cluster_sizes", _CLUSTER_SIZES_ORACLE)
+def dedup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the curation report that
+    tells you HOW duplicated the corpus is (how many singletons, how
+    many 2-clusters, any mega-cluster from boilerplate).  Two partial-agg
+    shuffles on top of the components labels; a mega-cluster shows up as
+    a single large ``size`` row, the signal to inspect DF_CAP /
+    boilerplate before training."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comp = dedup.connected_components(
+        dedup.minhash_lsh_pairs(docs), docs.select("doc_id")
+    )
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+    )

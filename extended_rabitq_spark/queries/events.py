@@ -595,3 +595,60 @@ def events_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ANOMALY_ORACLE = """
+WITH m AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+     w AS (SELECT event_type, hour, cnt,
+                  median(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS med,
+                  CAST(count(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                      AS nprev
+           FROM m)
+SELECT event_type, hour, cnt, med,
+       CAST(cnt > 3 * med AS BOOLEAN) AS is_spike
+FROM w WHERE nprev = 5
+"""
+
+
+@register("events_rate_anomaly", _ANOMALY_ORACLE)
+def events_rate_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike detection: hourly counts per event type, each
+    compared against the exact MEDIAN of its 5 preceding hours (a
+    robust baseline — a single prior spike can't inflate it the way a
+    trailing mean would); hours with a full history are emitted with
+    the baseline and an ``is_spike`` flag (cnt > 3×median).
+
+    Plan: one partial-agg shuffle for the hourly counts, then one
+    window per event_type — the frame is ROWS-bounded so state is O(6)
+    per partition, and the same expression runs under Structured
+    Streaming as a sliding aggregate.  Cross-engine exactness: counts
+    are integers, and the exact median of ≤5 integers is x.0 or x.5 —
+    representable doubles, so med and the flag hash bitwise (no mean /
+    no stddev anywhere)."""
+    from pyspark.sql import Window
+
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    per_hour = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-5, -1)
+    )
+    return (
+        per_hour.withColumn("med", F.expr("percentile(cnt, 0.5)").over(w))
+        .withColumn("nprev", F.count("cnt").over(w).cast("long"))
+        .where(F.col("nprev") == 5)
+        .select(
+            "event_type", "hour", "cnt", "med",
+            (F.col("cnt") > 3 * F.col("med")).alias("is_spike"),
+        )
+    )

@@ -100,6 +100,13 @@ _DEMOTED = [
     "gopher_quality_filter",
     "tfidf_top_terms",
     "source_divergence",
+    "dedup_cluster_sizes",   # curation report over dedup_components'
+                             # labels (that query stays checked); two
+                             # extra partial-agg shuffles only
+    "events_rate_anomaly",   # robust-baseline spike detection — the
+                             # framed-window family is checked via
+                             # events_moving_avg's ROWS-frame shape
+                             # (events_lead_lag inside the window)
     "knn_cosine_rabitq",     # accelerated twin sharing knn_cosine's
                              # oracle (lossless at full probes + exact
                              # rerank on the cosine-metric index)
