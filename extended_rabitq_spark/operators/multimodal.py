@@ -240,3 +240,88 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             "'sample_rate', meta.sample_rate, 'n_frames', meta.n_frames)"
         ),
     )
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-bit average-hash per media row → (media_id, phash BIGINT).
+
+    Decode via the registry seam (the one Python stage — Arrow-batched),
+    then aHash: resize-to-8×8 is the decoder's contract here, bit i = 1
+    iff pixel i > the image mean, packed row-major into a signed int64.
+    Classic perceptual image fingerprint: visually-near images differ in
+    few bits, so near-dup detection becomes small-Hamming search."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for kind, content in zip(pdf["kind"], pdf["content"]):
+                dec = _DECODERS.get(kind)
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no decoder registered for media kind {kind!r}; "
+                        "register one with multimodal.register_decoder"
+                    )
+                arr = dec(bytes(content)).astype(np.float64).ravel()[:64]
+                if arr.size < 64:
+                    arr = np.pad(arr, (0, 64 - arr.size))
+                bits = (arr > arr.mean()).astype(np.uint64)
+                out.append(int((bits * weights).sum(dtype=np.uint64).astype(np.int64)))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": out})
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, "media_id long, phash long"
+    )
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Perceptual near-dup pairs → (id_a, id_b, hamming ≤ max_hamming).
+
+    LOSSLESS pigeonhole banding, exactly like the SimHash text path: the
+    64-bit hash splits into ``max_hamming + 1`` contiguous bit bands —
+    any pair within the Hamming budget must agree exactly on ≥1 band —
+    so candidates come from a plain equi-join on (band, key) and the
+    exact Hamming distance is a JVM ``bit_count(a ^ b)`` post-filter.
+    Only the decode stage is Python; at 100 TB the phash table is tiny
+    (16 bytes/row) and the join shuffles only band keys.  Band-key skew
+    (e.g. monochrome boilerplate images hashing identically) is the
+    same DF_CAP/AQE story as text banding."""
+    B = max_hamming + 1
+    ph = perceptual_hash(media)
+    # contiguous bands: first (64 % B) bands get an extra bit
+    widths = [64 // B + (1 if i < 64 % B else 0) for i in range(B)]
+    offs = [sum(widths[:i]) for i in range(B)]
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            (
+                F.shiftrightunsigned(F.col("phash"), 64 - offs[i] - widths[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            ).alias("key"),
+        )
+        for i in range(B)
+    ]
+    bands = ph.select(
+        "media_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("media_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.withColumnRenamed("media_id", "id_a")
+    b = bands.withColumnRenamed("media_id", "id_b")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pa = ph.select(F.col("media_id").alias("id_a"), F.col("phash").alias("pa"))
+    pb = ph.select(F.col("media_id").alias("id_b"), F.col("phash").alias("pb"))
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -652,3 +652,24 @@ def events_rate_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt") > 3 * F.col("med")).alias("is_spike"),
         )
     )
+
+
+@register("multimodal_phash_dedup")  # rows-only: decode seam is Python
+def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs — the image-side analog of
+    the text near-dup family: decode (registry seam, Arrow-batched) →
+    64-bit aHash → lossless pigeonhole banding → JVM bit_count Hamming
+    verify.  Rows-only (the decoder is the deliberately-stubbed Python
+    stage); the banding's losslessness and the hash's numpy parity are
+    pinned in tests/test_multimodal.py.
+
+    The fixture has no byte-identical texts, so the first 20 docs are
+    replicated under shifted ids (deterministic) — each replica pair
+    MUST surface at hamming 0, giving the query a non-trivial stable
+    result the driver's rows-only check can count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    media = multimodal.docs_as_media(docs.unionByName(planted))
+    return multimodal.phash_pairs(media, max_hamming=8)

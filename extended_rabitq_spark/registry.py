@@ -100,6 +100,9 @@ _DEMOTED = [
     "gopher_quality_filter",
     "tfidf_top_terms",
     "source_divergence",
+    "multimodal_phash_dedup",  # rows-only (Python decode seam) —
+                               # image-side near-dup; banding losslessness
+                               # numpy-pinned in tests
     "dedup_cluster_sizes",   # curation report over dedup_components'
                              # labels (that query stays checked); two
                              # extra partial-agg shuffles only

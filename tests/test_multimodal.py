@@ -108,3 +108,109 @@ def test_audio_chunking(spark):
         assert sum(c.chunk_len for c in chunks) == n_samp[mid]
         assert all(c.chunk_len == 100 for c in chunks[:-1])
         assert 1 <= chunks[-1].chunk_len <= 100
+
+
+class TestPerceptualHash:
+    @staticmethod
+    def _install_raw_decoder():
+        """A test decoder whose output pixels come straight from the
+        content bytes — lets tests plant images with controlled pixel
+        (hence Hamming) differences, unlike the sha-seeded fake codec."""
+        import numpy as np
+
+        from extended_rabitq_spark.operators import multimodal
+
+        def raw(content: bytes) -> np.ndarray:
+            a = np.frombuffer(content, dtype=np.uint8)[:64]
+            return np.pad(a, (0, 64 - a.size)).reshape(8, 8)
+
+        multimodal.register_decoder("rawimg", raw)
+
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, "rawimg", bytearray(bs)) for i, bs in rows],
+            "media_id long, kind string, content binary",
+        )
+
+    def test_phash_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from extended_rabitq_spark.operators import multimodal
+
+        self._install_raw_decoder()
+        rng = np.random.default_rng(3)
+        rows = [(i, bytes(rng.integers(0, 256, 64, dtype=np.uint8))) for i in range(10)]
+        got = {
+            r.media_id: r.phash
+            for r in multimodal.perceptual_hash(self._media(spark, rows)).collect()
+        }
+        for i, bs in rows:
+            a = np.frombuffer(bs, dtype=np.uint8).astype(np.float64)
+            bits = (a > a.mean()).astype(np.uint64)
+            w = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+            exp = int((bits * w).sum(dtype=np.uint64).astype(np.int64))
+            assert got[i] == exp
+
+    def test_planted_near_dups_and_exact_dups(self, spark):
+        import numpy as np
+
+        from extended_rabitq_spark.operators import multimodal
+
+        self._install_raw_decoder()
+        rng = np.random.default_rng(5)
+        base = rng.integers(0, 256, 64, dtype=np.uint8)
+        # flip 3 pixels hard (dark<->bright) → small Hamming distance
+        near = base.copy()
+        near[[3, 17, 42]] = 255 - near[[3, 17, 42]]
+        far = rng.integers(0, 256, 64, dtype=np.uint8)
+        rows = [(1, bytes(base)), (2, bytes(base)), (3, bytes(near)), (4, bytes(far))]
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in multimodal.phash_pairs(
+                self._media(spark, rows), max_hamming=8
+            ).collect()
+        }
+        assert pairs[(1, 2)] == 0  # exact duplicate content
+        assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 8
+        assert pairs[(1, 3)] == pairs[(2, 3)]
+        assert (1, 4) not in pairs and (3, 4) not in pairs
+
+    def test_banding_is_lossless_vs_bruteforce(self, spark):
+        """Pigeonhole guarantee: the banded candidate join finds EVERY
+        pair within the Hamming budget — compare against an all-pairs
+        numpy scan on 60 random images."""
+        import itertools
+
+        import numpy as np
+
+        from extended_rabitq_spark.operators import multimodal
+
+        self._install_raw_decoder()
+        rng = np.random.default_rng(11)
+        # half-random, half-perturbed so some pairs land under the budget
+        imgs = [rng.integers(0, 256, 64, dtype=np.uint8) for _ in range(30)]
+        for i in range(30):
+            p = imgs[i].copy()
+            flips = rng.integers(0, 64, rng.integers(1, 5))
+            p[flips] = 255 - p[flips]
+            imgs.append(p)
+        rows = [(i, bytes(a)) for i, a in enumerate(imgs)]
+        D = 6
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in multimodal.phash_pairs(self._media(spark, rows), max_hamming=D).collect()
+        }
+
+        def ph(a):
+            x = a.astype(np.float64)
+            bits = (x > x.mean()).astype(np.uint64)
+            w = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+            return (bits * w).sum(dtype=np.uint64)
+
+        hashes = [ph(a) for a in imgs]
+        exp = {}
+        for i, j in itertools.combinations(range(len(imgs)), 2):
+            h = bin(int(hashes[i] ^ hashes[j])).count("1")
+            if h <= D:
+                exp[(i, j)] = h
+        assert got == exp
