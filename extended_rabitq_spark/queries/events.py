@@ -624,8 +624,12 @@ def events_rate_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one partial-agg shuffle for the hourly counts, then one
     window per event_type — the frame is ROWS-bounded so state is O(6)
-    per partition, and the same expression runs under Structured
-    Streaming as a sliding aggregate.  Cross-engine exactness: counts
+    per partition.  (Streaming shape: the hourly counts stream as a
+    watermarked windowed agg; the trailing-median comparison runs over
+    the compacted counts table per micro-batch, or as an
+    applyInPandasWithState online variant — ROWS-framed window
+    functions themselves are not streamable.)  Cross-engine exactness:
+    counts
     are integers, and the exact median of ≤5 integers is x.0 or x.5 —
     representable doubles, so med and the flag hash bitwise (no mean /
     no stddev anywhere)."""

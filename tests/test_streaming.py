@@ -413,3 +413,66 @@ def test_streaming_dedup_ingest_artifacts_mode_same_verdicts(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(f"{art_path}/bands").collect()
     }
     assert band_ids == {1, 2, 3, 9}
+
+
+def test_streaming_dedup_ingest_restart_no_reprocessing(spark, tmp_path):
+    """Restart contract: with an intact checkpoint, re-running the gate
+    (same checkpoint dir) processes NOTHING until new files arrive —
+    the corpus and decisions sinks don't grow — and a later file is
+    then processed exactly once against the grown corpus."""
+    import time as _time
+
+    from extended_rabitq_spark.streaming.stream_ops import streaming_dedup_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id LONG, text STRING"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine ten")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    corpus_path = str(tmp_path / "corpus")
+    decisions_path = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*.parquet"))
+        )
+        q = streaming_dedup_ingest(stream, corpus_path, decisions_path, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    ids1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus_path).collect())
+    n_dec1 = spark.read.parquet(decisions_path).count()
+    assert ids1 == [1, 2] and n_dec1 == 2
+
+    # restart with no new input: nothing reprocesses, sinks unchanged
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    ) == [1, 2]
+    assert spark.read.parquet(decisions_path).count() == 2
+
+    # new file after restart: processed once, gated against the
+    # checkpoint-era corpus (doc 11 dups doc 1; doc 12 is fresh)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(11, "alpha beta gamma delta epsilon zeta eta theta"),
+         (12, "entirely novel text with brand new words only here")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2.parquet"))
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    ) == [1, 2, 12]
+    dec = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(decisions_path).collect()
+    }
+    assert len(dec) == 4
+    assert dec[11] == ("exact_dup", 1)
+    assert dec[12] == ("unique", None)
