@@ -77,3 +77,79 @@ def streaming_topk_pool(candidates, k: int):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rate-anomaly detector (stateful twin of events_rate_anomaly)
+# ---------------------------------------------------------------------------
+
+ANOM_OUTPUT_SCHEMA = (
+    "event_type string, hour timestamp, cnt long, med double, is_spike boolean"
+)
+ANOM_STATE_SCHEMA = "hours array<long>, cnts array<long>"
+
+
+def make_rate_anomaly_fn(window: int = 5, factor: int = 3):
+    """Returns the ``applyInPandasWithState`` function maintaining the
+    trailing ``window`` hourly counts per event_type and emitting each
+    finalized hour's robust-baseline verdict — the online form of
+    ``events_rate_anomaly`` (same median-of-trailing-5 rule, same
+    integer-exact arithmetic).  State is O(window) per key."""
+    import statistics
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            hours, cnts = state.get
+            buf = list(zip(hours, cnts))
+        else:
+            buf = []
+        batch: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            for h, c in zip(pdf["hour"], pdf["cnt"]):
+                batch.append((int(pd.Timestamp(h).value // 1000), int(c)))
+        batch.sort()  # event-time order within the micro-batch
+        out_h, out_c, out_m, out_s = [], [], [], []
+        for h, c in batch:
+            if len(buf) >= window:
+                med = float(statistics.median([x for _, x in buf[-window:]]))
+                out_h.append(h)
+                out_c.append(c)
+                out_m.append(med)
+                out_s.append(c > factor * med)
+            buf.append((h, c))
+            buf = buf[-window:]
+        state.update((
+            [int(h) for h, _ in buf],
+            [int(c) for _, c in buf],
+        ))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(out_h),
+                "hour": pd.to_datetime(out_h, unit="us"),
+                "cnt": out_c,
+                "med": out_m,
+                "is_spike": out_s,
+            }
+        )
+
+    return update
+
+
+def streaming_rate_anomaly(counts, window: int = 5, factor: int = 3):
+    """Wire the detector over a streaming DataFrame of
+    (event_type, hour, cnt) — e.g. the compacted output of an upstream
+    watermarked hourly-count aggregation (two chained stateful
+    operators in one query are not supported, so the counts land in a
+    table/topic and the detector tails them — the standard split)."""
+    return counts.groupBy("event_type").applyInPandasWithState(
+        make_rate_anomaly_fn(window, factor),
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

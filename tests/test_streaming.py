@@ -476,3 +476,58 @@ def test_streaming_dedup_ingest_restart_no_reprocessing(spark, tmp_path):
     assert len(dec) == 4
     assert dec[11] == ("exact_dup", 1)
     assert dec[12] == ("unique", None)
+
+
+def test_streaming_rate_anomaly_matches_batch(spark, tmp_path):
+    """The stateful trailing-median detector over a STREAM of hourly
+    counts (three ordered micro-batches) emits exactly the batch
+    events_rate_anomaly rows — same medians, same spike flags."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from extended_rabitq_spark.registry import QUERIES
+    from extended_rabitq_spark.streaming.state_ops import streaming_rate_anomaly
+    from extended_rabitq_spark.tables import load_events
+
+    ev = load_events(spark, SF_SMOKE)
+    counts = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()
+    )
+    hours = sorted(r["hour"] for r in counts.select("hour").distinct().collect())
+    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
+    src = tmp_path / "counts"
+    src.mkdir()
+    for i, cond in enumerate([
+        F.col("hour") <= cut1,
+        (F.col("hour") > cut1) & (F.col("hour") <= cut2),
+        F.col("hour") > cut2,
+    ]):
+        counts.where(cond).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+        _time.sleep(1.1)  # file source orders batches by mod time
+    stream = (
+        spark.readStream.schema("event_type string, hour timestamp, cnt long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    q = (
+        streaming_rate_anomaly(stream)
+        .writeStream.format("memory")
+        .queryName("rate_anom")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.event_type, r.hour, r.cnt, r.med, r.is_spike)
+        for r in spark.sql("SELECT * FROM rate_anom").collect()
+    }
+    want = {
+        (r.event_type, r.hour, r.cnt, r.med, r.is_spike)
+        for r in QUERIES["events_rate_anomaly"](spark, SF_SMOKE).collect()
+    }
+    counts.unpersist()
+    assert got == want and len(got) > 0
