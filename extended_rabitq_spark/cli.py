@@ -190,6 +190,36 @@ def cmd_clean_corpus(spark: SparkSession, a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(spark: SparkSession, a: argparse.Namespace) -> int:
+    """Dataset-card report: one command composing the curation queries
+    into a printed profile of a testdata-shaped directory (documents +
+    embeddings) — per-(lang, source) stats, exact length percentiles,
+    source drift, duplicate-cluster size distribution, and the one-row
+    referential/vector-health audit."""
+    from .registry import QUERIES
+
+    sections = [
+        ("corpus_stats (per lang x source)", "corpus_stats"),
+        ("corpus_length_quantiles (exact percentiles)", "corpus_length_quantiles"),
+        ("source_divergence (per-source drift)", "source_divergence"),
+        ("dedup_cluster_sizes (near-dup cluster histogram)", "dedup_cluster_sizes"),
+        ("corpus_integrity_audit (doc<->embedding health)", "corpus_integrity_audit"),
+    ]
+    for title, name in sections:
+        print(f"== {title}")
+        rows = QUERIES[name](spark, a.data_dir).collect()
+        if not rows:
+            print("  (no rows)")
+            continue
+        cols = rows[0].__fields__
+        print("  " + ",".join(cols))
+        for r in rows[: a.max_rows]:
+            print("  " + ",".join(str(v) for v in r))
+        if len(rows) > a.max_rows:
+            print(f"  ... ({len(rows)} rows total)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="extended_rabitq_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -274,6 +304,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("base")
     s.add_argument("--max-ratio", type=float, default=2.0)
     s.set_defaults(fn=cmd_rebalance)
+
+    s = sub.add_parser(
+        "profile",
+        help="dataset-card report: stats, percentiles, drift, dup "
+             "clusters, integrity audit",
+    )
+    s.add_argument("data_dir", help="dir with documents.parquet + embeddings.parquet")
+    s.add_argument("--max-rows", type=int, default=12)
+    s.set_defaults(fn=cmd_profile)
     return p
 
 

@@ -149,3 +149,18 @@ def test_cli_ip_metric_index_and_search(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     row = out.strip().splitlines()[-1].split(",")
     assert float(row[2]) >= 0.9  # recall vs IP ground truth at full probes
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    """The dataset-card verb prints every section with rows."""
+    from conftest import SF_SMOKE
+
+    assert cli.main(["profile", SF_SMOKE]) == 0
+    out = capsys.readouterr().out
+    for section in (
+        "corpus_stats", "corpus_length_quantiles", "source_divergence",
+        "dedup_cluster_sizes", "corpus_integrity_audit",
+    ):
+        assert f"== {section}" in out
+    # the audit row is one CSV line with integer counters
+    assert "n_docs" in out

@@ -45,6 +45,7 @@ NAMES = [
     "dedup_ngram_jaccard",
     "dedup_simhash_banded",
     "dedup_components",
+    "dedup_cluster_sizes",
     "doc_chunks",
     "training_shard_export",
     "gopher_quality_filter",
