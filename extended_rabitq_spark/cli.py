@@ -95,19 +95,33 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
     base = _vectors(spark, a.base)
     centroids = cents_full.select("cluster_id", "centroid")
     grid = [int(x) for x in a.grid.split(",")] if a.grid else None
+    metric = meta.get("metric", "l2")
     probes_factory = None
     if a.use_graph:
         from .operators import ivf
 
         graph = ivf.load_centroid_graph(spark, a.index)
-        probes_factory = lambda np_: ivf.graph_probes(queries, graph, np_)  # noqa: E731
-    metric = meta.get("metric", "l2")
+        gq = queries
+        if metric == "ip":
+            # the saved graph lives in the (d+1)-dim MIPS-augmented
+            # space — beam-search queries need the zero coordinate
+            gq = queries.withColumn(
+                "qvec",
+                F.expr(
+                    "concat(transform(qvec, x -> CAST(x AS DOUBLE)), "
+                    "array(CAST(0.0 AS DOUBLE)))"
+                ),
+            )
+        # (cosine: raw-query centroid ranking is order-identical on the
+        # unit-sphere graph — ⟨q,c⟩ and ⟨q̂,c⟩ differ by a positive
+        # per-query scale — so no transform is needed)
+        probes_factory = lambda np_: ivf.graph_probes(gq, graph, np_)  # noqa: E731
     if a.target_recall is not None:
         np_sel, rows = tune_nprobe(
             queries, base, centroids, target_recall=a.target_recall,
             k=a.k, grid=grid, mode="rabitq",
             index_df=codes, centroids_full=cents_full, meta=meta,
-            metric=metric,
+            metric=metric, probes_factory=probes_factory, rounds=a.rounds,
         )
         got = next(r for r in rows if r.nprobe == np_sel)
         print(f"tuned nprobe={np_sel} recall={got.recall:.5f} "

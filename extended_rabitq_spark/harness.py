@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import metrics
+from .functions import vector as V
 from .operators import ivf as ivf_ops
 from .operators import knn as knn_ops
 from .operators import rabitq as rabitq_ops
@@ -119,8 +120,32 @@ def nprobe_sweep(
                 .agg(F.avg("recall").alias("r"))
                 .first()["r"]
             )
+            res_r, gt_r = res, gt
+            if metric == "ip":
+                # ratio is defined on nonnegative distances; IP dist is
+                # −⟨q,x⟩ (negative), which the L2-form guard rejects.
+                # Transform BOTH sides into the MIPS augmented-L2
+                # geometry the index optimizes: aug² = ‖q‖² + M² − 2⟨q,x⟩
+                # = ‖q‖² + M² + 2·dist ≥ 0 — order-identical per query,
+                # so the reference's ≥1 ratio convention carries over.
+                m2 = float((meta or {}).get("mips_norm", 0.0)) ** 2
+                qn = queries.select(
+                    "qid", F.expr(V.l2sq_self("qvec")).alias("_qn2")
+                )
+
+                def _aug(df):
+                    return (
+                        df.join(F.broadcast(qn), on="qid")
+                        .withColumn(
+                            "dist",
+                            F.col("_qn2") + F.lit(m2) + 2.0 * F.col("dist"),
+                        )
+                        .drop("_qn2")
+                    )
+
+                res_r, gt_r = _aug(res), _aug(gt)
             rat_row = (
-                metrics.ratio_per_query(res, gt, k).agg(F.avg("ratio").alias("x")).first()
+                metrics.ratio_per_query(res_r, gt_r, k).agg(F.avg("ratio").alias("x")).first()
             )
             rat = rat_row["x"] if rat_row["x"] is not None else float("nan")
             wall = sum(walls) / len(walls)
@@ -149,6 +174,8 @@ def tune_nprobe(
     meta: dict | None = None,
     estimator: str = "searcher",
     metric: str = "l2",
+    probes_factory=None,
+    rounds: int = 1,
 ) -> tuple[int, list[SweepRow]]:
     """W5 serving knob: the smallest grid nprobe whose measured recall@k
     meets ``target_recall`` on the given validation queries → (nprobe,
@@ -171,6 +198,7 @@ def tune_nprobe(
         queries, base, centroids, k=k, grid=grid, mode=mode,
         index_df=index_df, centroids_full=centroids_full, meta=meta,
         estimator=estimator, recall_stop=target_recall, metric=metric,
+        probes_factory=probes_factory, rounds=rounds,
     )
     for r in rows:
         if r.recall >= target_recall:

@@ -765,18 +765,19 @@ def append_dedup_artifacts(
     nh = normalized(new_docs, text).select(
         F.col(id_).alias("doc_id"), F.md5("_norm").alias("h")
     ).localCheckpoint(eager=True)
-    nh.write.mode("append").parquet(f"{path}/content_hashes")
     stop = spark.read.parquet(f"{path}/stop_shingles")
     sh = raw_shingles(new_docs, id_, text).join(
         F.broadcast(stop), on="shingle", how="left_anti"
     )
     nb = _band_keys(_signatures_from_shingles(sh)).localCheckpoint(eager=True)
-    nb.write.mode("append").parquet(f"{path}/bands")
-    # Bloom append = OR of a delta bloom built with the SAME (m, k):
-    # no rewrite of corpus keys, same no-rewrite contract as the parquet
-    # appends above.  (FP rate drifts up as the corpus outgrows the
-    # sizing; refresh via save_dedup_artifacts periodically, like the
-    # stop list.)
+    # Bloom append = OR of a delta bloom built with the SAME (m, k) —
+    # updated BEFORE the parquet appends: a crash between the two steps
+    # then leaves bloom keys without table rows (harmless false
+    # positives) instead of table rows the bloom doesn't know about
+    # (false negatives, i.e. future duplicates waved through as
+    # 'unique').  (FP rate drifts up as the corpus outgrows the sizing;
+    # refresh via save_dedup_artifacts periodically, like the stop
+    # list.)
     import os
 
     if os.path.exists(f"{path}/blooms"):
@@ -789,6 +790,15 @@ def append_dedup_artifacts(
             bb, build_bloom(nb, ["band", "key"], m=bb["m"], k=bb["k"])
         )
         save_blooms(spark, blooms, f"{path}/blooms")
+    # appended shards keep the key-sorted layout save_dedup_artifacts
+    # establishes — each append's row groups stay zone-map-tight, so the
+    # IN-list pushdown keeps skipping as the corpus grows by appends
+    nh.repartition("h").sortWithinPartitions("h").write.mode("append").parquet(
+        f"{path}/content_hashes"
+    )
+    nb.repartition("band", "key").sortWithinPartitions("band", "key").write.mode(
+        "append"
+    ).parquet(f"{path}/bands")
 
 
 def incremental_dedup(

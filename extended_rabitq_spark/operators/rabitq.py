@@ -1486,7 +1486,15 @@ def rabitq_range_search(
     still be missed if (a) its cluster is not probed (full probes ⟹
     none) or (b) its estimate is > slack error units high (tail event).
     The exact verify joins the broadcast candidate set, so the
-    raw-vector table never shuffles."""
+    raw-vector table never shuffles.
+
+    Metrics: an 'l2' index takes raw vectors; a 'cosine' index
+    normalizes the query side and the verify vectors here (radius2 is
+    then squared L2 on the unit sphere, i.e. 2·(1−cos) — a cosine
+    radius).  A 'ip' index is rejected: the MIPS reduction carries a
+    per-query ‖q‖² offset, so one radius2 across queries has no
+    inner-product meaning — express IP range queries as per-query
+    thresholds on knn_ip instead."""
     from .knn import distance_col
 
     if qid != "qid" or qvec != "qvec":
@@ -1496,6 +1504,15 @@ def rabitq_range_search(
         if probes is not None and qid in probes.columns:
             probes = probes.withColumnRenamed(qid, "qid")
         qid, qvec = "qid", "qvec"
+    metric = meta.get("metric", "l2")
+    if metric == "ip":
+        raise ValueError(
+            "rabitq_range_search: metric='ip' indexes have no global "
+            "radius semantics (per-query MIPS offset); use top-k search"
+        )
+    if metric == "cosine":
+        queries = queries.withColumn(qvec, F.expr(V.l2_normalize(qvec)))
+        rerank_base = rerank_base.withColumn("vec", F.expr(V.l2_normalize("vec")))
 
     if scorer == "arrow_cogroup":
         scored = _arrow_scored_cogroup(

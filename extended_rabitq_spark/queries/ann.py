@@ -403,7 +403,11 @@ def knn_ip_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         vec="vec",
     )
-    index_df, meta = rabitq.build_index(base, cents, total_bits=4, metric="ip")
+    # reuse the M mips_prepare already computed — build_index would
+    # otherwise re-run the identical corpus-wide MAX aggregate
+    index_df, meta = rabitq.build_index(
+        base, cents, total_bits=4, metric="ip", mips_m=_m
+    )
     cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
     n_clusters = cents.count()
     res = rabitq.rabitq_search(

@@ -134,7 +134,8 @@ def test_cli_ip_metric_index_and_search(spark, tmp_path, capsys):
     idx = str(tmp_path / "i")
     assert cli.main(["ingest", src, base_pq]) == 0
     assert cli.main(
-        ["create-index", base_pq, idx, "--k", "4", "--b", "4", "--metric", "ip"]
+        ["create-index", base_pq, idx, "--k", "4", "--b", "4",
+         "--metric", "ip", "--graph"]
     ) == 0
     import json
 
@@ -149,6 +150,30 @@ def test_cli_ip_metric_index_and_search(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     row = out.strip().splitlines()[-1].split(",")
     assert float(row[2]) >= 0.9  # recall vs IP ground truth at full probes
+    # the ratio column is the augmented-L2 transform — finite, near 1
+    # at full probes + exact rerank (NOT nan: the -dot distances are
+    # shifted into the nonnegative MIPS geometry before the metric)
+    assert row[3] != "nan" and 0.99 <= float(row[3]) < 1.05
+    # graph-probed search on the ip index: beam search runs in the
+    # augmented (d+1)-dim space — regression for the raw-query crash
+    assert cli.main([
+        "search", idx, q_pq, "--base", base_pq, "--k", "5", "--grid", "4",
+        "--use-graph",
+    ]) == 0
+    out = capsys.readouterr().out
+    row = out.strip().splitlines()[-1].split(",")
+    assert float(row[2]) >= 0.9
+    # tuner through the graph seam (probes_factory now threads into
+    # tune_nprobe) with the tuned result persisted
+    assert cli.main([
+        "search", idx, q_pq, "--base", base_pq, "--k", "5",
+        "--grid", "2,4", "--use-graph", "--target-recall", "0.5",
+        "--save-tuned", "--rounds", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("tuned nprobe=")
+    meta = json.load(open(f"{idx}/meta.json"))
+    assert meta["tuned_nprobe"] in (2, 4)
 
 
 def test_cli_profile(spark, tmp_path, capsys):

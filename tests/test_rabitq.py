@@ -1296,3 +1296,63 @@ class TestMipsMetricIndex:
         assert full_search() == exp
         out = rabitq.rebalance_index(spark, path, grown, max_ratio=1.2)
         assert full_search() == exp, out
+
+
+def test_range_search_metric_handling(spark):
+    """rabitq_range_search on a cosine index verifies in the normalized
+    geometry (radius = 2*(1-cos) on the unit sphere, scale-invariant);
+    an ip index is rejected with a clear error (no global radius
+    semantics under the MIPS per-query offset)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from conftest import SF_SMOKE
+    from extended_rabitq_spark.functions import vector as V
+    from extended_rabitq_spark.operators import ivf, rabitq
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    # scale the query hard: cosine results must not change
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.expr("transform(embedding, x -> x * 9.0D)").alias("qvec"),
+    )
+    cents_cos = ivf.label_centroids(
+        emb.where(F.col("vec_id") >= 10).withColumn(
+            "embedding", F.expr(V.l2_normalize("embedding"))
+        )
+    )
+    idx, meta = rabitq.build_index(base, cents_cos, total_bits=4, metric="cosine")
+    cf = rabitq.centroids_with_rotation(spark, cents_cos, meta)
+    K = cents_cos.count()
+    RAD = 1.4  # 2*(1-cos) <= 1.4  ⟺  cos >= 0.3 (fixture min cd ≈ 0.61)
+    got = sorted(
+        (r.qid, r.id)
+        for r in rabitq.rabitq_range_search(
+            queries, idx, cf, meta, radius2=RAD, nprobe=K, rerank_base=base
+        ).collect()
+    )
+    # brute-force cosine range on raw vectors
+    exp = sorted(
+        (r.qid, r.id)
+        for r in queries.crossJoin(base)
+        .select("qid", "id", F.expr(f"1.0 - ({V.cosine_sim('qvec', 'vec')})").alias("cd"))
+        .where(F.col("cd") * 2.0 <= RAD)
+        .collect()
+    )
+    assert got == exp and len(got) > 0
+
+    aug, m = rabitq.mips_prepare(base, vec="vec")
+    cents_ip = ivf.label_centroids(
+        aug.join(emb.select(F.col("vec_id").alias("id"), "label"), "id"), vec="vec"
+    )
+    idx2, meta2 = rabitq.build_index(
+        base, cents_ip, total_bits=4, metric="ip", mips_m=m
+    )
+    cf2 = rabitq.centroids_with_rotation(spark, cents_ip, meta2)
+    with pytest.raises(ValueError, match="no global .*radius|radius semantics"):
+        rabitq.rabitq_range_search(
+            queries, idx2, cf2, meta2, radius2=1.0, nprobe=4, rerank_base=base
+        )
