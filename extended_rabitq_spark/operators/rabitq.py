@@ -308,10 +308,6 @@ def build_index(
     elif metric == "ip":
         base, mips_norm = mips_prepare(base, vec=vec, m=mips_m)
     spark = base.sparkSession
-    dim = len(base.select(vec).first()[0])
-    D = pad64(dim)
-    P = rotation_matrix(D, seed)
-    bP = spark.sparkContext.broadcast(P)
     cent_rows = sorted(
         (int(r[0]), np.array(r[1], dtype=np.float64))
         for r in centroids.select("cluster_id", "centroid").collect()
@@ -319,6 +315,13 @@ def build_index(
     cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
     cmat = np.stack([v for _, v in cent_rows])  # K × dim
     bC = spark.sparkContext.broadcast((cids, cmat))
+    # dim comes from the (already-collected) centroids — same space as
+    # base by contract, and it saves the base.first() probe job that
+    # used to run before every build
+    dim = int(cmat.shape[1])
+    D = pad64(dim)
+    P = rotation_matrix(D, seed)
+    bP = spark.sparkContext.broadcast(P)
 
     def assign_and_quantize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         P_ = bP.value
