@@ -4,6 +4,9 @@ The reference's on-disk formats:
 
 - ``.fvecs``/``.ivecs``: per row ``[int32 d][d × float32|int32]``
   (reader ``inc/utils/IO.hpp:53-83``, python ``python/utils/io.py:5-31``);
+- ``.bvecs``: per row ``[int32 d][d × uint8]`` — the SIFT1B-family
+  companion format (same row framing, byte components; int semantics
+  downstream like ivecs);
 - ``.fbin``/``.ibin``: header ``[int32 n][int32 d]`` then the raw matrix
   (``python/utils/io.py:34-42``).
 
@@ -70,6 +73,27 @@ def write_ivecs(path: str, mat: np.ndarray) -> None:
     framed.tofile(path)
 
 
+def read_bvecs(path: str) -> np.ndarray:
+    """Load a .bvecs file (uint8 vectors, row-framed: int32 d + d bytes
+    per row — the SIFT1B-family format) → int32 matrix (int semantics
+    downstream, like ivecs)."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.int32)
+    d = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
+    return raw.reshape(-1, d + 4)[:, 4:].astype(np.int32)
+
+
+def write_bvecs(path: str, mat: np.ndarray) -> None:
+    """Write a uint8-valued matrix as .bvecs."""
+    mat = np.ascontiguousarray(mat, dtype=np.uint8)
+    n, d = mat.shape
+    framed = np.empty((n, d + 4), dtype=np.uint8)
+    framed[:, :4] = np.array([d], dtype=np.int32).view(np.uint8)
+    framed[:, 4:] = mat
+    framed.tofile(path)
+
+
 def read_fbin(path: str) -> np.ndarray:
     """Load a .fbin file ([n][d] header) → float32 matrix (S2)."""
     with open(path, "rb") as f:
@@ -93,6 +117,7 @@ def write_fbin(path: str, mat: np.ndarray) -> None:
 _READERS = {
     ".fvecs": read_fvecs,
     ".ivecs": read_ivecs,
+    ".bvecs": read_bvecs,
     ".fbin": read_fbin,
     ".ibin": read_ibin,
 }
@@ -108,6 +133,12 @@ def _decode_bytes(ext: str, buf: bytes) -> np.ndarray:
         d = int(raw[0])
         mat = raw.reshape(-1, d + 1)[:, 1:]
         return mat.view(np.float32) if ext == ".fvecs" else mat
+    if ext == ".bvecs":
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        if raw.size == 0:
+            return np.zeros((0, 0), dtype=np.int32)
+        d = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
+        return raw.reshape(-1, d + 4)[:, 4:].astype(np.int32)
     n, d = struct.unpack("<ii", buf[:8])
     dt = np.float32 if ext == ".fbin" else np.int32
     return np.frombuffer(buf, dtype=dt, offset=8, count=n * d).reshape(n, d)
@@ -118,12 +149,15 @@ def _shard_rows(path: str) -> int:
     the driver never reads shard payloads."""
     ext = os.path.splitext(path)[1]
     size = os.path.getsize(path)
-    if ext in (".fvecs", ".ivecs"):
+    if ext in (".fvecs", ".ivecs", ".bvecs"):
         if size < 4:
             return 0
         with open(path, "rb") as f:
             d = struct.unpack("<i", f.read(4))[0]
-        return size // (4 * (d + 1)) if d > 0 else 0
+        if d <= 0:
+            return 0
+        stride = (d + 4) if ext == ".bvecs" else 4 * (d + 1)
+        return size // stride
     with open(path, "rb") as f:
         n, _ = struct.unpack("<ii", f.read(8))
     return n
