@@ -267,6 +267,25 @@ def test_graph_probes_at_hnsw_trigger_scale(spark):
         f"beam {beam_wall:.1f}s, probe recall {recall:.4f}"
     )
     assert recall >= 0.95, recall
+    # persistence round-trip at trigger scale: the 20k-node artifact
+    # (adj 20k×32 int32 + vecs 20k×64 float32) reloads bitwise and
+    # produces identical probes
+    import tempfile
+
+    gpath = tempfile.mkdtemp() + "/idx"
+    ivf.save_centroid_graph(spark, graph, gpath)
+    loaded = ivf.load_centroid_graph(spark, gpath)
+    for key in ("ids", "vecs", "adj", "entries"):
+        np.testing.assert_array_equal(graph[key], loaded[key])
+    reloaded = {
+        (int(r["qid"]), int(r["cluster_id"]))
+        for r in ivf.graph_probes(qs.limit(20), loaded, NPROBE).collect()
+    }
+    direct = {
+        (int(r["qid"]), int(r["cluster_id"]))
+        for r in ivf.graph_probes(qs.limit(20), graph, NPROBE).collect()
+    }
+    assert reloaded == direct
     # ef=768 beam walks ~4% of a 20k graph; it must beat the flat scan
     # (measured ~10x locally).  Two separately-timed distributed jobs
     # race host noise by construction, so re-measure once before
