@@ -101,20 +101,10 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
         from .operators import ivf
 
         graph = ivf.load_centroid_graph(spark, a.index)
-        gq = queries
-        if metric == "ip":
-            # the saved graph lives in the (d+1)-dim MIPS-augmented
-            # space — beam-search queries need the zero coordinate
-            gq = queries.withColumn(
-                "qvec",
-                F.expr(
-                    "concat(transform(qvec, x -> CAST(x AS DOUBLE)), "
-                    "array(CAST(0.0 AS DOUBLE)))"
-                ),
-            )
-        # (cosine: raw-query centroid ranking is order-identical on the
-        # unit-sphere graph — ⟨q,c⟩ and ⟨q̂,c⟩ differ by a positive
-        # per-query scale — so no transform is needed)
+        # enter the saved graph's geometry: ip graphs are (d+1)-dim
+        # MIPS-augmented, cosine's normalize is a harmless no-op for
+        # ranking (per-query positive scale), l2 is the identity
+        gq = rabitq.prepare_queries_for_metric(queries, meta)
         probes_factory = lambda np_: ivf.graph_probes(gq, graph, np_)  # noqa: E731
     if a.target_recall is not None:
         np_sel, rows = tune_nprobe(

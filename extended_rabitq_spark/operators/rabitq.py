@@ -235,6 +235,29 @@ def _mips_aug_expr(vec: str, m: float) -> str:
     )
 
 
+def prepare_queries_for_metric(
+    queries: DataFrame, meta: dict, qvec: str = "qvec"
+) -> DataFrame:
+    """Apply an index's metric-specific query-side transform (from its
+    meta): cosine L2-normalizes, ip appends the zero MIPS coordinate,
+    l2 is the identity.  The single place that knows how a query enters
+    a saved index's geometry — used by :func:`rabitq_search` and by any
+    caller building probe DataFrames against index artifacts (e.g. the
+    CLI's graph-probed search)."""
+    metric = meta.get("metric", "l2")
+    if metric == "cosine":
+        return queries.withColumn(qvec, F.expr(V.l2_normalize(qvec)))
+    if metric == "ip":
+        return queries.withColumn(
+            qvec,
+            F.expr(
+                f"concat(transform({qvec}, x -> CAST(x AS DOUBLE)), "
+                f"array(CAST(0.0 AS DOUBLE)))"
+            ),
+        )
+    return queries
+
+
 def mips_prepare(
     base: DataFrame, vec: str = "vec", m: float | None = None
 ) -> tuple[DataFrame, float]:
@@ -1403,33 +1426,18 @@ def rabitq_search(
         if probes is not None and qid in probes.columns:
             probes = probes.withColumnRenamed(qid, "qid")
         qid, qvec = "qid", "qvec"
-    if meta.get("metric") == "cosine":
-        # cosine-metric index (build_index(metric='cosine')): the codes
-        # live on the unit sphere, so the query side (and any exact
-        # re-rank vectors) must be normalized too — L2 ranking over
-        # unit vectors ≡ cosine ranking (dist = 2·(1−cos), monotone,
-        # tie structure preserved).
-        queries = queries.withColumn(qvec, F.expr(V.l2_normalize(qvec)))
-        if rerank_base is not None:
+    # metric-aware query/rerank transforms: cosine (unit-sphere L2 ≡
+    # cosine ranking, dist = 2·(1−cos)) and ip (MIPS augmentation,
+    # ‖q'−x'‖² = ‖q‖² + M² − 2⟨q,x⟩) — both monotone, tie-preserving
+    queries = prepare_queries_for_metric(queries, meta, qvec)
+    if rerank_base is not None:
+        if meta.get("metric") == "cosine":
             rerank_base = rerank_base.withColumn(
                 "vec", F.expr(V.l2_normalize("vec"))
             )
-    elif meta.get("metric") == "ip":
-        # MIPS index (build_index(metric='ip')): queries augment with a
-        # zero coordinate, rerank vectors with the saved-M coordinate —
-        # augmented L2 ranking ≡ inner-product ranking per query
-        # (‖q'−x'‖² = ‖q‖² + M² − 2⟨q,x⟩).
-        m = float(meta["mips_norm"])
-        queries = queries.withColumn(
-            qvec,
-            F.expr(
-                f"concat(transform({qvec}, x -> CAST(x AS DOUBLE)), "
-                f"array(CAST(0.0 AS DOUBLE)))"
-            ),
-        )
-        if rerank_base is not None:
+        elif meta.get("metric") == "ip":
             rerank_base = rerank_base.withColumn(
-                "vec", F.expr(_mips_aug_expr("vec", m))
+                "vec", F.expr(_mips_aug_expr("vec", float(meta["mips_norm"])))
             )
     if probes is not None and scorer in ("arrow", "arrow_broadcast"):
         # the broadcast scorer's probe prep is driver-side by design;

@@ -341,85 +341,78 @@ def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.maxsim_topk(qs, ents, k=3)
 
 
-@register("knn_cosine_rabitq", _COSINE_ORACLE)
-def knn_cosine_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Accelerated cosine-metric ANN sharing knn_cosine's exact oracle:
-    ``build_index(metric='cosine')`` (unit-sphere quantization) + full
-    probes + ``refine=None`` + exact re-rank is provably rank-equal to
-    brute-force cosine KNN; the returned distance is then recomputed
-    with the oracle's own ``1 − cos`` fold on the RAW vectors (one
-    broadcast-shortlist join), so values hash bitwise.  At production
-    settings nprobe/refine become the recall knobs."""
+def _metric_twin_result(spark, sf_dir, metric: str, final_dist):
+    """Shared core of the accelerated metric twins: build the
+    metric-aware index (centroids trained in the index's own geometry),
+    search at full probes with ``refine=None`` + exact re-rank (the
+    lossless configuration — rank-equal to the brute-force form), then
+    recompute the reported distance with ``final_dist`` (the oracle's
+    own float fold over the raw vectors) via a broadcast-shortlist
+    join so values hash bitwise."""
     from ..functions import vector as V
     from ..operators import ivf, rabitq
 
     base = _base_df(spark, sf_dir)
     qs = _queries_df(spark, sf_dir)
-    cents = ivf.label_centroids(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .where(F.col("vec_id") >= NQ)
-        .withColumn("embedding", F.expr(V.l2_normalize("embedding")))
+    labeled = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") >= NQ
     )
-    index_df, meta = rabitq.build_index(base, cents, total_bits=4, metric="cosine")
+    mips_m = None
+    if metric == "cosine":
+        train = labeled.withColumn("embedding", F.expr(V.l2_normalize("embedding")))
+        cents = ivf.label_centroids(train)
+    else:  # ip
+        aug, mips_m = rabitq.mips_prepare(base, vec="vec")
+        cents = ivf.label_centroids(
+            aug.join(labeled.select(F.col("vec_id").alias("id"), "label"), on="id"),
+            vec="vec",
+        )
+    index_df, meta = rabitq.build_index(
+        base, cents, total_bits=4, metric=metric, mips_m=mips_m
+    )
     cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
-    n_clusters = cents.count()
     res = rabitq.rabitq_search(
-        qs, index_df, cents_full, meta, nprobe=n_clusters, k=K,
+        qs, index_df, cents_full, meta, nprobe=cents.count(), k=K,
         refine=None, rerank_base=base, full_probes=True,
     )
     return (
         res.select("qid", "rank", "id")
         .join(base.select("id", "vec"), on="id")
         .join(F.broadcast(qs), on="qid")
-        .select(
-            "qid", "rank", "id",
-            (
-                F.round(F.expr(f"1.0 - ({V.cosine_sim('qvec', 'vec')})"), 6)
-                + F.lit(0.0)
-            ).alias("dist_r"),
-        )
+        .select("qid", "rank", "id", final_dist)
+    )
+
+
+@register("knn_cosine_rabitq", _COSINE_ORACLE)
+def knn_cosine_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accelerated cosine-metric ANN sharing knn_cosine's exact oracle:
+    ``build_index(metric='cosine')`` (unit-sphere quantization) + full
+    probes + ``refine=None`` + exact re-rank is provably rank-equal to
+    brute-force cosine KNN; values hash bitwise via the shared
+    oracle-fold shortlist recompute (:func:`_metric_twin_result`).  At
+    production settings nprobe/refine become the recall knobs."""
+    from ..functions import vector as V
+
+    return _metric_twin_result(
+        spark, sf_dir, "cosine",
+        (
+            F.round(F.expr(f"1.0 - ({V.cosine_sim('qvec', 'vec')})"), 6)
+            + F.lit(0.0)
+        ).alias("dist_r"),
     )
 
 
 @register("knn_ip_rabitq", _IP_ORACLE)
 def knn_ip_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accelerated max-inner-product ANN sharing knn_ip's exact oracle:
-    ``build_index(metric='ip')`` (MIPS augmented-coordinate reduction)
-    + full probes + ``refine=None`` + exact re-rank is rank-equal to
-    brute-force IP KNN; the distance is recomputed with the oracle's
-    ``−⟨q,x⟩`` fold on the raw vectors for bitwise value parity."""
+    ``build_index(metric='ip')`` (MIPS augmented-coordinate reduction,
+    reusing the M its centroid prep computed) + full probes +
+    ``refine=None`` + exact re-rank is rank-equal to brute-force IP
+    KNN; values hash bitwise via the shared oracle-fold shortlist
+    recompute."""
     from ..functions import vector as V
-    from ..operators import ivf, rabitq
 
-    base = _base_df(spark, sf_dir)
-    qs = _queries_df(spark, sf_dir)
-    aug, _m = rabitq.mips_prepare(base, vec="vec")
-    cents = ivf.label_centroids(
-        aug.join(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-                F.col("vec_id").alias("id"), "label"
-            ),
-            on="id",
-        ),
-        vec="vec",
-    )
-    # reuse the M mips_prepare already computed — build_index would
-    # otherwise re-run the identical corpus-wide MAX aggregate
-    index_df, meta = rabitq.build_index(
-        base, cents, total_bits=4, metric="ip", mips_m=_m
-    )
-    cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
-    n_clusters = cents.count()
-    res = rabitq.rabitq_search(
-        qs, index_df, cents_full, meta, nprobe=n_clusters, k=K,
-        refine=None, rerank_base=base, full_probes=True,
-    )
-    return (
-        res.select("qid", "rank", "id")
-        .join(base.select("id", "vec"), on="id")
-        .join(F.broadcast(qs), on="qid")
-        .select(
-            "qid", "rank", "id",
-            F.expr(f"-({V.dot('qvec', 'vec')})").alias("dist"),
-        )
+    return _metric_twin_result(
+        spark, sf_dir, "ip",
+        F.expr(f"-({V.dot('qvec', 'vec')})").alias("dist"),
     )

@@ -10,6 +10,7 @@ Then:  SPARK_GRAFT_SF_DIR=OUT_DIR python bench.py
 
 from __future__ import annotations
 
+import os
 import sys
 
 SRC = "/root/testdata/sf0.1"
@@ -35,8 +36,6 @@ def main() -> int:
     import duckdb
 
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1full"
-    import os
-
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for table, keys in SHIFTS.items():
