@@ -316,7 +316,7 @@ WITH q AS (SELECT vec_id % {_NGROUPS} AS gid, vec_id AS qid, embedding AS qvec
                   CAST(row_number() OVER (PARTITION BY gid
                        ORDER BY score DESC, ent) AS BIGINT) AS rank
            FROM s)
-SELECT gid, rank, ent, score FROM r WHERE rank <= 3
+SELECT gid, rank, ent, CAST(score AS DOUBLE) AS score FROM r WHERE rank <= 3
 """
 
 
@@ -338,7 +338,11 @@ def maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ents = base_vectors(spark, sf_dir).select(
         F.col("label").alias("ent"), F.col("embedding").alias("vec")
     )
-    return knn.maxsim_topk(qs, ents, k=3)
+    # Rank on the exact DECIMAL score inside maxsim_topk; project a DOUBLE
+    # final (DECIMAL finals are driver-hash-hostile — see queries/tpch.py).
+    return knn.maxsim_topk(qs, ents, k=3).withColumn(
+        "score", F.col("score").cast("double")
+    )
 
 
 def _metric_twin_result(spark, sf_dir, metric: str, final_dist):

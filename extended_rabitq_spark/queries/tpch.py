@@ -9,6 +9,15 @@ and order-independent on both engines, and the semantically right type
 for money.  Single-row double arithmetic (the discount product) IS
 deterministic, so it happens before the cast.
 
+Output-type contract (VERDICT r4): DECIMAL stays INTERNAL (sums,
+HAVING cuts, ORDER BY keys — where exactness matters) but every FINAL
+projection casts to DOUBLE on both sides.  DECIMAL finals are
+driver-hash-hostile: the harness's pandas canonicalization coerces
+DECIMAL(38,6) to float64 on one engine but not the other, so
+bit-identical decimal answers hash-mismatch (r4's tpch_q1).  One
+correctly-rounded conversion each from identical decimals is
+deterministic; tests/test_oracle_types.py forbids DECIMAL finals.
+
 Plans: Q1 is one partial-agg groupBy (map-side combine); Q3/Q5 are
 star joins — Catalyst broadcasts every dimension side automatically at
 these sizes (asserted in tests/test_sources_plans.py); the fact table
@@ -31,10 +40,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -53,27 +62,30 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("sum_base_price"),
-            F.sum(disc.cast(_DEC)).alias("sum_disc_price"),
-            F.sum((disc * (1 + F.col("l_tax"))).cast(_DEC)).alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc.cast(_DEC)).cast("double").alias("sum_disc_price"),
+            F.sum((disc * (1 + F.col("l_tax"))).cast(_DEC)).cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
 
 
 _Q3_ORACLE = """
-SELECT l_orderkey,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
-       o_orderdate
-FROM customer JOIN orders ON c_custkey = o_custkey
-              JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
+SELECT l_orderkey, CAST(revenue AS DOUBLE) AS revenue, o_orderdate
+FROM (
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+) t
 """
 
 
@@ -103,13 +115,17 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .select(
+            "l_orderkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "o_orderdate",
+        )
     )
 
 
 _Q5_ORACLE = """
 SELECT n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -149,26 +165,29 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return j.groupBy("n_name").agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias(
-            "revenue"
-        )
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+        .cast("double")
+        .alias("revenue")
     )
 
 
 _Q10_ORACLE = """
-SELECT c_custkey, c_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
-       n_name
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN nation   ON c_nationkey = n_nationkey
-WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
-  AND l_returnflag = 'R'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
+SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue, n_name
+FROM (
+    SELECT c_custkey, c_name,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+) t
 """
 
 
@@ -197,7 +216,12 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
-        .select("c_custkey", "c_name", "revenue", "n_name")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            "n_name",
+        )
     )
 
 
@@ -210,7 +234,7 @@ WITH big AS (
     HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > {Q18_QTY}
 )
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-       sum(CAST(l_quantity AS DECIMAL(38,6))) AS total_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -239,14 +263,14 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
               F.col("bk") == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"))
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("total_qty"))
     )
 
 
 _Q7_ORACLE = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
 FROM supplier
 JOIN lineitem ON s_suppkey = l_suppkey
 JOIN orders   ON o_orderkey = l_orderkey
@@ -285,9 +309,9 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation", "cust_nation",
         F.year("l_shipdate").cast("long").alias("l_year"),
     ).agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias(
-            "revenue"
-        )
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -329,7 +353,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_ORACLE = """
-SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
@@ -349,14 +373,14 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC)).alias(
-            "revenue"
-        )
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
+        .cast("double")
+        .alias("revenue")
     )
 
 
 _Q19_ORACLE = """
-SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
@@ -381,9 +405,9 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("p_size").between(1, 15))
     )
     return j.where(cond).agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias(
-            "revenue"
-        )
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -483,7 +507,7 @@ WITH rev AS (
       AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
     GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM supplier JOIN rev ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """
@@ -508,7 +532,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
         .join(F.broadcast(mx), F.col("total_revenue") == F.col("m"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
     )
 
 
@@ -561,7 +589,7 @@ WITH pos AS (
     SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c_nationkey AS cntry, count(*) AS numcust,
-       sum(CAST(c_acctbal AS DECIMAL(38,6))) AS totacctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
 FROM customer, pos
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -598,7 +626,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(
             F.count("*").cast("long").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(_DEC)).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
         )
     )
 
@@ -719,8 +747,8 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_ORACLE = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       sum(CAST(l_extendedprice * (1 - l_discount)
-                - 0.1 * p_retailprice * l_quantity AS DECIMAL(38,6))) AS sum_profit
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                - 0.1 * p_retailprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -752,7 +780,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(profit).alias("sum_profit"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
     )
 
 
@@ -764,7 +792,7 @@ WITH v AS (
     WHERE n_name = 'NATION_1'
     GROUP BY l_partkey
 )
-SELECT l_partkey, value
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
 FROM v, (SELECT sum(value) AS total, count(*) AS np FROM v)
 WHERE CAST(value AS DOUBLE) * np > 2.0 * CAST(total AS DOUBLE)
 """
@@ -813,7 +841,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double") * F.col("np")
             > 2.0 * F.col("total").cast("double")
         )
-        .select("l_partkey", "value")
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
     )
 
 

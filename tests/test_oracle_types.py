@@ -17,9 +17,24 @@ import pytest
 from conftest import SF_SMOKE, TABLES
 
 # DuckDB result types that have no Spark equivalent → driver hash-mismatch
-# even with identical values.
+# even with identical values.  DECIMAL joined the set in round 5: Spark CAN
+# emit it, but the driver's pandas canonicalization coerces DECIMAL(38,6) to
+# float64 on one engine and not the other, so bit-identical decimal answers
+# still hash-mismatch (r4's tpch_q1 — values verified identical by the
+# judge).  DECIMAL stays legal INTERNALLY (sums, HAVING cuts, ORDER BY
+# keys); only FINAL projections must cast to DOUBLE/BIGINT on both sides.
 _FORBIDDEN = {"HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
-              "UBIGINT", "TIME", "INTERVAL"}
+              "UBIGINT", "TIME", "INTERVAL", "DECIMAL"}
+
+
+def _forbidden_cols(rel):
+    """Columns of a DuckDB relation whose type the driver hash cannot
+    canonicalize consistently across engines."""
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).split("(")[0] in _FORBIDDEN
+    ]
 
 
 def _oracles():
@@ -43,11 +58,7 @@ def duck_smoke():
 @pytest.mark.parametrize("name,sql", _oracles(), ids=[n for n, _ in _oracles()])
 def test_oracle_emits_spark_compatible_types(duck_smoke, name, sql):
     rel = duck_smoke.sql(sql)
-    bad = [
-        (c, str(t))
-        for c, t in zip(rel.columns, rel.types)
-        if str(t).split("(")[0] in _FORBIDDEN
-    ]
+    bad = _forbidden_cols(rel)
     assert not bad, (
         f"{name}: oracle emits Spark-incompatible types {bad} — wrap the "
         f"aggregate in an explicit CAST (e.g. CAST(sum(...) AS BIGINT))"
@@ -56,6 +67,23 @@ def test_oracle_emits_spark_compatible_types(duck_smoke, name, sql):
     assert len(set(rel.columns)) == len(rel.columns), (
         f"{name}: duplicate column names {rel.columns}"
     )
+
+
+def test_audit_catches_decimal_final(duck_smoke):
+    """Self-test of the audit (VERDICT r4 item 2): a deliberately-DECIMAL
+    final — the exact shape that broke tpch_q1 in r4 — must be flagged."""
+    rel = duck_smoke.sql(
+        "SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(38,6))) AS s "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    bad = _forbidden_cols(rel)
+    assert bad == [("s", "DECIMAL(38,6)")]
+    # ...and the fixed projection passes.
+    rel2 = duck_smoke.sql(
+        "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) "
+        "AS DOUBLE) AS s FROM lineitem GROUP BY l_returnflag"
+    )
+    assert _forbidden_cols(rel2) == []
 
 
 def test_events_props_k_is_json_number(duck_smoke):
