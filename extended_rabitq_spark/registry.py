@@ -93,11 +93,11 @@ _DEMOTED = [
     # aggregate profiles); all six are verified by
     # the cap-free parity replica + tests/test_cleanops.py.
     "dedup_lines",
-    "dedup_spans",
     "corpus_integrity_audit",
     "doc_chunks",
-    "training_shard_export",
     "gopher_quality_filter",
+    # (dedup_spans and training_shard_export left this list in the r5
+    # rotation — they are now _PROMOTED for first-time driver checks)
     "tfidf_top_terms",
     "source_divergence",
     "multimodal_phash_dedup",  # rows-only (Python decode seam) —
@@ -127,6 +127,26 @@ _DEMOTED = [
                              # slot for the skew-tooling family
                              # (events_salted_cohort_join), previously
                              # unit-test-only
+    # --- round-5 window ROTATION (VERDICT r4 item 3) ---------------------
+    # Long-green redundant representatives rotate OUT so never-driver-
+    # checked shapes rotate IN (see _PROMOTED).  Every rotated-out entry
+    # has >=3 green driver rounds, keeps a checked family rep, and stays
+    # verified by the cap-free parity replica.  Cumulative driver-verified
+    # history per query is tracked in COVERAGE.md.
+    "normalize_vectors",     # P4; green r1-r4; vector-function family
+                             # keeps vector_stats + residual_stats
+    "knn_range",             # green r2-r4; similarity family keeps
+                             # knn_exact/knn_cosine/knn_filtered/
+                             # doc_similarity
+    "quota_sample",          # green r2-r4; sampling family keeps
+                             # stratified_sample/pack_sequences/
+                             # corpus_mixture_sample
+    "text_token_count",      # green r1,r3,r4; text family keeps
+                             # lang_id/quality/pii/repetition reps
+    "corpus_stats",          # green r1,r3,r4; corpus_stats_cube is its
+                             # strict superset and stays checked
+    "ivf_ratio",             # J5; green r1-r4; metric-join family keeps
+                             # ivf_recall (J4) checked
 ]
 
 # Promoted to the head of the registration order so they land inside the
@@ -138,6 +158,13 @@ _PROMOTED = [
     "tpch_q21",
     "corpus_stats_cube",
     "text_fingerprint",
+    # round-5 rotation: first-time driver checks for distinct shapes.
+    "tpch_q3",               # ordered-limit star join (DOUBLE finals, r5)
+    "tpch_q6",               # pure filter-aggregate scan pushdown
+    "tpch_q13",              # LEFT-join distribution (two-level agg)
+    "vocab_stats",           # exact count-distinct over exploded tokens
+    "dedup_spans",           # stride-1 window-hash span dedup (CCNet-style)
+    "training_shard_export", # salted-hash shard ranks (map-only export)
 ]
 
 

@@ -10,14 +10,17 @@ CHECK_WINDOW = 50
 # One representative per operator family that must stay driver-checked
 # (COVERAGE.md "Checked-window manifest"); a registration-order change
 # that silently evicts one of these fails here, not in the next round's
-# VERDICT.
+# VERDICT.  r5 rotation: quota_sample/text_token_count/corpus_stats/
+# ivf_ratio rotated out (≥3 green rounds each) — their families keep the
+# reps below (stratified_sample, text_quality, corpus_stats_cube,
+# ivf_recall).
 MUST_BE_CHECKED = [
     "knn_exact",            # J1/P8 exact KNN
     "knn_ivf",              # J3 probe join
     "ivf_centroids",        # A2
     "ivf_probes",           # W1
-    "ivf_recall",           # J4
-    "ivf_ratio",            # J5
+    "ivf_recall",           # J4 (+ metric-join family rep after r5
+                            # rotated ivf_ratio out)
     "query_quantize_uniform",  # P6
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -29,16 +32,14 @@ MUST_BE_CHECKED = [
     "contamination_check",
     "pack_sequences",
     "corpus_mixture_sample",
-    "stratified_sample",
-    "quota_sample",
+    "stratified_sample",    # sampling family rep (quota_sample rotated)
     "events_salted_cohort_join",  # skew tooling
     "text_lang_id",
     "text_quality",
-    "text_token_count",
     "text_pii_scrub",
     "text_fingerprint",
-    "corpus_stats",
-    "corpus_stats_cube",     # grouping sets
+    "corpus_stats_cube",     # grouping sets (strict superset of
+                             # corpus_stats, rotated out r5)
     "corpus_length_quantiles",  # exact percentiles
     "multimodal_meta",
     "multimodal_frames",
@@ -51,8 +52,16 @@ MUST_BE_CHECKED = [
     "events_json_props",
     "events_lead_lag",
     "pipeline_clean_corpus",
-    "tpch_q1",               # relational OLAP / DECIMAL aggregation
+    "tpch_q1",               # relational OLAP / DECIMAL-internal agg
     "tpch_q21",              # correlated EXISTS / NOT EXISTS
+    # r5 first-time rotation entries — pinned so the rotation actually
+    # lands in the driver's sample this round.
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q13",
+    "vocab_stats",
+    "dedup_spans",
+    "training_shard_export",
 ]
 
 
