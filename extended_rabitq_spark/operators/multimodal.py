@@ -47,6 +47,19 @@ def _fake_decode(content: bytes) -> np.ndarray:
 
 register_decoder("fake", _fake_decode)
 
+# Real pure-stdlib codecs (round 5): PNG/PPM/PGM/BMP images and PCM WAV
+# audio decode with zlib/struct only — no PIL/ffmpeg needed — so these
+# kinds run the full surface (extract_features, perceptual_hash,
+# phash_pairs, decode_frames) un-stubbed.  JPEG/video still raise
+# through the seam.
+from ..sources import codecs as _codecs  # noqa: E402  (registry wiring)
+
+register_decoder("png", _codecs.decode_png)
+register_decoder("ppm", _codecs.decode_pnm)
+register_decoder("pgm", _codecs.decode_pnm)
+register_decoder("bmp", _codecs.decode_bmp)
+register_decoder("wav", _codecs.decode_wav)
+
 
 def docs_as_media(docs: DataFrame) -> DataFrame:
     """Fixture adapter: wrap document text bytes as a media table with the
@@ -251,6 +264,29 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     Classic perceptual image fingerprint: visually-near images differ in
     few bits, so near-dup detection becomes small-Hamming search."""
 
+    def to_8x8(raw: np.ndarray) -> np.ndarray:
+        """Decoder output → 64 grayscale values.  Exactly 64 values pass
+        through; a larger 2-D image block-averages down to 8×8 (mean over
+        an 8×8 grid of cells — deterministic, no interpolation lib); any
+        other shape raises — silently hashing the top-left corner of a
+        big decode would quietly gut near-dup recall (ADVICE r4)."""
+        arr = raw.astype(np.float64)
+        if arr.ndim == 3 and arr.shape[-1] in (1, 3, 4):  # HxWxC → gray
+            arr = arr[..., : min(arr.shape[-1], 3)].mean(axis=-1)
+        if arr.size == 64:
+            return arr.ravel()
+        if arr.ndim == 2 and arr.shape[0] >= 8 and arr.shape[1] >= 8:
+            return np.array(
+                [
+                    [c.mean() for c in np.array_split(r8, 8, axis=1)]
+                    for r8 in np.array_split(arr, 8, axis=0)
+                ]
+            ).ravel()
+        raise ValueError(
+            f"perceptual_hash decoder contract: expected 64 values or a "
+            f"2-D image ≥8×8, got shape {raw.shape}"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
         for pdf in batches:
@@ -264,9 +300,7 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
                         f"no decoder registered for media kind {kind!r}; "
                         "register one with multimodal.register_decoder"
                     )
-                arr = dec(bytes(content)).astype(np.float64).ravel()[:64]
-                if arr.size < 64:
-                    arr = np.pad(arr, (0, 64 - arr.size))
+                arr = to_8x8(dec(bytes(content)))
                 bits = (arr > arr.mean()).astype(np.uint64)
                 out.append(int((bits * weights).sum(dtype=np.uint64).astype(np.int64)))
             yield pd.DataFrame({"media_id": pdf["media_id"], "phash": out})

@@ -1,0 +1,218 @@
+"""Round-trip tests for the pure-stdlib media codecs: each test ENCODES a
+real on-disk file with an independent writer (tiny encoders below, or the
+stdlib ``wave`` module for WAV) and decodes it with the product decoder —
+so the bytes on the wire are genuine format files, not mirrors of the
+decode logic.  The Spark-side tests then run the previously-stubbed
+multimodal operators un-stubbed over real PNG/WAV blobs.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from extended_rabitq_spark.sources import codecs
+
+
+# --- independent encoders (test-only) --------------------------------------
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG writer: 8-bit gray/RGB/RGBA, per-row filter types
+    (default all 0).  Filters are ENCODED here (forward direction) so the
+    decoder's unfiltering is exercised against independently-built data."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = img[y].ravel().astype(np.uint8)
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 2:  # Up
+            enc = line - prev
+        elif f == 1:  # Sub
+            enc = line.copy()
+            enc[ch:] = line[ch:] - line[:-ch]
+        elif f == 3:  # Average
+            left = np.zeros_like(line)
+            left[ch:] = line[:-ch]
+            enc = line - ((left.astype(np.int16) + prev.astype(np.int16)) // 2).astype(
+                np.uint8
+            )
+        elif f == 4:  # Paeth
+            left = np.zeros_like(line)
+            left[ch:] = line[:-ch]
+            upleft = np.zeros_like(prev)
+            upleft[ch:] = prev[:-ch]
+            enc = line - codecs._paeth(left, prev, upleft)
+        else:
+            raise ValueError(f)
+        raw.extend(enc.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        codecs._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP writer."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = img[y][:, [2, 1, 0]].astype(np.uint8).tobytes()  # RGB → BGR
+        body.extend(row + b"\x00" * (stride - len(row)))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + info + bytes(body)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    magic = b"P6" if img.ndim == 3 else b"P5"
+    return magic + f"\n# comment\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def encode_wav(samples_i16: np.ndarray, rate: int = 8000, n_ch: int = 1) -> bytes:
+    """Stdlib ``wave`` writer — fully independent of decode_wav."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples_i16.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+RNG = np.random.default_rng(42)
+
+
+class TestDecoders:
+    @pytest.mark.parametrize("ch", [1, 3, 4])
+    def test_png_roundtrip_all_filters(self, ch):
+        img = RNG.integers(0, 256, size=(12, 9, ch), dtype=np.uint8).squeeze()
+        for filters in ([0] * 12, [1] * 12, [2] * 12, [3] * 12, [4] * 12,
+                        [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 3, 4]):
+            got = codecs.decode_png(encode_png(img, filters))
+            np.testing.assert_array_equal(got, img)
+
+    def test_png_palette(self):
+        pal = RNG.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = RNG.integers(0, 16, size=(6, 7), dtype=np.uint8)
+        ihdr = struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+        data = (
+            codecs._PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", pal.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(codecs.decode_png(data), pal[idx])
+
+    def test_png_rejects_16bit(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        data = (
+            codecs._PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="8-bit"):
+            codecs.decode_png(data)
+
+    def test_ppm_pgm_roundtrip(self):
+        rgb = RNG.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+        gray = RNG.integers(0, 256, size=(5, 4), dtype=np.uint8)
+        np.testing.assert_array_equal(codecs.decode_pnm(encode_ppm(rgb)), rgb)
+        np.testing.assert_array_equal(codecs.decode_pnm(encode_ppm(gray)), gray)
+
+    def test_bmp_roundtrip_with_padding(self):
+        # w=3 → 9-byte rows pad to 12: exercises the stride math
+        img = RNG.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(codecs.decode_bmp(encode_bmp(img)), img)
+
+    def test_wav_roundtrip_mono_and_stereo(self):
+        mono = RNG.integers(-32768, 32767, size=64, dtype=np.int64)
+        got = codecs.decode_wav(encode_wav(mono))
+        np.testing.assert_allclose(got, (mono + 32768) / 256.0)
+        assert got.min() >= 0 and got.max() < 256
+        stereo = RNG.integers(-32768, 32767, size=64, dtype=np.int64)
+        got2 = codecs.decode_wav(encode_wav(stereo, n_ch=2))
+        assert got2.shape == (32, 2)
+        np.testing.assert_allclose(got2.ravel(), (stereo + 32768) / 256.0)
+
+
+class TestRealCodecsThroughSpark:
+    """The multimodal operators over REAL format blobs — the previously
+    stubbed path runs end-to-end with no fake decoder involved."""
+
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, kind, bytearray(bs)) for i, kind, bs in rows],
+            "media_id long, kind string, content binary",
+        )
+
+    def test_extract_features_on_real_png(self, spark):
+        from extended_rabitq_spark.operators import multimodal
+
+        img = RNG.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        media = self._media(spark, [(1, "png", encode_png(img))])
+        (row,) = multimodal.extract_features(media, out_dim=8).collect()
+        hist, _ = np.histogram(img.astype(np.float64).ravel(), bins=8, range=(0, 256))
+        np.testing.assert_allclose(row.feat, (hist / img.size).astype(np.float32))
+
+    def test_phash_pairs_on_real_pngs_finds_near_dup(self, spark):
+        from extended_rabitq_spark.operators import multimodal
+
+        base = RNG.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        near = base.copy()
+        near[:2, :2] = 255 - near[:2, :2]  # perturb one 2×2 corner block
+        far = RNG.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        media = self._media(
+            spark,
+            [(1, "png", encode_png(base)), (2, "bmp", encode_bmp(
+                np.repeat(base[:, :, None], 3, axis=2))),
+             (3, "png", encode_png(near)), (4, "png", encode_png(far))],
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in multimodal.phash_pairs(media, max_hamming=8).collect()
+        }
+        # PNG gray and BMP RGB of the SAME image hash identically
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+
+    def test_extract_features_on_real_wav(self, spark):
+        from extended_rabitq_spark.operators import multimodal
+
+        samples = RNG.integers(-32768, 32767, size=256, dtype=np.int64)
+        media = self._media(spark, [(7, "wav", encode_wav(samples))])
+        (row,) = multimodal.extract_features(media, out_dim=8).collect()
+        dec = (samples + 32768) / 256.0
+        hist, _ = np.histogram(dec, bins=8, range=(0, 256))
+        np.testing.assert_allclose(row.feat, (hist / dec.size).astype(np.float32))

@@ -151,6 +151,48 @@ class TestPerceptualHash:
             exp = int((bits * w).sum(dtype=np.uint64).astype(np.int64))
             assert got[i] == exp
 
+    def test_phash_block_averages_large_decodes(self, spark):
+        """ADVICE r4: a decoder yielding a 16×16 image must block-average
+        to 8×8 (not silently hash the top-left 64 values), and a
+        non-image-shaped decode must raise — scale invariance is the
+        point of aHash."""
+        import numpy as np
+
+        from extended_rabitq_spark.operators import multimodal
+
+        def big(content: bytes) -> np.ndarray:
+            a = np.frombuffer((content * 64)[:256], dtype=np.uint8).astype(
+                np.float64
+            ).reshape(16, 16)
+            return a
+
+        multimodal.register_decoder("bigimg", big)
+        content = bytes(np.random.default_rng(7).integers(0, 256, 64, dtype=np.uint8))
+        media = spark.createDataFrame(
+            [(1, "bigimg", bytearray(content))],
+            "media_id long, kind string, content binary",
+        )
+        (got,) = multimodal.perceptual_hash(media).collect()
+        # numpy reference: 2×2 block means, then aHash
+        a = big(content)
+        small = a.reshape(8, 2, 8, 2).mean(axis=(1, 3)).ravel()
+        bits = (small > small.mean()).astype(np.uint64)
+        w = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+        assert got.phash == int((bits * w).sum(dtype=np.uint64).astype(np.int64))
+
+        def bad(content: bytes) -> np.ndarray:
+            return np.zeros(32)
+
+        multimodal.register_decoder("badimg", bad)
+        media_bad = spark.createDataFrame(
+            [(1, "badimg", bytearray(b"x"))],
+            "media_id long, kind string, content binary",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="decoder contract"):
+            multimodal.perceptual_hash(media_bad).collect()
+
     def test_planted_near_dups_and_exact_dups(self, spark):
         import numpy as np
 
