@@ -8,9 +8,13 @@ Design for Spark:
 - **Build** is one Arrow pass: the key hashes are computed JVM-side
   (``xxhash64`` — stays in whole-stage codegen), and an Arrow
   ``mapInPandas`` stage folds each partition into ONE bitmap row
-  (``m/8`` bytes) with vectorized double hashing; the driver ORs the
-  ≤ n_partitions bitmaps.  Nothing row-at-a-time, and the driver sees
-  ``n_partitions × m/8`` bytes, never the keys.
+  (``m/8`` bytes) with vectorized double hashing; the per-partition
+  bitmaps are OR-reduced on EXECUTORS via ``treeReduce`` — the driver
+  receives a handful of already-merged bitmaps (one per tree root),
+  never ``n_partitions × m/8`` bytes, so the build stays inside
+  ``spark.driver.maxResultSize`` even at the 10⁹-key/1.2 GB sizing
+  below (ADVICE r4).  Nothing row-at-a-time, and no stage ever sees
+  the keys themselves.
 - **Probe** broadcasts the bitmap once and filters an incoming batch
   with the same vectorized double hashing — per-batch cost is O(batch),
   independent of corpus size.  No false negatives by construction
@@ -100,11 +104,30 @@ def build_bloom(
                 )
         yield pd.DataFrame({"bitmap": [bm.tobytes()]})
 
-    parts = hashed.mapInPandas(to_bitmap, "bitmap binary").collect()
-    acc = np.zeros(n_bytes, dtype=np.uint8)
-    for r in parts:
-        acc |= np.frombuffer(r["bitmap"], dtype=np.uint8)
-    return {"m": m, "k": k, "bitmap": acc.tobytes()}
+    bitmaps = hashed.mapInPandas(to_bitmap, "bitmap binary")
+    # OR-reduce on executors: collecting one m/8-byte bitmap PER PARTITION
+    # to the driver is n_partitions × bitmap through collect() — at the
+    # advertised 10⁹-key sizing that exceeds driver.maxResultSize.  A
+    # treeReduce merges partials executor-side; the driver only folds the
+    # tree roots.  (Each partition yields exactly one row — to_bitmap
+    # emits a zero bitmap even for empty partitions — so the RDD is
+    # non-empty whenever df has ≥1 partition.)
+    rdd = bitmaps.rdd.map(lambda r: bytes(r["bitmap"]))
+    nparts = max(1, rdd.getNumPartitions())
+
+    def _or_bytes(a: bytes, b: bytes) -> bytes:
+        import numpy as np
+
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    depth = max(2, int(math.ceil(math.log(nparts, 4)))) if nparts > 1 else 2
+    try:
+        acc_bytes = rdd.treeReduce(_or_bytes, depth=depth)
+    except ValueError:  # empty RDD (df had zero partitions)
+        acc_bytes = np.zeros(n_bytes, dtype=np.uint8).tobytes()
+    return {"m": m, "k": k, "bitmap": acc_bytes}
 
 
 def bloom_prefilter(df: DataFrame, bloom: dict, cols: list[str]) -> DataFrame:
