@@ -112,28 +112,43 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
             k=a.k, grid=grid, mode="rabitq",
             index_df=codes, centroids_full=cents_full, meta=meta,
             metric=metric, probes_factory=probes_factory, rounds=a.rounds,
+            amortized=a.amortized,
         )
         got = next(r for r in rows if r.nprobe == np_sel)
         print(f"tuned nprobe={np_sel} recall={got.recall:.5f} "
               f"(target {a.target_recall})")
         if a.save_tuned:
             # persist the serving default next to the index (re-tune on
-            # rebuild, like centroid retraining)
+            # rebuild, like centroid retraining).  When the sweep plateaued
+            # or exhausted its grid below the target, tune_nprobe returns
+            # the largest executed nprobe — record met=False rather than
+            # silently persisting a default that misses its own recorded
+            # target (ADVICE r4).
             import json
 
+            met = got.recall >= a.target_recall
             with open(f"{a.index}/meta.json") as fh:
                 m = json.load(fh)
             m["tuned_nprobe"] = int(np_sel)
             m["tuned_recall"] = round(float(got.recall), 6)
             m["tuned_target"] = float(a.target_recall)
+            m["tuned_target_met"] = bool(met)
             with open(f"{a.index}/meta.json", "w") as fh:
                 json.dump(m, fh)
-            print(f"saved tuned_nprobe={np_sel} -> {a.index}/meta.json")
+            if met:
+                print(f"saved tuned_nprobe={np_sel} -> {a.index}/meta.json")
+            else:
+                print(
+                    f"WARNING: sweep stopped at recall={got.recall:.5f} < "
+                    f"target {a.target_recall}; saved tuned_nprobe={np_sel} "
+                    f"with tuned_target_met=false -> {a.index}/meta.json"
+                )
     else:
         rows = nprobe_sweep(
             queries, base, centroids, k=a.k, grid=grid, mode="rabitq",
             index_df=codes, centroids_full=cents_full, meta=meta,
             rounds=a.rounds, probes_factory=probes_factory, metric=metric,
+            amortized=a.amortized,
         )
     print("nprobe,QPS,recall,ratio")
     for r in rows:
@@ -275,6 +290,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--save-tuned", action="store_true",
         help="with --target-recall: record the chosen nprobe in the "
              "index meta.json as the serving default",
+    )
+    s.add_argument(
+        "--amortized", action="store_true",
+        help="score the candidate pool once at max(grid) and derive "
+             "every sweep point from it (probe-rank tagging; results "
+             "identical, per-point QPS becomes an amortization "
+             "schedule) — incompatible with --use-graph",
     )
     s.add_argument("--results-dir", default=None)
     s.add_argument("--dataset", default="dataset")

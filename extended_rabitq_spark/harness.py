@@ -50,6 +50,7 @@ def nprobe_sweep(
     probes_factory=None,
     recall_stop: float = RECALL_SATURATION,
     metric: str = "l2",
+    amortized: bool = False,
 ) -> list[SweepRow]:
     """Sweep the nprobe grid ascending; stop at recall saturation or
     plateau.  mode='ivf' scans exact distances over probed clusters;
@@ -66,6 +67,16 @@ def nprobe_sweep(
     ``lambda np_: ivf.graph_probes(queries, graph, np_)`` with a graph
     loaded from the index artifact), mirroring the reference's sweep
     running through its HNSW initializer when K ≥ 20000.
+
+    ``amortized=True`` (mode='rabitq', no probes_factory): candidate
+    scoring runs ONCE at max(grid) via :func:`rabitq_search_sweep`
+    (probe-rank-tagged pool; per-point results row-identical — see its
+    tests); each grid point then only pays filter + phase-2.  The
+    FIRST executed point's wall absorbs the pool scoring, later points
+    are near-free — so per-row QPS is an amortization schedule, not a
+    standalone per-np throughput.  Best when the sweep will traverse
+    most of the grid (recall-target tuning); a sweep that stops at the
+    first point has over-scored by max(grid)/grid[0].
     """
     grid = grid or DEFAULT_GRID
     if metric != "l2" and mode == "ivf":
@@ -83,6 +94,17 @@ def nprobe_sweep(
         # scale assignment (≡ declarative assign_clusters by test)
         indexed = ivf_ops.assign_clusters_combined(base, centroids)
         indexed.persist().count()
+    sweep_pool = None
+    if amortized:
+        if mode != "rabitq" or probes_factory is not None:
+            raise ValueError(
+                "nprobe_sweep: amortized=True requires mode='rabitq' "
+                "without probes_factory"
+            )
+        sweep_pool = rabitq_ops.rabitq_search_sweep(
+            queries, index_df, centroids_full, meta,
+            nprobes=list(grid), k=k, estimator=estimator,
+        )
     out: list[SweepRow] = []
     prev_recall = -1.0
     try:
@@ -92,6 +114,8 @@ def nprobe_sweep(
                 t0 = time.perf_counter()
                 if mode == "ivf":
                     res = ivf_ops.ivf_search(queries, indexed, centroids, nprobe, k)
+                elif sweep_pool is not None:
+                    res = sweep_pool[nprobe]
                 else:
                     res = rabitq_ops.rabitq_search(
                         queries, index_df, centroids_full, meta, nprobe=nprobe, k=k,
@@ -128,7 +152,17 @@ def nprobe_sweep(
                 # geometry the index optimizes: aug² = ‖q‖² + M² − 2⟨q,x⟩
                 # = ‖q‖² + M² + 2·dist ≥ 0 — order-identical per query,
                 # so the reference's ≥1 ratio convention carries over.
-                m2 = float((meta or {}).get("mips_norm", 0.0)) ** 2
+                mips_norm = (meta or {}).get("mips_norm")
+                if mips_norm is None:
+                    # A missing M would default the augmentation to
+                    # ‖q‖² + 2·dist, which can go negative and turn every
+                    # ratio into sqrt-of-negative NaN — fail loudly
+                    # instead (ADVICE r4).
+                    raise ValueError(
+                        "nprobe_sweep(metric='ip') requires meta['mips_norm'] "
+                        "(set by rabitq.mips_prepare / build_index(metric='ip'))"
+                    )
+                m2 = float(mips_norm) ** 2
                 qn = queries.select(
                     "qid", F.expr(V.l2sq_self("qvec")).alias("_qn2")
                 )
@@ -158,6 +192,8 @@ def nprobe_sweep(
         gt.unpersist()
         if indexed is not None:
             indexed.unpersist()
+        if sweep_pool is not None:
+            sweep_pool["_scored"].unpersist()
     return out
 
 
@@ -176,6 +212,7 @@ def tune_nprobe(
     metric: str = "l2",
     probes_factory=None,
     rounds: int = 1,
+    amortized: bool = False,
 ) -> tuple[int, list[SweepRow]]:
     """W5 serving knob: the smallest grid nprobe whose measured recall@k
     meets ``target_recall`` on the given validation queries → (nprobe,
@@ -198,7 +235,7 @@ def tune_nprobe(
         queries, base, centroids, k=k, grid=grid, mode=mode,
         index_df=index_df, centroids_full=centroids_full, meta=meta,
         estimator=estimator, recall_stop=target_recall, metric=metric,
-        probes_factory=probes_factory, rounds=rounds,
+        probes_factory=probes_factory, rounds=rounds, amortized=amortized,
     )
     for r in rows:
         if r.recall >= target_recall:

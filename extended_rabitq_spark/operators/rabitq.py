@@ -952,6 +952,9 @@ def _score_cluster_np(
 
 
 _SCORED_SCHEMA = "qid long, id long, est_dist double, est_lb double"
+# sweep-amortized scoring tags each candidate with its (query, cluster)
+# probe rank so ONE scored pool serves every nprobe ≤ the scored maximum
+_SCORED_SCHEMA_PR = _SCORED_SCHEMA + ", probe_rank long"
 
 
 def _arrow_scored_broadcast(
@@ -964,8 +967,11 @@ def _arrow_scored_broadcast(
     qvec: str,
     estimator: str,
     per_cluster_cut: int | None = None,
+    with_probe_rank: bool = False,
 ) -> DataFrame:
-    """Small-batch Arrow scorer → (qid, id, est_dist, est_lb) candidates.
+    """Small-batch Arrow scorer → (qid, id, est_dist, est_lb) candidates
+    (+ ``probe_rank`` when ``with_probe_rank`` — the 1-based rank of the
+    candidate's cluster in its query's probe order, for sweep reuse).
 
     Probe selection runs driver-side in numpy (the same move as the
     reference materializing the probe list, inc/index/IVF.hpp:303-304),
@@ -993,17 +999,20 @@ def _arrow_scored_broadcast(
     qpad[:, :dim] = qmat
     cpad = np.zeros((len(cids), D))
     cpad[:, :dim] = cmat
-    by_cluster: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    by_cluster: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
     members: dict[int, list[int]] = {}
+    ranks: dict[int, list[int]] = {}
     for i in range(len(qids)):
-        for c_idx in order[i]:
+        for r, c_idx in enumerate(order[i]):
             members.setdefault(int(c_idx), []).append(i)
+            ranks.setdefault(int(c_idx), []).append(r + 1)
     for c_idx, qidx in members.items():
         QR = (qpad[qidx] - cpad[c_idx]) @ P.T  # g × D rotated residuals
         by_cluster[int(cids[c_idx])] = (
             qids[qidx],
             QR,
             (QR * QR).sum(axis=1),
+            np.array(ranks[c_idx], dtype=np.int64),
         )
     b_qr = spark.sparkContext.broadcast(by_cluster)
     # single-slice parallelize: see ivf.kmeans_centroids — a K-row local
@@ -1032,9 +1041,9 @@ def _arrow_scored_broadcast(
             fip = pdf["f_ip_ex"].to_numpy()
             ferr = pdf["f_err"].to_numpy()
             ids = pdf["id"].to_numpy()
-            out_q, out_i, out_e, out_l = [], [], [], []
+            out_q, out_i, out_e, out_l, out_r = [], [], [], [], []
             for cid, idx in pdf.groupby("cluster_id", sort=False).indices.items():
-                qg, QR, y2 = qr_[int(cid)]
+                qg, QR, y2, pr = qr_[int(cid)]
                 n, g = len(idx), len(qg)
                 est, lb = _score_cluster_np(
                     S[idx], x2[idx], fip[idx], ferr[idx], QR, y2, estimator, D
@@ -1051,21 +1060,26 @@ def _arrow_scored_broadcast(
                     out_i.append(ids[idx][xi])
                     out_e.append(est[xi, qi])
                     out_l.append(lb[xi, qi])
+                    out_r.append(pr[qi])
                     continue
                 out_q.append(np.broadcast_to(qg, (n, g)).ravel())
                 out_i.append(np.repeat(ids[idx], g))
                 out_e.append(est.ravel())
                 out_l.append(lb.ravel())
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q),
-                    "id": np.concatenate(out_i),
-                    "est_dist": np.concatenate(out_e),
-                    "est_lb": np.concatenate(out_l),
-                }
-            )
+                out_r.append(np.broadcast_to(pr, (n, g)).ravel())
+            cols = {
+                "qid": np.concatenate(out_q),
+                "id": np.concatenate(out_i),
+                "est_dist": np.concatenate(out_e),
+                "est_lb": np.concatenate(out_l),
+            }
+            if with_probe_rank:
+                cols["probe_rank"] = np.concatenate(out_r)
+            yield pd.DataFrame(cols)
 
-    return cand.mapInPandas(score, _SCORED_SCHEMA)
+    return cand.mapInPandas(
+        score, _SCORED_SCHEMA_PR if with_probe_rank else _SCORED_SCHEMA
+    )
 
 
 def _arrow_scored_cogroup(
@@ -1080,8 +1094,12 @@ def _arrow_scored_cogroup(
     probes: DataFrame | None = None,
     per_cluster_cut: int | None = None,
     full_probes: bool = False,
+    with_probe_rank: bool = False,
 ) -> DataFrame:
-    """Unbounded-batch Arrow scorer → (qid, id, est_dist, est_lb).
+    """Unbounded-batch Arrow scorer → (qid, id, est_dist, est_lb)
+    (+ ``probe_rank`` when ``with_probe_rank`` — see the broadcast
+    scorer; requires rank-bearing probes, so not with ``full_probes``
+    and only with injected ``probes`` that carry a probe_rank column).
 
     NO driver collect of the query side: probe selection (W1) and
     per-(query, cluster) rotated residuals run as DataFrames (the same
@@ -1109,6 +1127,10 @@ def _arrow_scored_cogroup(
     exactly like the reference's per-cluster OpenMP loop).
     """
     D = meta["D"]
+    if with_probe_rank and full_probes:
+        raise ValueError("with_probe_rank: probe ranks are undefined at full_probes")
+    if with_probe_rank and probes is not None and "probe_rank" not in probes.columns:
+        raise ValueError("with_probe_rank: injected probes lack a probe_rank column")
     qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
     if probes is None and full_probes:
         # nprobe ≥ K: every (query, cluster) pair is probed — build the
@@ -1126,7 +1148,8 @@ def _arrow_scored_cogroup(
             probes = select_probes(
                 queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec
             )
-        probes = probes.select(F.col(qid).alias("qid"), "cluster_id")
+        rank_cols = [F.col("probe_rank")] if with_probe_rank else []
+        probes = probes.select(F.col(qid).alias("qid"), "cluster_id", *rank_cols)
         qprobe = (
             probes.join(qrot, on="qid")
             .join(F.broadcast(centroids.select("cluster_id", "centroid_rot")), on="cluster_id")
@@ -1134,6 +1157,7 @@ def _arrow_scored_cogroup(
                 "qid",
                 "cluster_id",
                 F.expr("zip_with(qrot, centroid_rot, (a, b) -> a - b)").alias("qr"),
+                *rank_cols,
             )
         )
         # partition pruning: only probed clusters' codes are read at all
@@ -1145,17 +1169,19 @@ def _arrow_scored_cogroup(
 
     def score(key, code_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(code_pdf) == 0 or len(q_pdf) == 0:
-            return pd.DataFrame(
-                {
-                    "qid": pd.Series(dtype="int64"),
-                    "id": pd.Series(dtype="int64"),
-                    "est_dist": pd.Series(dtype="float64"),
-                    "est_lb": pd.Series(dtype="float64"),
-                }
-            )
+            empty = {
+                "qid": pd.Series(dtype="int64"),
+                "id": pd.Series(dtype="int64"),
+                "est_dist": pd.Series(dtype="float64"),
+                "est_lb": pd.Series(dtype="float64"),
+            }
+            if with_probe_rank:
+                empty["probe_rank"] = pd.Series(dtype="int64")
+            return pd.DataFrame(empty)
         QR = np.array(q_pdf["qr"].tolist(), dtype=np.float64)  # g × D
         y2 = (QR * QR).sum(axis=1)
         qg = q_pdf["qid"].to_numpy()
+        pr = q_pdf["probe_rank"].to_numpy() if with_probe_rank else None
         S = _decode_s(code_pdf, packed, total_bits, D)
         x2 = code_pdf["x2"].to_numpy()
         fip = code_pdf["f_ip_ex"].to_numpy()
@@ -1183,33 +1209,33 @@ def _arrow_scored_cogroup(
                     per_cluster_cut - 1, :
                 ]
                 xi, qi = np.nonzero(lb <= kth[None, :])
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "qid": qg[qi],
-                            "id": ids[i : i + chunk][xi],
-                            "est_dist": est[xi, qi],
-                            "est_lb": lb[xi, qi],
-                        }
-                    )
-                )
+                cut_cols = {
+                    "qid": qg[qi],
+                    "id": ids[i : i + chunk][xi],
+                    "est_dist": est[xi, qi],
+                    "est_lb": lb[xi, qi],
+                }
+                if pr is not None:
+                    cut_cols["probe_rank"] = pr[qi]
+                outs.append(pd.DataFrame(cut_cols))
                 continue
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "qid": np.broadcast_to(qg, (m, g)).ravel(),
-                        "id": np.repeat(ids[i : i + chunk], g),
-                        "est_dist": est.ravel(),
-                        "est_lb": lb.ravel(),
-                    }
-                )
-            )
+            full_cols = {
+                "qid": np.broadcast_to(qg, (m, g)).ravel(),
+                "id": np.repeat(ids[i : i + chunk], g),
+                "est_dist": est.ravel(),
+                "est_lb": lb.ravel(),
+            }
+            if pr is not None:
+                full_cols["probe_rank"] = np.broadcast_to(pr, (m, g)).ravel()
+            outs.append(pd.DataFrame(full_cols))
         return pd.concat(outs, ignore_index=True)
 
     return (
         cand.groupby("cluster_id")
         .cogroup(qprobe.groupby("cluster_id"))
-        .applyInPandas(score, _SCORED_SCHEMA)
+        .applyInPandas(
+            score, _SCORED_SCHEMA_PR if with_probe_rank else _SCORED_SCHEMA
+        )
     )
 
 
@@ -1465,6 +1491,82 @@ def rabitq_search(
     else:
         raise ValueError(f"rabitq_search: unknown scorer {scorer!r}")
     return _finalize_topk(scored, queries, k, refine, rerank_base, qid, qvec)
+
+
+def rabitq_search_sweep(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    nprobes: list[int],
+    k: int,
+    refine: int | None = 4,
+    rerank_base: DataFrame | None = None,
+    qid: str = "qid",
+    qvec: str = "qvec",
+    scorer: str = "arrow",
+    estimator: str = "searcher",
+    broadcast_max_queries: int = 4096,
+) -> dict[int, DataFrame]:
+    """Amortized nprobe sweep → {nprobe: (qid, rank, id, est_dist)}.
+
+    A naive sweep re-runs the whole search per grid point, paying the
+    candidate scoring (the dominant cost) G times; the reference
+    amortizes its sweep inside one process for the same reason
+    (src/test_search.cpp:97-134 loops nprobe over one loaded index).
+    Here the candidate pool is scored ONCE at max(nprobes) with each
+    row tagged by its (query, cluster) ``probe_rank``; every grid point
+    is then a cheap ``probe_rank <= np`` filter + phase-2 finalize over
+    the persisted pool.
+
+    Equivalence to per-point :func:`rabitq_search` (asserted in tests):
+    a candidate's per-cluster pre-cut survival and its (est, lb) values
+    are independent of WHICH probe set includes the cluster, and the
+    phase-2 rank cut / top-k re-runs per grid point over exactly the
+    rows whose probe rank clears that point — so each returned frame is
+    row-identical to the standalone search at that nprobe.
+
+    The pool is ``.persist()``-ed; callers that keep the session hot
+    should ``unpersist`` it via the ``_scored`` key's DataFrame (also
+    returned) once every grid point is materialized.
+    """
+    if not nprobes:
+        raise ValueError("rabitq_search_sweep: empty nprobe grid")
+    if qid != "qid" or qvec != "qvec":
+        queries = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
+        qid, qvec = "qid", "qvec"
+    queries = prepare_queries_for_metric(queries, meta, qvec)
+    if rerank_base is not None:
+        if meta.get("metric") == "cosine":
+            rerank_base = rerank_base.withColumn("vec", F.expr(V.l2_normalize("vec")))
+        elif meta.get("metric") == "ip":
+            rerank_base = rerank_base.withColumn(
+                "vec", F.expr(_mips_aug_expr("vec", float(meta["mips_norm"])))
+            )
+    np_max = max(nprobes)
+    cut = None if refine is None else refine * k
+    if scorer == "arrow":
+        nq = queries.select(qid).count()
+        scorer = "arrow_broadcast" if nq <= broadcast_max_queries else "arrow_cogroup"
+    if scorer == "arrow_broadcast":
+        scored = _arrow_scored_broadcast(
+            queries, codes, centroids, meta, np_max, qid, qvec, estimator,
+            per_cluster_cut=cut, with_probe_rank=True,
+        )
+    elif scorer == "arrow_cogroup":
+        scored = _arrow_scored_cogroup(
+            queries, codes, centroids, meta, np_max, qid, qvec, estimator,
+            per_cluster_cut=cut, with_probe_rank=True,
+        )
+    else:
+        raise ValueError(f"rabitq_search_sweep: unsupported scorer {scorer!r}")
+    scored = scored.persist()
+    out: dict[int, DataFrame] = {}
+    for np_ in sorted(set(int(n) for n in nprobes)):
+        pool = scored.where(F.col("probe_rank") <= np_).drop("probe_rank")
+        out[np_] = _finalize_topk(pool, queries, k, refine, rerank_base, qid, qvec)
+    out["_scored"] = scored  # handle for caller-side unpersist
+    return out
 
 
 def rabitq_range_search(

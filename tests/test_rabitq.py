@@ -606,6 +606,30 @@ class TestCogroupScorer:
         _assert_rank_identical(am, cm, tol=1e-6)  # float64 matmul assoc noise
         idx.unpersist()
 
+    def test_sweep_matches_per_point_search(self, spark):
+        """rabitq_search_sweep (ONE scored pool at max nprobe, tagged by
+        probe_rank) must be row-identical to standalone rabitq_search at
+        every grid point — with the refine cut AND exact rerank engaged,
+        on both Arrow scorers (VERDICT r4 item 8)."""
+        from extended_rabitq_spark.operators import rabitq
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        for scorer in ("arrow_broadcast", "arrow_cogroup"):
+            res = rabitq.rabitq_search_sweep(
+                qs, idx, cents_full, meta, nprobes=[2, 4], k=5,
+                refine=4, rerank_base=base, scorer=scorer,
+            )
+            for np_ in (2, 4):
+                single = rabitq.rabitq_search(
+                    qs, idx, cents_full, meta, nprobe=np_, k=5,
+                    refine=4, rerank_base=base, scorer=scorer,
+                )
+                _assert_rank_identical(
+                    _res_map(res[np_]), _res_map(single), tol=1e-9
+                )
+            res["_scored"].unpersist()
+        idx.unpersist()
+
     def test_cogroup_plan_has_no_driver_query_collect(self, spark):
         """The query side must appear INSIDE the plan (cogroup node over
         the probe-prep subtree), not as a driver-collected broadcast."""

@@ -227,6 +227,41 @@ class TestSweep:
         assert np_all == rows_all[-1].nprobe == 16
         assert rows_all[-1].recall <= 1.0
 
+    def test_amortized_sweep_matches_per_point(self, spark):
+        """amortized=True (one probe-rank-tagged scored pool) must report
+        the SAME recall/ratio per grid point as the per-point sweep —
+        only the wall-clock attribution differs."""
+        from extended_rabitq_spark.harness import nprobe_sweep
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        idx, meta = rabitq.build_index(base, cents, total_bits=4)
+        idx = idx.persist()
+        cf = rabitq.centroids_with_rotation(spark, cents, meta)
+        kw = dict(k=10, grid=[2, 4], mode="rabitq", index_df=idx,
+                  centroids_full=cf, meta=meta, recall_stop=2.0)
+        plain = nprobe_sweep(queries, base, cents, **kw)
+        amort = nprobe_sweep(queries, base, cents, amortized=True, **kw)
+        assert [r.nprobe for r in plain] == [r.nprobe for r in amort]
+        for p, a in zip(plain, amort):
+            # identical result rows → identical metrics up to agg-order
+            # float noise in the avg
+            assert abs(p.recall - a.recall) < 1e-9
+            assert abs(p.ratio - a.ratio) < 1e-9
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="amortized"):
+            nprobe_sweep(queries, base, cents, amortized=True,
+                         k=10, grid=[2], mode="ivf")
+        idx.unpersist()
+
     def test_results_csv_sinks(self, tmp_path):
         """S7: the reference's two committed CSV artifacts —
         results/exrabitq/<ds>_<tag>.csv (header nprobe,QPS,recall,ratio,

@@ -150,6 +150,20 @@ def main() -> None:
         "table.",
     )
 
+    sweep = rabitq.rabitq_search_sweep(
+        qs, codes, cf, meta2, nprobes=[3, 6], k=10, scorer="arrow_cogroup"
+    )
+    add(
+        "rabitq_search_sweep grid point (amortized sweep, np=3 of max 6)",
+        sweep[3],
+        "The shared candidate pool (scored ONCE at max(grid), rows "
+        "tagged `probe_rank`) appears as an `InMemoryTableScan` under a "
+        "`probe_rank <= 3` filter; only phase-2 (rank cut + top-k "
+        "windows) is per-grid-point work.  Every grid point is "
+        "row-identical to its standalone search (tests).",
+    )
+    sweep["_scored"].unpersist()
+
     # bloom-gated incremental dedup: show the IN-list reaching the
     # corpus hash scan (the band subtree executes inside a checkpoint)
     from extended_rabitq_spark.operators import dedup as dd
