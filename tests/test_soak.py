@@ -390,3 +390,97 @@ def test_bloom_gated_incremental_dedup_50k_corpus(spark):
     print(f"bloom soak: save {t_save:.1f}s, gated {t_gated:.1f}s, "
           f"ungated {t_ungated:.1f}s, fresh survivors {survivors}")
     big.unpersist(); batch.unpersist()
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "ip"])
+def test_maintenance_lifecycle_soak(spark, tmp_path_factory, metric):
+    """VERDICT r4 item 7: delete_from_index + rebalance_index under every
+    metric twin at soak scale (60k vectors, one deliberately hot
+    cluster).  Claims: (a) full-probe + exact-rerank search equals exact
+    KNN in the index's metric at every lifecycle stage (build → delete
+    1% → rebalance), (b) rebalance actually splits and the hottest
+    cluster shrinks by ≥25% (a 2-means split of a non-uniform cluster
+    is not exactly even; measured 35% on this fixture)."""
+    import time
+
+    from extended_rabitq_spark.functions import vector as V
+    from extended_rabitq_spark.operators import ivf, knn, rabitq
+
+    Nm, Dm, KCm, NQm = 60_000, 64, 64, 50
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((KCm, Dm)) * 2.0
+    # 30% of the mass on one center → max/avg ≈ 19, rebalance must fire
+    lab = np.where(rng.random(Nm) < 0.30, 7, rng.integers(0, KCm, Nm))
+    X = (centers[lab] + 0.3 * rng.standard_normal((Nm, Dm))).astype(np.float32)
+    base = (
+        spark.createDataFrame(pd.DataFrame({"id": np.arange(Nm), "vec": list(X)}))
+        .select("id", F.col("vec").cast("array<float>").alias("vec"))
+        .repartition(16)
+        .persist()
+    )
+    base.count()
+    qs = (
+        spark.createDataFrame(pd.DataFrame({
+            "qid": np.arange(NQm),
+            "qvec": list(X[rng.integers(0, Nm, NQm)] + 0.05 * rng.standard_normal((NQm, Dm)).astype(np.float32)),
+        }))
+        .select("qid", F.col("qvec").cast("array<double>").alias("qvec"))
+        .persist()
+    )
+    qs.count()
+    if metric == "l2":
+        train = base
+    elif metric == "cosine":
+        train = base.withColumn("vec", F.expr(V.l2_normalize("vec")))
+    else:
+        train, _ = rabitq.mips_prepare(base, vec="vec")
+    cents = ivf.sampled_kmeans_centroids(train, k=KCm, vec="vec")
+    idx, meta = rabitq.build_index(base, cents, total_bits=4, metric=metric)
+    path = str(tmp_path_factory.mktemp("soakidx") / f"idx_{metric}")
+    rabitq.save_index(idx, cents, meta, path)
+
+    def full_search(current_base):
+        codes, cf, m = rabitq.load_index(spark, path)
+        return sorted(
+            (r.qid, r.rank, r.id)
+            for r in rabitq.rabitq_search(
+                qs, codes, cf, m, nprobe=cf.count(), k=10,
+                refine=None, rerank_base=current_base,
+            ).collect()
+        )
+
+    def exact(current_base):
+        return sorted(
+            (r.qid, r.rank, r.id)
+            for r in knn.exact_knn(qs, current_base, k=10, metric=metric).collect()
+        )
+
+    t0 = time.perf_counter()
+    assert full_search(base) == exact(base)
+    t_build_check = time.perf_counter() - t0
+
+    # delete 1% (random ids, deterministic choice)
+    victims = rng.choice(Nm, size=Nm // 100, replace=False)
+    vdf = spark.createDataFrame([(int(v),) for v in victims], "id long")
+    n = rabitq.delete_from_index(spark, path, vdf)
+    assert n == len(victims)
+    survivors = base.join(F.broadcast(vdf), "id", "left_anti").persist()
+    survivors.count()
+    assert full_search(survivors) == exact(survivors)
+
+    codes = spark.read.parquet(f"{path}/codes")
+    stats0 = rabitq.index_stats(codes).collect()[0]
+    t0 = time.perf_counter()
+    out = rabitq.rebalance_index(spark, path, survivors, max_ratio=1.5)
+    t_rebal = time.perf_counter() - t0
+    assert out["split"], f"hot cluster must trigger a split: {out}"
+    assert out["rows_moved"] > 0
+    stats1 = rabitq.index_stats(spark.read.parquet(f"{path}/codes")).collect()[0]
+    assert stats1["max_cluster"] <= 0.75 * stats0["max_cluster"], (
+        stats0["max_cluster"], stats1["max_cluster"])
+    assert float(stats1["imbalance_r"]) < float(stats0["imbalance_r"])
+    assert full_search(survivors) == exact(survivors)
+    print(f"maintenance soak [{metric}]: parity-check {t_build_check:.1f}s, "
+          f"rebalance {t_rebal:.1f}s, max_cluster "
+          f"{stats0['max_cluster']}→{stats1['max_cluster']}")
+    base.unpersist(); qs.unpersist(); survivors.unpersist()
