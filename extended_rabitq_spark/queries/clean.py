@@ -8,6 +8,7 @@ Gopher-style quality gate, and per-source tf·idf salient terms.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import cleanops
 from ..registry import register
@@ -72,3 +73,26 @@ def source_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source total-variation drift vs the corpus token
     distribution (integer-exact; the data-mixing QA diagnostic)."""
     return cleanops.source_divergence(_docs(spark, sf_dir))
+
+
+@register("quality_classifier_score")  # rows-only: learned weights are
+# not SQL-expressible (see tests/test_quality_model.py for the planted-
+# corpus accuracy + JVM-only-scoring plan assertions)
+def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (r5, beyond the reference): the
+    fastText/LR classifier stage of LLM curation, self-trained here
+    with the Gopher rule gate as the weak positive label (the standard
+    bootstrap when no hand-labeled seed set ships with the corpus) and
+    scored back over every document — (doc_id, quality_score,
+    quality_pred).  Features are one codegen projection; training is
+    MLlib L-BFGS (only d+1 coefficients reach the driver); scoring is
+    a JVM transform — no Python anywhere."""
+    from ..operators import quality_model
+
+    docs = _docs(spark, sf_dir)
+    weak = cleanops.gopher_filter(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("label")
+    )
+    labeled = docs.join(weak, on="doc_id")
+    model = quality_model.train_quality_classifier(labeled)
+    return quality_model.score_quality(model, docs)

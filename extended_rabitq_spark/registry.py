@@ -100,6 +100,10 @@ _DEMOTED = [
     # rotation — they are now _PROMOTED for first-time driver checks)
     "tfidf_top_terms",
     "source_divergence",
+    "quality_classifier_score",  # rows-only (r5: learned LR weights are
+                                 # not SQL-expressible; planted-corpus
+                                 # accuracy + JVM-only plan asserted in
+                                 # tests/test_quality_model.py)
     "multimodal_phash_dedup",  # rows-only (Python decode seam) —
                                # image-side near-dup; banding losslessness
                                # numpy-pinned in tests
