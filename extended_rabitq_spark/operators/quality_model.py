@@ -95,11 +95,20 @@ def quality_features(
             F.expr("CAST(regexp_count(_nrm, '[^a-z0-9 ]') AS DOUBLE)") / safe_nc
         ).alias("f_punct_ratio"),
         # share of the single most-repeated token — the cheapest
-        # repetition detector (Gopher's top-word share, as a feature)
+        # repetition detector (Gopher's top-word share, as a feature).
+        # Sort + run-length fold: O(n log n) per doc and still map-only
+        # (the distinct×filter form is O(n²) on long documents, and an
+        # explode→groupBy would add the shuffle this projection exists
+        # to avoid).
         (
             F.expr(
-                "CAST(array_max(transform(array_distinct(_toks), "
-                "d -> size(filter(_toks, t -> t = d)))) AS DOUBLE)"
+                "CAST(aggregate(array_sort(_toks), "
+                "named_struct('p', CAST(NULL AS STRING), 'r', 0, 'b', 0), "
+                "(s, t) -> named_struct("
+                "  'p', t, "
+                "  'r', CASE WHEN s.p <=> t THEN s.r + 1 ELSE 1 END, "
+                "  'b', greatest(s.b, CASE WHEN s.p <=> t THEN s.r + 1 ELSE 1 END)), "
+                "s -> s.b) AS DOUBLE)"
             )
             / safe_nt
         ).alias("f_max_token_share"),

@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "extended-rabitq-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
@@ -31,3 +31,10 @@ def get_spark(app_name: str = "extended-rabitq-spark", cpus: int | None = None) 
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # Named vector-kernel SQL functions (l2sq, cosine_dist, ...): Catalyst
+    # inlines these declarative SQL UDFs at plan time, so `spark.sql`
+    # users get the same codegen expressions as the DataFrame API.
+    from .functions.sqlfuncs import register_sql_functions
+
+    register_sql_functions(spark)
+    return spark
