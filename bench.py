@@ -133,6 +133,10 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
             ensure_alive()
+            # a failed query's leftover persisted blocks would otherwise
+            # pollute every later measurement (and later baselines would
+            # snapshot the leak into the protected set)
+            release_stray_state(baseline)
             return
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
@@ -300,6 +304,7 @@ def main() -> None:
                 print(f"bench: extra {name} failed: {exc}", file=sys.stderr)
                 extras[f"{name}_sec"] = -1.0
                 ensure_alive()
+                release_stray_state(baseline)
                 continue
             if extras[f"{name}_sec"] > WARM_SKIP_SEC:
                 # don't triple a already-long run (and at large SF the
@@ -359,7 +364,10 @@ def main() -> None:
     extras["tpch_suite_sec"] = round(time.perf_counter() - t0, 3)
     extras["tpch_suite_n"] = tpch_ok
     for d in dim_cache:
-        d.unpersist()
+        try:  # ensure_alive may have replaced the session mid-suite;
+            d.unpersist()  # these handles then belong to a stopped context
+        except Exception:
+            pass
 
     # The production (scale=True) composition: stage-3 near-dup prune via
     # the distributed ANN self-join instead of the all-pairs oracle twin.

@@ -110,7 +110,7 @@ def nprobe_sweep(
     try:
         for nprobe in grid:
             walls = []
-            for _ in range(rounds):
+            for _r in range(rounds):
                 t0 = time.perf_counter()
                 if mode == "ivf":
                     res = ivf_ops.ivf_search(queries, indexed, centroids, nprobe, k)
@@ -139,6 +139,14 @@ def nprobe_sweep(
                     )
                 res.persist().count()
                 walls.append(time.perf_counter() - t0)
+                if sweep_pool is not None and _r < rounds - 1:
+                    # amortized mode reuses ONE DataFrame per grid point:
+                    # drop its result cache between rounds so later
+                    # rounds re-execute phase-2 from the scored pool (the
+                    # amortized steady state) instead of free-scanning
+                    # round 1's cached result, which would inflate QPS by
+                    # up to rounds× (review r5)
+                    res.unpersist(blocking=True)
             rec = (
                 metrics.recall_per_query(res, gt, k)
                 .agg(F.avg("recall").alias("r"))

@@ -265,14 +265,22 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     few bits, so near-dup detection becomes small-Hamming search."""
 
     def to_8x8(raw: np.ndarray) -> np.ndarray:
-        """Decoder output → 64 grayscale values.  Exactly 64 values pass
-        through; a larger 2-D image block-averages down to 8×8 (mean over
-        an 8×8 grid of cells — deterministic, no interpolation lib); any
-        other shape raises — silently hashing the top-left corner of a
-        big decode would quietly gut near-dup recall (ADVICE r4)."""
+        """Decoder output → 64 values to hash.  Exactly 64 values pass
+        through; a ≥8×8 2-D image block-averages down to 8×8 (mean over
+        an 8×8 grid of cells — deterministic, no interpolation lib); a
+        ≥64-sample 1-D signal (audio) bucket-averages into 64 segments.
+        Channels collapse first: gray+alpha (C=2) keeps the gray plane,
+        color (C=3/4) averages RGB, stereo-ish 2-D signals (width < 8)
+        mix down.  Anything smaller raises — silently hashing a corner
+        of a big decode would quietly gut near-dup recall (ADVICE r4)."""
         arr = raw.astype(np.float64)
-        if arr.ndim == 3 and arr.shape[-1] in (1, 3, 4):  # HxWxC → gray
-            arr = arr[..., : min(arr.shape[-1], 3)].mean(axis=-1)
+        if arr.ndim == 3:  # H×W×C image → gray plane
+            if arr.shape[-1] == 2:  # gray + alpha (e.g. PNG color type 4)
+                arr = arr[..., 0]
+            elif arr.shape[-1] in (1, 3, 4):
+                arr = arr[..., : min(arr.shape[-1], 3)].mean(axis=-1)
+        if arr.ndim == 2 and arr.shape[1] < 8:  # (n, ch) signal → mono
+            arr = arr.mean(axis=1)
         if arr.size == 64:
             return arr.ravel()
         if arr.ndim == 2 and arr.shape[0] >= 8 and arr.shape[1] >= 8:
@@ -282,9 +290,11 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
                     for r8 in np.array_split(arr, 8, axis=0)
                 ]
             ).ravel()
+        if arr.ndim == 1 and arr.size >= 64:
+            return np.array([seg.mean() for seg in np.array_split(arr, 64)])
         raise ValueError(
-            f"perceptual_hash decoder contract: expected 64 values or a "
-            f"2-D image ≥8×8, got shape {raw.shape}"
+            f"perceptual_hash decoder contract: expected ≥64 values "
+            f"(image ≥8×8 or 1-D signal ≥64), got shape {raw.shape}"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

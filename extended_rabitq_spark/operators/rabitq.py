@@ -1060,13 +1060,15 @@ def _arrow_scored_broadcast(
                     out_i.append(ids[idx][xi])
                     out_e.append(est[xi, qi])
                     out_l.append(lb[xi, qi])
-                    out_r.append(pr[qi])
+                    if with_probe_rank:
+                        out_r.append(pr[qi])
                     continue
                 out_q.append(np.broadcast_to(qg, (n, g)).ravel())
                 out_i.append(np.repeat(ids[idx], g))
                 out_e.append(est.ravel())
                 out_l.append(lb.ravel())
-                out_r.append(np.broadcast_to(pr, (n, g)).ravel())
+                if with_probe_rank:  # skip the n·g alloc on the hot path
+                    out_r.append(np.broadcast_to(pr, (n, g)).ravel())
             cols = {
                 "qid": np.concatenate(out_q),
                 "id": np.concatenate(out_i),
@@ -1394,6 +1396,36 @@ def _sql_scored(
     )
 
 
+def _prepare_search_inputs(
+    queries: DataFrame,
+    rerank_base: DataFrame | None,
+    meta: dict,
+    qid: str,
+    qvec: str,
+) -> tuple[DataFrame, DataFrame | None, str, str]:
+    """Shared search-entry prep (rabitq_search AND rabitq_search_sweep —
+    one definition so the sweep's row-identical contract can't drift):
+    canonicalize qid/qvec column names, apply the metric-aware query
+    transform (cosine: unit-sphere L2 ≡ cosine ranking, dist =
+    2·(1−cos); ip: MIPS augmentation ‖q'−x'‖² = ‖q‖² + M² − 2⟨q,x⟩ —
+    both monotone, tie-preserving), and move the rerank base into the
+    same geometry."""
+    if qid != "qid" or qvec != "qvec":
+        queries = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
+        qid, qvec = "qid", "qvec"
+    queries = prepare_queries_for_metric(queries, meta, qvec)
+    if rerank_base is not None:
+        if meta.get("metric") == "cosine":
+            rerank_base = rerank_base.withColumn(
+                "vec", F.expr(V.l2_normalize("vec"))
+            )
+        elif meta.get("metric") == "ip":
+            rerank_base = rerank_base.withColumn(
+                "vec", F.expr(_mips_aug_expr("vec", float(meta["mips_norm"])))
+            )
+    return queries, rerank_base, qid, qvec
+
+
 def rabitq_search(
     queries: DataFrame,
     codes: DataFrame,
@@ -1445,26 +1477,11 @@ def rabitq_search(
     two-phase result; marginally higher recall, more est evaluations
     kept through the top-k window).
     """
-    if qid != "qid" or qvec != "qvec":
-        # canonicalize: the scorers/finalize stages emit literal
-        # qid/qvec column names internally
-        queries = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
-        if probes is not None and qid in probes.columns:
-            probes = probes.withColumnRenamed(qid, "qid")
-        qid, qvec = "qid", "qvec"
-    # metric-aware query/rerank transforms: cosine (unit-sphere L2 ≡
-    # cosine ranking, dist = 2·(1−cos)) and ip (MIPS augmentation,
-    # ‖q'−x'‖² = ‖q‖² + M² − 2⟨q,x⟩) — both monotone, tie-preserving
-    queries = prepare_queries_for_metric(queries, meta, qvec)
-    if rerank_base is not None:
-        if meta.get("metric") == "cosine":
-            rerank_base = rerank_base.withColumn(
-                "vec", F.expr(V.l2_normalize("vec"))
-            )
-        elif meta.get("metric") == "ip":
-            rerank_base = rerank_base.withColumn(
-                "vec", F.expr(_mips_aug_expr("vec", float(meta["mips_norm"])))
-            )
+    if probes is not None and qid != "qid" and qid in probes.columns:
+        probes = probes.withColumnRenamed(qid, "qid")
+    queries, rerank_base, qid, qvec = _prepare_search_inputs(
+        queries, rerank_base, meta, qid, qvec
+    )
     if probes is not None and scorer in ("arrow", "arrow_broadcast"):
         # the broadcast scorer's probe prep is driver-side by design;
         # injected probe DataFrames (e.g. graph_probes, W2) route to the
@@ -1532,17 +1549,9 @@ def rabitq_search_sweep(
     """
     if not nprobes:
         raise ValueError("rabitq_search_sweep: empty nprobe grid")
-    if qid != "qid" or qvec != "qvec":
-        queries = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
-        qid, qvec = "qid", "qvec"
-    queries = prepare_queries_for_metric(queries, meta, qvec)
-    if rerank_base is not None:
-        if meta.get("metric") == "cosine":
-            rerank_base = rerank_base.withColumn("vec", F.expr(V.l2_normalize("vec")))
-        elif meta.get("metric") == "ip":
-            rerank_base = rerank_base.withColumn(
-                "vec", F.expr(_mips_aug_expr("vec", float(meta["mips_norm"])))
-            )
+    queries, rerank_base, qid, qvec = _prepare_search_inputs(
+        queries, rerank_base, meta, qid, qvec
+    )
     np_max = max(nprobes)
     cut = None if refine is None else refine * k
     if scorer == "arrow":

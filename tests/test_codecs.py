@@ -36,7 +36,7 @@ def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
-    color = {1: 0, 3: 2, 4: 6}[ch]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     filters = filters or [0] * h
     raw = bytearray()
     prev = np.zeros(w * ch, dtype=np.uint8)
@@ -206,6 +206,45 @@ class TestRealCodecsThroughSpark:
         # PNG gray and BMP RGB of the SAME image hash identically
         assert pairs.get((1, 2)) == 0
         assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+
+    def test_phash_on_gray_alpha_png(self, spark):
+        """PNG color type 4 (gray+alpha): the hash must use the GRAY
+        plane — alpha-only differences hash identically (review r5:
+        this shape previously crashed the decoder-contract check)."""
+        from extended_rabitq_spark.operators import multimodal
+
+        gray = RNG.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        a1 = np.dstack([gray, np.full((16, 16), 255, np.uint8)])
+        a2 = np.dstack([gray, RNG.integers(0, 256, size=(16, 16), dtype=np.uint8)])
+        media = self._media(
+            spark, [(1, "png", encode_png(a1)), (2, "png", encode_png(a2)),
+                    (3, "png", encode_png(gray))]
+        )
+        got = {r.media_id: r.phash for r in multimodal.perceptual_hash(media).collect()}
+        assert got[1] == got[2] == got[3]
+
+    def test_phash_on_real_wav_audio_fingerprint(self, spark):
+        """1-D audio decodes hash via 64 bucket means (review r5: mono
+        WAV previously crashed; stereo mixes down first)."""
+        from extended_rabitq_spark.operators import multimodal
+
+        samples = RNG.integers(-32768, 32767, size=640, dtype=np.int64)
+        media = self._media(
+            spark,
+            [(1, "wav", encode_wav(samples)),
+             # stereo with BOTH channels = the mono signal mixes to it
+             (2, "wav", encode_wav(np.repeat(samples[:320], 2), n_ch=2))],
+        )
+        got = {r.media_id: r.phash for r in multimodal.perceptual_hash(media).collect()}
+        dec = (samples + 32768) / 256.0
+        buckets = np.array([s.mean() for s in np.array_split(dec, 64)])
+        bits = (buckets > buckets.mean()).astype(np.uint64)
+        w = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+        assert got[1] == int((bits * w).sum(dtype=np.uint64).astype(np.int64))
+        dec2 = (samples[:320] + 32768) / 256.0
+        b2 = np.array([s.mean() for s in np.array_split(dec2, 64)])
+        bits2 = (b2 > b2.mean()).astype(np.uint64)
+        assert got[2] == int((bits2 * w).sum(dtype=np.uint64).astype(np.int64))
 
     def test_extract_features_on_real_wav(self, spark):
         from extended_rabitq_spark.operators import multimodal
