@@ -6,6 +6,7 @@ lifecycle verbs the immutable reference lacks.
     python -m extended_rabitq_spark ingest       SRC OUT.parquet
     python -m extended_rabitq_spark create-index BASE.parquet IDX --k 16 --b 4
     python -m extended_rabitq_spark search       IDX QUERIES.parquet --base BASE.parquet
+    python -m extended_rabitq_spark gt           BASE.parquet QUERIES.parquet --out gt.ivecs
     python -m extended_rabitq_spark stats        IDX
     python -m extended_rabitq_spark compact      IDX
     python -m extended_rabitq_spark delete       IDX --ids 3,17,42
@@ -209,6 +210,62 @@ def cmd_clean_corpus(spark: SparkSession, a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_quality(spark: SparkSession, a: argparse.Namespace) -> int:
+    """Learned quality scoring over a documents table: self-train the LR
+    classifier with the Gopher rule gate as weak label (or filter on a
+    score threshold) and write (doc_id, quality_score, quality_pred)."""
+    from .operators import cleanops, quality_model
+
+    docs = spark.read.parquet(f"{a.data_dir}/documents.parquet")
+    weak = cleanops.gopher_filter(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("label")
+    )
+    model = quality_model.train_quality_classifier(docs.join(weak, on="doc_id"))
+    scored = quality_model.score_quality(model, docs, threshold=a.threshold)
+    scored.write.mode("overwrite").parquet(a.out)
+    kept = spark.read.parquet(a.out).where("quality_pred = 1").count()
+    total = docs.count()
+    info = quality_model.explain_model(model)
+    print(f"quality: {kept}/{total} docs pass -> {a.out}")
+    print("weights: " + ", ".join(
+        f"{k}={v:+.3f}" for k, v in sorted(info["weights"].items())
+    ))
+    return 0
+
+
+def cmd_gt(spark: SparkSession, a: argparse.Namespace) -> int:
+    """Ground-truth computation (the reference's ``compute_gt.py:12-19``
+    brute-force step, distributed): exact top-k of every query against
+    the base, written as the standard ``.ivecs`` GT artifact (row q =
+    the k base ids, rank order) and/or parquet."""
+    from .operators import knn
+    from .sources import vecs_io
+
+    base = _vectors(spark, a.base)
+    queries = _vectors(spark, a.queries).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    gt = knn.exact_knn_combined(queries, base, k=a.k, metric=a.metric)
+    if a.out_parquet:
+        gt.write.mode("overwrite").parquet(a.out_parquet)
+        print(f"wrote {a.out_parquet}")
+    if a.out:
+        import numpy as np
+
+        rows = gt.select("qid", "rank", "id").collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(int(r.qid), {})[int(r.rank)] = int(r.id)
+        qids = sorted(by_q)
+        mat = np.array(
+            [[by_q[q][rk] for rk in range(1, a.k + 1)] for q in qids],
+            dtype=np.int32,
+        )
+        vecs_io.write_ivecs(a.out, mat)
+        print(f"wrote {a.out} ({mat.shape[0]} x {mat.shape[1]})")
+    return 0
+
+
 def cmd_profile(spark: SparkSession, a: argparse.Namespace) -> int:
     """Dataset-card report: one command composing the curation queries
     into a printed profile of a testdata-shaped directory (documents +
@@ -301,6 +358,26 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--results-dir", default=None)
     s.add_argument("--dataset", default="dataset")
     s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser(
+        "quality", help="self-trained learned quality scores for a corpus"
+    )
+    s.add_argument("data_dir", help="dir with documents.parquet")
+    s.add_argument("out", help="output parquet (doc_id, quality_score, quality_pred)")
+    s.add_argument("--threshold", type=float, default=None,
+                   help="override the 0.5 decision cut")
+    s.set_defaults(fn=cmd_quality)
+
+    s = sub.add_parser(
+        "gt", help="brute-force ground truth -> .ivecs/parquet (compute_gt.py)"
+    )
+    s.add_argument("base")
+    s.add_argument("queries")
+    s.add_argument("--k", type=int, default=100)
+    s.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"])
+    s.add_argument("--out", default=None, help=".ivecs GT file (qid-sorted rows)")
+    s.add_argument("--out-parquet", default=None, help="GT as (qid, rank, id, dist)")
+    s.set_defaults(fn=cmd_gt)
 
     s = sub.add_parser("stats", help="cluster-balance report")
     s.add_argument("index")

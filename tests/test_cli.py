@@ -189,3 +189,44 @@ def test_cli_profile(spark, tmp_path, capsys):
         assert f"== {section}" in out
     # the audit row is one CSV line with integer counters
     assert "n_docs" in out
+
+
+def test_cli_gt_writes_ivecs_and_parquet(spark, tmp_path, capsys):
+    """The compute_gt.py analog: distributed brute-force GT, exported as
+    the standard .ivecs artifact — round-tripped and checked against a
+    numpy brute-force computation."""
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((60, 8)).astype(np.float32)
+    base_pq = str(tmp_path / "b.parquet")
+    vecs_io.vectors_to_df(spark, mat).write.parquet(base_pq)
+    q_pq = str(tmp_path / "q.parquet")
+    spark.read.parquet(base_pq).where("id < 7").write.parquet(q_pq)
+    gt_file = str(tmp_path / "gt.ivecs")
+    gt_pq = str(tmp_path / "gt.parquet")
+    assert cli.main(
+        ["gt", base_pq, q_pq, "--k", "5", "--out", gt_file,
+         "--out-parquet", gt_pq]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "gt.ivecs (7 x 5)" in out
+    got = vecs_io.read_ivecs(gt_file)
+    # numpy reference: exact top-5 with (dist, id) tie order
+    d2 = ((mat[:7, None, :].astype(np.float64)
+           - mat[None, :, :].astype(np.float64)) ** 2).sum(axis=2)
+    order = np.lexsort((np.arange(60)[None, :].repeat(7, 0), d2), axis=1)[:, :5]
+    np.testing.assert_array_equal(got, order)
+    pq = spark.read.parquet(gt_pq)
+    assert pq.count() == 35 and set(pq.columns) == {"qid", "rank", "id", "dist"}
+
+
+def test_cli_quality_scores_corpus(spark, tmp_path, capsys):
+    from conftest import SF_SMOKE
+
+    out = str(tmp_path / "scored.parquet")
+    assert cli.main(["quality", SF_SMOKE, out]) == 0
+    printed = capsys.readouterr().out
+    assert "docs pass ->" in printed and "weights:" in printed
+    scored = spark.read.parquet(out)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert scored.count() == n_docs
+    assert set(scored.columns) == {"doc_id", "quality_score", "quality_pred"}
