@@ -379,15 +379,22 @@ def main() -> None:
         run_full(pipeline_clean_corpus(spark, sf_dir, scale=True))
         extras["pipeline_clean_corpus_scale_sec"] = round(time.perf_counter() - t0, 3)
         release_stray_state(baseline)
-        extras["pipeline_clean_corpus_scale_warm_sec"] = round(
-            median_warm(
-                lambda: run_full(pipeline_clean_corpus(spark, sf_dir, scale=True))
-            ),
-            3,
-        )
     except Exception as exc:
         print(f"bench: pipeline scale variant failed: {exc}", file=sys.stderr)
         extras["pipeline_clean_corpus_scale_sec"] = -1.0
+        ensure_alive()
+    if extras["pipeline_clean_corpus_scale_sec"] > 0:
+        try:  # separate: a warm-rep failure must not clobber the cold
+            extras["pipeline_clean_corpus_scale_warm_sec"] = round(
+                median_warm(
+                    lambda: run_full(pipeline_clean_corpus(spark, sf_dir, scale=True))
+                ),
+                3,
+            )
+        except Exception as exc:
+            print(f"bench: pipeline scale warm failed: {exc}", file=sys.stderr)
+            extras["pipeline_clean_corpus_scale_warm_sec"] = -1.0
+            ensure_alive()
 
     # ---- optional: full recall/QPS curve (BASELINE.md shape comparison) ----
     # Off by default to keep the driver's per-round bench fast; set

@@ -98,6 +98,11 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
     grid = [int(x) for x in a.grid.split(",")] if a.grid else None
     metric = meta.get("metric", "l2")
     probes_factory = None
+    if getattr(a, "amortized", False) and a.use_graph:
+        raise SystemExit(
+            "search: --amortized is incompatible with --use-graph "
+            "(graph probes carry no probe ranks)"
+        )
     if a.use_graph:
         from .operators import ivf
 
@@ -214,14 +219,10 @@ def cmd_quality(spark: SparkSession, a: argparse.Namespace) -> int:
     """Learned quality scoring over a documents table: self-train the LR
     classifier with the Gopher rule gate as weak label (or filter on a
     score threshold) and write (doc_id, quality_score, quality_pred)."""
-    from .operators import cleanops, quality_model
+    from .operators import quality_model
 
     docs = spark.read.parquet(f"{a.data_dir}/documents.parquet")
-    weak = cleanops.gopher_filter(docs).select(
-        "doc_id", F.col("keep").cast("int").alias("label")
-    )
-    model = quality_model.train_quality_classifier(docs.join(weak, on="doc_id"))
-    scored = quality_model.score_quality(model, docs, threshold=a.threshold)
+    scored, model = quality_model.self_train_and_score(docs, threshold=a.threshold)
     scored.write.mode("overwrite").parquet(a.out)
     kept = spark.read.parquet(a.out).where("quality_pred = 1").count()
     total = docs.count()
@@ -241,11 +242,18 @@ def cmd_gt(spark: SparkSession, a: argparse.Namespace) -> int:
     from .operators import knn
     from .sources import vecs_io
 
+    if not a.out and not a.out_parquet:
+        raise SystemExit("gt: give --out and/or --out-parquet (nothing to write)")
     base = _vectors(spark, a.base)
     queries = _vectors(spark, a.queries).select(
         F.col("id").alias("qid"), F.col("vec").alias("qvec")
     )
-    gt = knn.exact_knn_combined(queries, base, k=a.k, metric=a.metric)
+    # a base smaller than k yields exactly n_base ranks per query — clamp
+    # so the .ivecs matrix build below can't hit a missing rank
+    kk = min(a.k, base.count())
+    if kk < a.k:
+        print(f"gt: base has only {kk} vectors; clamping k {a.k} -> {kk}")
+    gt = knn.exact_knn_combined(queries, base, k=kk, metric=a.metric)
     if a.out_parquet:
         gt.write.mode("overwrite").parquet(a.out_parquet)
         print(f"wrote {a.out_parquet}")
@@ -258,7 +266,7 @@ def cmd_gt(spark: SparkSession, a: argparse.Namespace) -> int:
             by_q.setdefault(int(r.qid), {})[int(r.rank)] = int(r.id)
         qids = sorted(by_q)
         mat = np.array(
-            [[by_q[q][rk] for rk in range(1, a.k + 1)] for q in qids],
+            [[by_q[q][rk] for rk in range(1, kk + 1)] for q in qids],
             dtype=np.int32,
         )
         vecs_io.write_ivecs(a.out, mat)

@@ -139,13 +139,14 @@ def nprobe_sweep(
                     )
                 res.persist().count()
                 walls.append(time.perf_counter() - t0)
-                if sweep_pool is not None and _r < rounds - 1:
-                    # amortized mode reuses ONE DataFrame per grid point:
-                    # drop its result cache between rounds so later
-                    # rounds re-execute phase-2 from the scored pool (the
-                    # amortized steady state) instead of free-scanning
-                    # round 1's cached result, which would inflate QPS by
-                    # up to rounds× (review r5)
+                if _r < rounds - 1:
+                    # drop the result cache between rounds — in amortized
+                    # mode `res` is ONE DataFrame per grid point, and in
+                    # per-point mode identical plans can still hit the
+                    # CacheManager's plan matching — either way later
+                    # rounds would free-scan round 1's cached result and
+                    # inflate QPS by up to rounds× (review r5); this also
+                    # stops rounds−1 cached frames leaking per grid point
                     res.unpersist(blocking=True)
             rec = (
                 metrics.recall_per_query(res, gt, k)

@@ -9,11 +9,12 @@ Design for Spark:
   (``xxhash64`` — stays in whole-stage codegen), and an Arrow
   ``mapInPandas`` stage folds each partition into ONE bitmap row
   (``m/8`` bytes) with vectorized double hashing; the per-partition
-  bitmaps are OR-reduced on EXECUTORS via ``treeReduce`` — the driver
-  receives a handful of already-merged bitmaps (one per tree root),
-  never ``n_partitions × m/8`` bytes, so the build stays inside
-  ``spark.driver.maxResultSize`` even at the 10⁹-key/1.2 GB sizing
-  below (ADVICE r4).  Nothing row-at-a-time, and no stage ever sees
+  bitmaps are OR-reduced on EXECUTORS via a coalesce-and-fold chain
+  (ADVICE r4) — exactly ONE merged bitmap (the return value itself)
+  crosses to the driver, never ``n_partitions × m/8`` bytes.  Returning
+  a >1 GB filter still requires ``spark.driver.maxResultSize`` (and
+  driver RAM) sized for that one bitmap — see the sizing note in
+  :func:`build_bloom`.  Nothing row-at-a-time, and no stage ever sees
   the keys themselves.
 - **Probe** broadcasts the bitmap once and filters an incoming batch
   with the same vectorized double hashing — per-batch cost is O(batch),
@@ -29,8 +30,10 @@ Design for Spark:
 Sizing: m = ceil(-n·ln(p)/ln²2) bits, k = round(m/n·ln 2) — at 10⁹
 content hashes and p = 1%, the bitmap is ~1.2 GB: broadcastable, the
 standard trade for skipping a corpus-sized join per ingest batch.
-(Band-key blooms are 8× that many keys; size p accordingly or gate on
-the exact-hash tier only at extreme scale.)
+At that size raise ``spark.driver.maxResultSize`` (default 1g) above
+the bitmap size — the ONE merged bitmap the build returns must cross
+to the driver.  (Band-key blooms are 8× that many keys; size p
+accordingly or gate on the exact-hash tier only at extreme scale.)
 """
 
 from __future__ import annotations
@@ -108,26 +111,37 @@ def build_bloom(
     # OR-reduce on executors: collecting one m/8-byte bitmap PER PARTITION
     # to the driver is n_partitions × bitmap through collect() — at the
     # advertised 10⁹-key sizing that exceeds driver.maxResultSize.  A
-    # treeReduce merges partials executor-side; the driver only folds the
-    # tree roots.  (Each partition yields exactly one row — to_bitmap
-    # emits a zero bitmap even for empty partitions — so the RDD is
-    # non-empty whenever df has ≥1 partition.)
-    rdd = bitmaps.rdd.map(lambda r: bytes(r["bitmap"]))
-    nparts = max(1, rdd.getNumPartitions())
-
-    def _or_bytes(a: bytes, b: bytes) -> bytes:
+    # coalesce-and-fold chain merges partials executor-side (coalesce
+    # without shuffle co-locates ~8 partials per task, the fold ORs them
+    # in place) until ONE partition remains, so exactly one bitmap — the
+    # return value itself, the theoretical minimum — crosses to the
+    # driver.  (Each input partition yields exactly one row: to_bitmap
+    # emits a zero bitmap even for empty partitions.)  Sizing note: that
+    # final bitmap still counts against spark.driver.maxResultSize, so
+    # bitmaps over ~1 GB (m ≳ 8×10⁹ bits ≈ 7×10⁸ keys at p=1%) need
+    # maxResultSize raised alongside driver RAM — inherent to returning
+    # the filter, not to the build.
+    def _or_partition(it):
         import numpy as np
 
-        return (
-            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
-        ).tobytes()
+        acc = None
+        for b in it:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            acc = arr.copy() if acc is None else acc | arr
+        return [acc.tobytes()] if acc is not None else []
 
-    depth = max(2, int(math.ceil(math.log(nparts, 4)))) if nparts > 1 else 2
-    try:
-        acc_bytes = rdd.treeReduce(_or_bytes, depth=depth)
-    except ValueError:  # empty RDD (df had zero partitions)
-        acc_bytes = np.zeros(n_bytes, dtype=np.uint8).tobytes()
-    return {"m": m, "k": k, "bitmap": acc_bytes}
+    rdd = bitmaps.rdd.map(lambda r: bytes(r["bitmap"]))
+    while rdd.getNumPartitions() > 1:
+        rdd = rdd.coalesce(
+            max(1, rdd.getNumPartitions() // 8)
+        ).mapPartitions(_or_partition)
+    parts = rdd.collect()
+    if not parts:  # zero-partition input
+        return {"m": m, "k": k, "bitmap": np.zeros(n_bytes, dtype=np.uint8).tobytes()}
+    acc = np.frombuffer(parts[0], dtype=np.uint8).copy()
+    for p in parts[1:]:  # single-partition RDDs skip the loop entirely
+        acc |= np.frombuffer(p, dtype=np.uint8)
+    return {"m": m, "k": k, "bitmap": acc.tobytes()}
 
 
 def bloom_prefilter(df: DataFrame, bloom: dict, cols: list[str]) -> DataFrame:

@@ -182,6 +182,27 @@ def score_quality(
     return scored
 
 
+def self_train_and_score(
+    docs: DataFrame,
+    id_: str = "doc_id",
+    text: str = "text",
+    threshold: float | None = None,
+):
+    """The no-labels bootstrap used by both the registered query and the
+    CLI (one definition so they can't diverge): weak-label every doc
+    with the Gopher rule gate (the standard move when no hand-labeled
+    seed set ships with a corpus), fit the LR, score everything back.
+    Returns (scored DataFrame, fitted model)."""
+    from .cleanops import gopher_filter
+
+    d = docs if id_ == "doc_id" else docs.withColumnRenamed(id_, "doc_id")
+    weak = gopher_filter(d, text=text).select(
+        "doc_id", F.col("keep").cast("int").alias("label")
+    )
+    model = train_quality_classifier(d.join(weak, on="doc_id"), text=text)
+    return score_quality(model, d, text=text, threshold=threshold), model
+
+
 def explain_model(model) -> dict:
     """Auditable coefficients: {feature: standardized weight} + intercept.
     Linear-model transparency is the point — a curation decision can be

@@ -89,10 +89,5 @@ def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a JVM transform — no Python anywhere."""
     from ..operators import quality_model
 
-    docs = _docs(spark, sf_dir)
-    weak = cleanops.gopher_filter(docs).select(
-        "doc_id", F.col("keep").cast("int").alias("label")
-    )
-    labeled = docs.join(weak, on="doc_id")
-    model = quality_model.train_quality_classifier(labeled)
-    return quality_model.score_quality(model, docs)
+    scored, _model = quality_model.self_train_and_score(_docs(spark, sf_dir))
+    return scored
