@@ -123,6 +123,21 @@ def main() -> None:
         except Exception:
             pass
 
+    def recycle_session() -> None:
+        # Heavy extras measure in a FRESH JVM: NOTES milestone 18 measured
+        # ~3× per-query overstatement from accumulated heap/GC state after
+        # ~40 sequential queries, and isolated re-runs of the ANN dedup
+        # show warm reps 2-3× FASTER than cold while the same reps inside
+        # the accumulated bench JVM invert (warm > cold).  The restart is
+        # untimed; per-query numbers then match isolated-session runs.
+        nonlocal spark
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        spark = get_spark("exrabitq-bench", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+
     def timed(name: str, fn) -> None:
         nonlocal total
         baseline = _persistent_ids()
@@ -292,6 +307,7 @@ def main() -> None:
     # was pure cold-sample noise) — the warm median is the comparable
     # figure. ----
     WARM_SKIP_SEC = float(os.environ.get("SPARK_GRAFT_WARM_SKIP_SEC", "45"))
+    recycle_session()  # isolate the heavy compositions from the JVM state
     for name in EXTRA_QUERIES:
         if name in qmap:
             baseline = _persistent_ids()
@@ -337,6 +353,7 @@ def main() -> None:
         ensure_alive()
 
     # ---- extras: the full relational catalogue (all 22 TPC-H shapes) ----
+    recycle_session()  # fresh JVM for the suite (same isolation rationale)
     # Cache the five dimension tables once for the suite (VERDICT r4
     # item 5): every query re-reads its dims from parquet otherwise.
     # Catalyst's CacheManager substitutes the cached InMemoryRelation
