@@ -222,7 +222,14 @@ def cmd_quality(spark: SparkSession, a: argparse.Namespace) -> int:
     from .operators import quality_model
 
     docs = spark.read.parquet(f"{a.data_dir}/documents.parquet")
-    scored, model = quality_model.self_train_and_score(docs, threshold=a.threshold)
+    if a.model:  # pre-trained: score only, no weak-label bootstrap
+        model = quality_model.load_model(a.model)
+        scored = quality_model.score_quality(model, docs, threshold=a.threshold)
+    else:
+        scored, model = quality_model.self_train_and_score(docs, threshold=a.threshold)
+    if a.save_model:
+        quality_model.save_model(model, a.save_model)
+        print(f"saved model -> {a.save_model}")
     scored.write.mode("overwrite").parquet(a.out)
     kept = spark.read.parquet(a.out).where("quality_pred = 1").count()
     total = docs.count()
@@ -374,6 +381,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("out", help="output parquet (doc_id, quality_score, quality_pred)")
     s.add_argument("--threshold", type=float, default=None,
                    help="override the 0.5 decision cut")
+    s.add_argument("--save-model", default=None,
+                   help="persist the fitted pipeline for reuse")
+    s.add_argument("--model", default=None,
+                   help="score with a previously saved model (skips the "
+                        "weak-label self-training)")
     s.set_defaults(fn=cmd_quality)
 
     s = sub.add_parser(

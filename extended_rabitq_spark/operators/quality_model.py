@@ -203,6 +203,19 @@ def self_train_and_score(
     return score_quality(model, d, text=text, threshold=threshold), model
 
 
+def save_model(model, path: str) -> None:
+    """Persist the fitted pipeline (MLlib parquet metadata — tiny: the
+    scaler stats + d+1 coefficients).  Train once at curation time,
+    load on any cluster and score with no retrain."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str):
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
+
+
 def explain_model(model) -> dict:
     """Auditable coefficients: {feature: standardized weight} + intercept.
     Linear-model transparency is the point — a curation decision can be

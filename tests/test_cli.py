@@ -230,3 +230,18 @@ def test_cli_quality_scores_corpus(spark, tmp_path, capsys):
     n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert scored.count() == n_docs
     assert set(scored.columns) == {"doc_id", "quality_score", "quality_pred"}
+
+
+def test_cli_quality_model_save_and_reuse(spark, tmp_path, capsys):
+    from conftest import SF_SMOKE
+
+    out1 = str(tmp_path / "s1.parquet")
+    out2 = str(tmp_path / "s2.parquet")
+    mpath = str(tmp_path / "qm")
+    assert cli.main(["quality", SF_SMOKE, out1, "--save-model", mpath]) == 0
+    assert "saved model ->" in capsys.readouterr().out
+    # rescore with the saved model: identical output, no retrain
+    assert cli.main(["quality", SF_SMOKE, out2, "--model", mpath]) == 0
+    a = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b

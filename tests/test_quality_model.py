@@ -99,3 +99,18 @@ class TestQualityModel:
         rows = df.collect()
         assert len(rows) == n_docs
         assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+
+    def test_model_persistence_roundtrip(self, spark, tmp_path):
+        """save/load: a reloaded model scores bit-identically — the
+        train-once / serve-anywhere contract."""
+        from extended_rabitq_spark.operators import quality_model as qm
+
+        corpus = _corpus(spark, 20, 20)
+        model = qm.train_quality_classifier(corpus)
+        path = str(tmp_path / "qmodel")
+        qm.save_model(model, path)
+        reloaded = qm.load_model(path)
+        a = sorted(map(tuple, qm.score_quality(model, corpus).collect()))
+        b = sorted(map(tuple, qm.score_quality(reloaded, corpus).collect()))
+        assert a == b
+        assert qm.explain_model(reloaded) == qm.explain_model(model)
