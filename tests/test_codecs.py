@@ -255,3 +255,52 @@ class TestRealCodecsThroughSpark:
         dec = (samples + 32768) / 256.0
         hist, _ = np.histogram(dec, bins=8, range=(0, 256))
         np.testing.assert_allclose(row.feat, (hist / dec.size).astype(np.float32))
+
+
+class TestDecoderProperties:
+    """Hypothesis fuzz: decode(encode(x)) == x over random shapes,
+    contents, and PNG filter sequences."""
+
+    def test_png_roundtrip_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(1, 24), w=st.integers(1, 24),
+            ch=st.sampled_from([1, 2, 3, 4]),
+            seed=st.integers(0, 2**31 - 1),
+            data=st.data(),
+        )
+        def check(h, w, ch, seed, data):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            if ch == 1:  # only drop the CHANNEL dim (squeeze() would also
+                img = img[:, :, 0]  # collapse h=1/w=1 and break the encoder)
+            filters = data.draw(
+                st.lists(st.integers(0, 4), min_size=h, max_size=h)
+            )
+            got = codecs.decode_png(encode_png(img, filters))
+            np.testing.assert_array_equal(got, img)
+
+        check()
+
+    def test_pnm_bmp_wav_roundtrip_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(h=st.integers(1, 16), w=st.integers(1, 16),
+               seed=st.integers(0, 2**31 - 1))
+        def check(h, w, seed):
+            rng = np.random.default_rng(seed)
+            rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            np.testing.assert_array_equal(codecs.decode_pnm(encode_ppm(rgb)), rgb)
+            np.testing.assert_array_equal(codecs.decode_pnm(encode_ppm(gray)), gray)
+            np.testing.assert_array_equal(codecs.decode_bmp(encode_bmp(rgb)), rgb)
+            n = int(rng.integers(1, 200))
+            pcm = rng.integers(-32768, 32767, size=n, dtype=np.int64)
+            np.testing.assert_allclose(
+                codecs.decode_wav(encode_wav(pcm)), (pcm + 32768) / 256.0
+            )
+
+        check()
