@@ -44,6 +44,9 @@ EXTRA_QUERIES = [
     # and the quality gate are map-only and too cheap to be informative)
     "dedup_lines",
     "tfidf_top_terms",
+    # round-5: the learned quality filter — weak-label bootstrap + MLlib
+    # L-BFGS fit + map-only JVM scoring, end-to-end
+    "quality_classifier_score",
 ]
 
 
