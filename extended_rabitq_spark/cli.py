@@ -215,6 +215,21 @@ def cmd_clean_corpus(spark: SparkSession, a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest_docs(spark: SparkSession, a: argparse.Namespace) -> int:
+    """JSONL corpus (plain/.gz/...) → canonical documents parquet."""
+    from .sources.corpus_io import read_jsonl_docs
+
+    docs = read_jsonl_docs(
+        spark, a.src, text_field=a.text_field, id_field=a.id_field,
+        lang_field=a.lang_field, source_field=a.source_field,
+        default_source=a.default_source,
+    )
+    docs.write.mode("overwrite").parquet(a.out)
+    n = spark.read.parquet(a.out).count()
+    print(f"ingested {n} documents -> {a.out}")
+    return 0
+
+
 def cmd_quality(spark: SparkSession, a: argparse.Namespace) -> int:
     """Learned quality scoring over a documents table: self-train the LR
     classifier with the Gopher rule gate as weak label (or filter on a
@@ -373,6 +388,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--results-dir", default=None)
     s.add_argument("--dataset", default="dataset")
     s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser(
+        "ingest-docs", help="JSONL corpus (plain/.gz) -> documents parquet"
+    )
+    s.add_argument("src", help="file/dir/glob of *.jsonl[.gz]")
+    s.add_argument("out")
+    s.add_argument("--text-field", default="text")
+    s.add_argument("--id-field", default=None)
+    s.add_argument("--lang-field", default=None)
+    s.add_argument("--source-field", default=None)
+    s.add_argument("--default-source", default="jsonl")
+    s.set_defaults(fn=cmd_ingest_docs)
 
     s = sub.add_parser(
         "quality", help="self-trained learned quality scores for a corpus"

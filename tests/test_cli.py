@@ -245,3 +245,23 @@ def test_cli_quality_model_save_and_reuse(spark, tmp_path, capsys):
     a = sorted(map(tuple, spark.read.parquet(out1).collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b
+
+
+def test_cli_ingest_docs(spark, tmp_path, capsys):
+    import gzip as _gzip
+    import json as _json
+
+    src = str(tmp_path / "c.jsonl.gz")
+    with _gzip.open(src, "wb") as fh:
+        fh.write(b"\n".join(
+            _json.dumps({"text": f"doc number {i} body", "language": "en"}).encode()
+            for i in range(12)
+        ))
+    out = str(tmp_path / "docs.parquet")
+    assert cli.main(
+        ["ingest-docs", src, out, "--lang-field", "language"]
+    ) == 0
+    assert "ingested 12 documents" in capsys.readouterr().out
+    df = spark.read.parquet(out)
+    assert df.count() == 12
+    assert set(df.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
