@@ -863,6 +863,73 @@ def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, di
     return codes, centroids, meta
 
 
+def search_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    rerank_base: DataFrame | None = None,
+    qid: str = "qid",
+    qvec: str = "qvec",
+    use_graph: bool | None = None,
+    **search_kw,
+) -> DataFrame:
+    """One-call serving over a saved index (SURVEY §4.1a sugar):
+    ``search_index(spark, path, queries)`` loads the artifacts and runs
+    :func:`rabitq_search` with the index's OWN recorded defaults.
+
+    - ``nprobe``: defaults to the persisted ``tuned_nprobe`` (written by
+      ``search --target-recall --save-tuned``); warns when the recorded
+      tune missed its target (``tuned_target_met`` false); falls back to
+      ``max(1, K/16)`` — the reference's published operating points
+      cluster around nprobe ≈ K/1000..K/100, but an untuned index gets a
+      recall-leaning default.
+    - ``use_graph``: ``None`` auto-detects the persisted ``<path>/graph``
+      W2 artifact and routes probe selection through beam search, the
+      same decision the reference makes by K at build time
+      (inc/index/IVF.hpp:157-161); ``False`` forces exact W1 probes.
+    - any :func:`rabitq_search` knob passes through (``refine``,
+      ``estimator``, ``scorer``...).
+    """
+    import warnings
+
+    codes, cents_full, meta = load_index(spark, path)
+    if nprobe is None:
+        nprobe = meta.get("tuned_nprobe")
+        if nprobe is not None and not meta.get("tuned_target_met", True):
+            warnings.warn(
+                f"search_index({path}): persisted tuned_nprobe={nprobe} "
+                f"missed its recall target "
+                f"(tuned_recall={meta.get('tuned_recall')}, "
+                f"tuned_target={meta.get('tuned_target')}) — re-tune or "
+                "pass nprobe explicitly",
+                stacklevel=2,
+            )
+        if nprobe is None:
+            nprobe = max(1, cents_full.count() // 16)
+    probes = None
+    if use_graph is None:
+        use_graph = os.path.isdir(f"{path}/graph")
+    if use_graph:
+        from . import ivf
+
+        graph = ivf.load_centroid_graph(spark, path)
+        # probes computed in the saved graph's geometry (same move as the
+        # CLI's --use-graph path); emitted with canonical qid — the
+        # original queries pass through rabitq_search untouched
+        gq = prepare_queries_for_metric(
+            queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec")),
+            meta,
+        )
+        probes = ivf.graph_probes(gq, graph, int(nprobe))
+    return rabitq_search(
+        queries, codes, cents_full, meta, nprobe=int(nprobe), k=k,
+        rerank_base=rerank_base, qid=qid, qvec=qvec, probes=probes,
+        **search_kw,
+    )
+
+
 # --------------------------------------------------------------------------
 # Search (E1/E2/E3 + W1/J3/W3)
 # --------------------------------------------------------------------------

@@ -1380,3 +1380,54 @@ def test_range_search_metric_handling(spark):
         rabitq.rabitq_range_search(
             queries, idx2, cf2, meta2, radius2=1.0, nprobe=4, rerank_base=base
         )
+
+
+class TestSearchIndexSugar:
+    def test_search_index_uses_tuned_default_and_graph(self, spark, tmp_path):
+        """One-call serving: search_index loads the artifacts, defaults
+        nprobe to the persisted tuned value, auto-detects the graph, and
+        equals the explicit composition; tuned_target_met=false warns."""
+        import json as _json
+        import warnings
+
+        import pyspark.sql.functions as F
+
+        from extended_rabitq_spark.operators import ivf, rabitq
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        path = str(tmp_path / "srvidx")
+        cents = cents_full.select("cluster_id", "centroid")
+        rabitq.save_index(idx, cents, meta, path)
+        with open(f"{path}/meta.json") as fh:
+            m = _json.load(fh)
+        m["tuned_nprobe"] = 3
+        m["tuned_target_met"] = True
+        with open(f"{path}/meta.json", "w") as fh:
+            _json.dump(m, fh)
+
+        got = rabitq.search_index(spark, path, qs, k=5)
+        codes2, cf2, m2 = rabitq.load_index(spark, path)
+        exp = rabitq.rabitq_search(qs, codes2, cf2, m2, nprobe=3, k=5)
+        _assert_rank_identical(_res_map(got), _res_map(exp))
+
+        # unmet tune target → warning, still serves
+        m["tuned_target_met"] = False
+        m["tuned_recall"] = 0.4
+        m["tuned_target"] = 0.9
+        with open(f"{path}/meta.json", "w") as fh:
+            _json.dump(m, fh)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            rabitq.search_index(spark, path, qs, k=5).count()
+        assert any("missed its recall target" in str(x.message) for x in w)
+
+        # graph auto-detection: persist the W2 artifact, expect the same
+        # results on this fixture (K=4-ish: beam search is exhaustive)
+        graph = ivf.build_centroid_graph(cents, M=4)
+        ivf.save_centroid_graph(spark, graph, path)
+        got_g = rabitq.search_index(spark, path, qs, k=5)
+        _assert_rank_identical(_res_map(got_g), _res_map(exp))
+        # forcing exact probes still works with the artifact present
+        got_ng = rabitq.search_index(spark, path, qs, k=5, use_graph=False)
+        _assert_rank_identical(_res_map(got_ng), _res_map(exp))
+        idx.unpersist()
