@@ -242,12 +242,12 @@ def main() -> None:
     # Comparable figure: the two standalone searches above pay the
     # candidate scoring twice; the target is sweep < 1.5× single-np6.
     def run_sweep() -> None:
-        res = rabitq.rabitq_search_sweep(
+        res, scored_pool = rabitq.rabitq_search_sweep(
             bench_queries, index_df, cents_full, meta, nprobes=[3, 6], k=10
         )
         for np_ in (3, 6):
             res[np_].write.format("noop").mode("overwrite").save()
-        res["_scored"].unpersist()
+        scored_pool.unpersist()
 
     baseline = _persistent_ids()
     t0 = time.perf_counter()
@@ -421,16 +421,34 @@ def main() -> None:
     # SPARK_GRAFT_SWEEP=1 to append the swept curve.
     if os.environ.get("SPARK_GRAFT_SWEEP"):
         from extended_rabitq_spark import harness
+        from extended_rabitq_spark.operators import ivf as ivf_ops
+        from extended_rabitq_spark.operators import rabitq as rabitq_ops
 
+        # the earlier frames belong to a session recycle_session() has
+        # stopped — rebuild on the CURRENT session (the seeded build is
+        # deterministic, so this is the same index)
+        emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base2 = emb2.where(F.col("vec_id") >= NQ).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cents2 = ivf_ops.label_centroids(emb2.where(F.col("vec_id") >= NQ))
+        index2, meta2 = rabitq_ops.build_index(base2, cents2, total_bits=4)
+        index2 = index2.persist()
+        index2.count()
+        queries2 = (
+            emb2.where(F.col("vec_id") >= NQ)
+            .limit(500)
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        )
         rows = harness.nprobe_sweep(
-            bench_queries,
-            base,
-            cents,
+            queries2,
+            base2,
+            cents2,
             k=10,
             mode="rabitq",
-            index_df=index_df,
-            centroids_full=cents_full,
-            meta=meta,
+            index_df=index2,
+            centroids_full=rabitq_ops.centroids_with_rotation(spark, cents2, meta2),
+            meta=meta2,
         )
         results_dir = os.environ.get("SPARK_GRAFT_RESULTS_DIR")
         if results_dir:

@@ -275,24 +275,33 @@ def cmd_gt(spark: SparkSession, a: argparse.Namespace) -> int:
     kk = min(a.k, base.count())
     if kk < a.k:
         print(f"gt: base has only {kk} vectors; clamping k {a.k} -> {kk}")
-    gt = knn.exact_knn_combined(queries, base, k=kk, metric=a.metric)
-    if a.out_parquet:
-        gt.write.mode("overwrite").parquet(a.out_parquet)
-        print(f"wrote {a.out_parquet}")
-    if a.out:
-        import numpy as np
+    # persist: both sinks materialize the same brute-force scan — without
+    # it the parquet write and the ivecs collect each recompute the full
+    # exact kNN (review r5)
+    gt = knn.exact_knn_combined(queries, base, k=kk, metric=a.metric).persist()
+    try:
+        if a.out_parquet:
+            gt.write.mode("overwrite").parquet(a.out_parquet)
+            print(f"wrote {a.out_parquet}")
+        if a.out:
+            import numpy as np
 
-        rows = gt.select("qid", "rank", "id").collect()
-        by_q: dict = {}
-        for r in rows:
-            by_q.setdefault(int(r.qid), {})[int(r.rank)] = int(r.id)
-        qids = sorted(by_q)
-        mat = np.array(
-            [[by_q[q][rk] for rk in range(1, kk + 1)] for q in qids],
-            dtype=np.int32,
-        )
-        vecs_io.write_ivecs(a.out, mat)
-        print(f"wrote {a.out} ({mat.shape[0]} x {mat.shape[1]})")
+            rows = gt.select("qid", "rank", "id").collect()
+            if not rows:
+                print(f"gt: query set is empty — skipping {a.out}")
+                return 0
+            by_q: dict = {}
+            for r in rows:
+                by_q.setdefault(int(r.qid), {})[int(r.rank)] = int(r.id)
+            qids = sorted(by_q)
+            mat = np.array(
+                [[by_q[q][rk] for rk in range(1, kk + 1)] for q in qids],
+                dtype=np.int32,
+            )
+            vecs_io.write_ivecs(a.out, mat)
+            print(f"wrote {a.out} ({mat.shape[0]} x {mat.shape[1]})")
+    finally:
+        gt.unpersist()
     return 0
 
 

@@ -101,7 +101,7 @@ def nprobe_sweep(
                 "nprobe_sweep: amortized=True requires mode='rabitq' "
                 "without probes_factory"
             )
-        sweep_pool = rabitq_ops.rabitq_search_sweep(
+        sweep_pool, sweep_scored = rabitq_ops.rabitq_search_sweep(
             queries, index_df, centroids_full, meta,
             nprobes=list(grid), k=k, estimator=estimator,
         )
@@ -202,7 +202,7 @@ def nprobe_sweep(
         if indexed is not None:
             indexed.unpersist()
         if sweep_pool is not None:
-            sweep_pool["_scored"].unpersist()
+            sweep_scored.unpersist()
     return out
 
 

@@ -271,8 +271,10 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
         ≥64-sample 1-D signal (audio) bucket-averages into 64 segments.
         Channels collapse first: gray+alpha (C=2) keeps the gray plane,
         color (C=3/4) averages RGB, stereo-ish 2-D signals (width < 8)
-        mix down.  Anything smaller raises — silently hashing a corner
-        of a big decode would quietly gut near-dup recall (ADVICE r4)."""
+        mix down.  Tiny-but-valid decodes (<64 values) zero-pad; only an
+        EMPTY decode raises.  Oversized decodes never truncate —
+        silently hashing a corner of a big decode would quietly gut
+        near-dup recall (ADVICE r4)."""
         arr = raw.astype(np.float64)
         if arr.ndim == 3:  # H×W×C image → gray plane
             if arr.shape[-1] == 2:  # gray + alpha (e.g. PNG color type 4)
@@ -292,9 +294,16 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             ).ravel()
         if arr.ndim == 1 and arr.size >= 64:
             return np.array([seg.mean() for seg in np.array_split(arr, 64)])
+        if 0 < arr.size < 64:
+            # tiny-but-valid media (tracking pixels, favicons, sub-64-
+            # sample clips) hash via deterministic zero-pad — a poison
+            # row must not abort a corpus-wide mapInPandas job (review
+            # r5); the ADVICE-r4 strictness applies to OVERSIZED decodes
+            # (silent truncation), which block/bucket-average above.
+            return np.pad(arr.ravel(), (0, 64 - arr.size))
         raise ValueError(
-            f"perceptual_hash decoder contract: expected ≥64 values "
-            f"(image ≥8×8 or 1-D signal ≥64), got shape {raw.shape}"
+            f"perceptual_hash decoder contract: expected a non-empty "
+            f"image or 1-D signal, got shape {raw.shape}"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

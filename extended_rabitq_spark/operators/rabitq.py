@@ -1591,8 +1591,9 @@ def rabitq_search_sweep(
     scorer: str = "arrow",
     estimator: str = "searcher",
     broadcast_max_queries: int = 4096,
-) -> dict[int, DataFrame]:
-    """Amortized nprobe sweep → {nprobe: (qid, rank, id, est_dist)}.
+) -> tuple[dict[int, DataFrame], DataFrame]:
+    """Amortized nprobe sweep →
+    ``({nprobe: (qid, rank, id, est_dist)}, scored_pool)``.
 
     A naive sweep re-runs the whole search per grid point, paying the
     candidate scoring (the dominant cost) G times; the reference
@@ -1610,9 +1611,9 @@ def rabitq_search_sweep(
     rows whose probe rank clears that point — so each returned frame is
     row-identical to the standalone search at that nprobe.
 
-    The pool is ``.persist()``-ed; callers that keep the session hot
-    should ``unpersist`` it via the ``_scored`` key's DataFrame (also
-    returned) once every grid point is materialized.
+    The pool (second return value) is ``.persist()``-ed; callers that
+    keep the session hot should ``unpersist`` it once every grid point
+    is materialized.
     """
     if not nprobes:
         raise ValueError("rabitq_search_sweep: empty nprobe grid")
@@ -1641,8 +1642,7 @@ def rabitq_search_sweep(
     for np_ in sorted(set(int(n) for n in nprobes)):
         pool = scored.where(F.col("probe_rank") <= np_).drop("probe_rank")
         out[np_] = _finalize_topk(pool, queries, k, refine, rerank_base, qid, qvec)
-    out["_scored"] = scored  # handle for caller-side unpersist
-    return out
+    return out, scored
 
 
 def rabitq_range_search(

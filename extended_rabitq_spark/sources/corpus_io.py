@@ -58,7 +58,13 @@ def read_jsonl_docs(
         else F.lit(default_source)
     )
     if id_field:
-        doc_id = F.col(id_field).cast("bigint")
+        # numeric upstream ids pass through; string ids (UUIDs,
+        # "doc-00017", ... — common in crawl shards) hash to a stable
+        # 64-bit id instead of silently casting to NULL (review r5)
+        doc_id = F.coalesce(
+            F.col(id_field).try_cast("bigint"),  # ANSI: plain cast raises
+            F.xxhash64(F.col(id_field)),
+        )
     else:
         doc_id = F.xxhash64(src, F.col(text_field))
     return raw.select(

@@ -72,3 +72,20 @@ def test_upstream_id_field_kept(spark, tmp_path):
     _write_jsonl(p, [{"text": "a b c", "uid": 77}, {"text": "d e f", "uid": 9}])
     docs = read_jsonl_docs(spark, p, id_field="uid")
     assert {r.doc_id for r in docs.collect()} == {77, 9}
+
+
+def test_string_id_field_hashes_instead_of_nulling(spark, tmp_path):
+    """String upstream ids (UUIDs, 'doc-00017') must map to stable
+    non-null hash ids, not NULL via a silent bigint cast (review r5)."""
+    p = str(tmp_path / "sids.jsonl")
+    _write_jsonl(p, [{"text": "a b c", "id": "doc-00017"},
+                     {"text": "d e f", "id": "doc-00018"},
+                     {"text": "g h i", "id": 42}])
+    docs = read_jsonl_docs(spark, p, id_field="id")
+    rows = {r.text: r.doc_id for r in docs.collect()}
+    assert None not in rows.values()
+    assert rows["g h i"] == 42  # numeric ids still pass through
+    again = {r.text: r.doc_id for r in read_jsonl_docs(
+        spark, p, id_field="id").collect()}
+    assert again == rows  # stable across re-reads
+    assert len(set(rows.values())) == 3

@@ -180,12 +180,28 @@ class TestPerceptualHash:
         w = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
         assert got.phash == int((bits * w).sum(dtype=np.uint64).astype(np.int64))
 
-        def bad(content: bytes) -> np.ndarray:
-            return np.zeros(32)
+        # tiny-but-valid decodes zero-pad to 64 (a 2×2 tracking pixel
+        # must not abort a corpus-wide job); an EMPTY decode raises
+        def tiny(content: bytes) -> np.ndarray:
+            return np.arange(4, dtype=np.float64)  # 2×2 "image", raveled
 
-        multimodal.register_decoder("badimg", bad)
+        multimodal.register_decoder("tinyimg", tiny)
+        media_tiny = spark.createDataFrame(
+            [(1, "tinyimg", bytearray(b"x"))],
+            "media_id long, kind string, content binary",
+        )
+        (row,) = multimodal.perceptual_hash(media_tiny).collect()
+        padded = np.pad(np.arange(4, dtype=np.float64), (0, 60))
+        bits = (padded > padded.mean()).astype(np.uint64)
+        w64 = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+        assert row.phash == int((bits * w64).sum(dtype=np.uint64).astype(np.int64))
+
+        def empty(content: bytes) -> np.ndarray:
+            return np.zeros(0)
+
+        multimodal.register_decoder("emptyimg", empty)
         media_bad = spark.createDataFrame(
-            [(1, "badimg", bytearray(b"x"))],
+            [(1, "emptyimg", bytearray(b"x"))],
             "media_id long, kind string, content binary",
         )
         import pytest as _pytest

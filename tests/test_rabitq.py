@@ -615,7 +615,7 @@ class TestCogroupScorer:
 
         base, qs, idx, cents_full, meta = _search_fixture(spark)
         for scorer in ("arrow_broadcast", "arrow_cogroup"):
-            res = rabitq.rabitq_search_sweep(
+            res, scored_pool = rabitq.rabitq_search_sweep(
                 qs, idx, cents_full, meta, nprobes=[2, 4], k=5,
                 refine=4, rerank_base=base, scorer=scorer,
             )
@@ -627,7 +627,7 @@ class TestCogroupScorer:
                 _assert_rank_identical(
                     _res_map(res[np_]), _res_map(single), tol=1e-9
                 )
-            res["_scored"].unpersist()
+            scored_pool.unpersist()
         idx.unpersist()
 
     def test_cogroup_plan_has_no_driver_query_collect(self, spark):

@@ -150,7 +150,7 @@ def main() -> None:
         "table.",
     )
 
-    sweep = rabitq.rabitq_search_sweep(
+    sweep, sweep_scored = rabitq.rabitq_search_sweep(
         qs, codes, cf, meta2, nprobes=[3, 6], k=10, scorer="arrow_cogroup"
     )
     add(
@@ -162,7 +162,7 @@ def main() -> None:
         "windows) is per-grid-point work.  Every grid point is "
         "row-identical to its standalone search (tests).",
     )
-    sweep["_scored"].unpersist()
+    sweep_scored.unpersist()
 
     # bloom-gated incremental dedup: show the IN-list reaching the
     # corpus hash scan (the band subtree executes inside a checkpoint)
