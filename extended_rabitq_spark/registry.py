@@ -92,7 +92,6 @@ _DEMOTED = [
     # token_topk/token_pmi token relevance, corpus_stats one-row
     # aggregate profiles); all six are verified by
     # the cap-free parity replica + tests/test_cleanops.py.
-    "dedup_lines",
     "corpus_integrity_audit",
     "doc_chunks",
     "gopher_quality_filter",
@@ -151,6 +150,26 @@ _DEMOTED = [
                              # strict superset and stays checked
     "ivf_ratio",             # J5; green r1-r4; metric-join family keeps
                              # ivf_recall (J4) checked
+    # --- round-6 window ROTATION (VERDICT r5 item 2) ---------------------
+    # Same mechanism as r5: each rotated-out entry has >=3 green driver
+    # rounds, keeps a checked family representative in-window, and stays
+    # verified by the cap-free parity replica.  All six rotated-IN
+    # entries were pre-verified bit-exact through the pandas
+    # canonicalization path at end of r5 (COVERAGE.md).
+    "knn_filtered",          # green r2-r5; similarity family keeps
+                             # knn_exact/knn_cosine/doc_similarity
+    "residual_stats",        # green r1-r5; vector-function family keeps
+                             # vector_stats + query_quantize_uniform
+    "events_top_type_per_user",  # green r1-r5; rank-window family keeps
+                             # events_sessions/events_lead_lag and the
+                             # knn top-k windows
+    "pack_sequences",        # green r2-r5; sampling family keeps
+                             # stratified_sample/corpus_mixture_sample
+    "text_lang_id",          # green r1-r5; text family keeps
+                             # text_quality/text_pii_scrub/vocab_stats
+    "corpus_length_quantiles",  # green r2-r5; exact-percentile SQL shape
+                             # also exercised by text_repetition's
+                             # ordered shares (family rep in-window)
 ]
 
 # Promoted to the head of the registration order so they land inside the
@@ -169,6 +188,14 @@ _PROMOTED = [
     "vocab_stats",           # exact count-distinct over exploded tokens
     "dedup_spans",           # stride-1 window-hash span dedup (CCNet-style)
     "training_shard_export", # salted-hash shard ranks (map-only export)
+    # round-6 rotation: first-time driver checks (pre-verified bit-exact
+    # through the pandas canonicalization path at end of r5).
+    "tpch_q5",               # full 6-table star join, broadcast dims
+    "tpch_q18",              # HAVING-subquery as broadcast key join
+    "tpch_q15",              # decimal-equality scalar max (revenue view)
+    "token_topk",            # per-group heavy hitters (token relevance)
+    "text_repetition",       # explode→count top word/bigram shares
+    "dedup_lines",           # CCNet-style duplicated-segment removal
 ]
 
 

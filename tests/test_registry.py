@@ -30,17 +30,15 @@ MUST_BE_CHECKED = [
     "dedup_components",
     "dedup_incremental",
     "contamination_check",
-    "pack_sequences",
     "corpus_mixture_sample",
-    "stratified_sample",    # sampling family rep (quota_sample rotated)
+    "stratified_sample",    # sampling family rep (quota_sample r5,
+                            # pack_sequences r6 rotated out)
     "events_salted_cohort_join",  # skew tooling
-    "text_lang_id",
-    "text_quality",
+    "text_quality",          # text family rep (text_lang_id rotated r6)
     "text_pii_scrub",
     "text_fingerprint",
     "corpus_stats_cube",     # grouping sets (strict superset of
                              # corpus_stats, rotated out r5)
-    "corpus_length_quantiles",  # exact percentiles
     "multimodal_meta",
     "multimodal_frames",
     "events_windowed",
@@ -62,6 +60,17 @@ MUST_BE_CHECKED = [
     "vocab_stats",
     "dedup_spans",
     "training_shard_export",
+    # r6 first-time rotation entries (VERDICT r5 item 2) — pinned so the
+    # rotation lands in the driver's sample this round.  Rotated out in
+    # exchange (each >=3 green rounds, family rep retained above):
+    # knn_filtered, residual_stats, events_top_type_per_user,
+    # pack_sequences, text_lang_id, corpus_length_quantiles.
+    "tpch_q5",
+    "tpch_q18",
+    "tpch_q15",
+    "token_topk",
+    "text_repetition",
+    "dedup_lines",
 ]
 
 
