@@ -32,9 +32,20 @@ MEDIA_SCHEMA = (
 
 _DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {}
 
+# Kinds whose 2-D decodes are (n_samples, n_channels) signals rather than
+# (H, W) images — perceptual_hash mixes these to mono; image kinds keep
+# their 2-D content even when tall-and-narrow (ADVICE r5).
+_AUDIO_KINDS: set[str] = set()
 
-def register_decoder(kind: str, fn: Callable[[bytes], np.ndarray]) -> None:
+
+def register_decoder(
+    kind: str, fn: Callable[[bytes], np.ndarray], audio: bool = False
+) -> None:
     _DECODERS[kind] = fn
+    if audio:
+        _AUDIO_KINDS.add(kind)
+    else:
+        _AUDIO_KINDS.discard(kind)
 
 
 def _fake_decode(content: bytes) -> np.ndarray:
@@ -58,7 +69,7 @@ register_decoder("png", _codecs.decode_png)
 register_decoder("ppm", _codecs.decode_pnm)
 register_decoder("pgm", _codecs.decode_pnm)
 register_decoder("bmp", _codecs.decode_bmp)
-register_decoder("wav", _codecs.decode_wav)
+register_decoder("wav", _codecs.decode_wav, audio=True)
 
 
 def docs_as_media(docs: DataFrame) -> DataFrame:
@@ -264,24 +275,33 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     Classic perceptual image fingerprint: visually-near images differ in
     few bits, so near-dup detection becomes small-Hamming search."""
 
-    def to_8x8(raw: np.ndarray) -> np.ndarray:
+    def to_8x8(kind: str, raw: np.ndarray) -> np.ndarray:
         """Decoder output → 64 values to hash.  Exactly 64 values pass
         through; a ≥8×8 2-D image block-averages down to 8×8 (mean over
-        an 8×8 grid of cells — deterministic, no interpolation lib); a
-        ≥64-sample 1-D signal (audio) bucket-averages into 64 segments.
+        an 8×8 grid of cells — deterministic, no interpolation lib).
         Channels collapse first: gray+alpha (C=2) keeps the gray plane,
-        color (C=3/4) averages RGB, stereo-ish 2-D signals (width < 8)
-        mix down.  Tiny-but-valid decodes (<64 values) zero-pad; only an
-        EMPTY decode raises.  Oversized decodes never truncate —
-        silently hashing a corner of a big decode would quietly gut
-        near-dup recall (ADVICE r4)."""
+        color (C=3/4) averages RGB; multi-channel AUDIO (n, ch) mixes
+        down to mono — gated on the media kind, not the array shape, so
+        a tall-narrow image (e.g. 100×4 banner) keeps its 2-D content
+        (ADVICE r5).  Everything else non-empty bucket-averages its
+        row-major ravel into 64 segments (zero-padding first when
+        < 64 values — tracking pixels, favicons, sub-64-sample clips);
+        only an EMPTY decode raises, so a poison row can't abort a
+        corpus-wide mapInPandas job (ADVICE r5).  Oversized decodes
+        never truncate — silently hashing a corner of a big decode
+        would quietly gut near-dup recall (ADVICE r4)."""
         arr = raw.astype(np.float64)
+        if arr.size == 0:
+            raise ValueError(
+                f"perceptual_hash decoder contract: empty decode "
+                f"(kind={kind!r}, shape {raw.shape})"
+            )
         if arr.ndim == 3:  # H×W×C image → gray plane
             if arr.shape[-1] == 2:  # gray + alpha (e.g. PNG color type 4)
                 arr = arr[..., 0]
             elif arr.shape[-1] in (1, 3, 4):
                 arr = arr[..., : min(arr.shape[-1], 3)].mean(axis=-1)
-        if arr.ndim == 2 and arr.shape[1] < 8:  # (n, ch) signal → mono
+        if arr.ndim == 2 and kind in _AUDIO_KINDS:  # (n, ch) → mono
             arr = arr.mean(axis=1)
         if arr.size == 64:
             return arr.ravel()
@@ -292,19 +312,12 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
                     for r8 in np.array_split(arr, 8, axis=0)
                 ]
             ).ravel()
-        if arr.ndim == 1 and arr.size >= 64:
-            return np.array([seg.mean() for seg in np.array_split(arr, 64)])
-        if 0 < arr.size < 64:
-            # tiny-but-valid media (tracking pixels, favicons, sub-64-
-            # sample clips) hash via deterministic zero-pad — a poison
-            # row must not abort a corpus-wide mapInPandas job (review
-            # r5); the ADVICE-r4 strictness applies to OVERSIZED decodes
-            # (silent truncation), which block/bucket-average above.
-            return np.pad(arr.ravel(), (0, 64 - arr.size))
-        raise ValueError(
-            f"perceptual_hash decoder contract: expected a non-empty "
-            f"image or 1-D signal, got shape {raw.shape}"
-        )
+        flat = arr.ravel()
+        if flat.size < 64:
+            flat = np.pad(flat, (0, 64 - flat.size))
+        if flat.size == 64:
+            return flat
+        return np.array([seg.mean() for seg in np.array_split(flat, 64)])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
@@ -319,7 +332,7 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
                         f"no decoder registered for media kind {kind!r}; "
                         "register one with multimodal.register_decoder"
                     )
-                arr = to_8x8(dec(bytes(content)))
+                arr = to_8x8(kind, dec(bytes(content)))
                 bits = (arr > arr.mean()).astype(np.uint64)
                 out.append(int((bits * weights).sum(dtype=np.uint64).astype(np.int64)))
             yield pd.DataFrame({"media_id": pdf["media_id"], "phash": out})

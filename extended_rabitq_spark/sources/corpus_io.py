@@ -61,9 +61,17 @@ def read_jsonl_docs(
         # numeric upstream ids pass through; string ids (UUIDs,
         # "doc-00017", ... — common in crawl shards) hash to a stable
         # 64-bit id instead of silently casting to NULL (review r5)
-        doc_id = F.coalesce(
-            F.col(id_field).try_cast("bigint"),  # ANSI: plain cast raises
-            F.xxhash64(F.col(id_field)),
+        # NULL upstream ids: xxhash64(NULL) is the seed constant (42) —
+        # NON-null — so every null-id row would coalesce onto one shared
+        # doc_id, corrupting downstream dedup/joins (ADVICE r5).  Route
+        # null ids to the same content hash used without id_field.
+        doc_id = F.when(
+            F.col(id_field).isNull(), F.xxhash64(src, F.col(text_field))
+        ).otherwise(
+            F.coalesce(
+                F.col(id_field).try_cast("bigint"),  # ANSI: plain cast raises
+                F.xxhash64(F.col(id_field)),
+            )
         )
     else:
         doc_id = F.xxhash64(src, F.col(text_field))

@@ -89,3 +89,23 @@ def test_string_id_field_hashes_instead_of_nulling(spark, tmp_path):
         spark, p, id_field="id").collect()}
     assert again == rows  # stable across re-reads
     assert len(set(rows.values())) == 3
+
+
+def test_null_id_rows_fall_back_to_content_hash(spark, tmp_path):
+    """Rows with a NULL upstream id must NOT collapse onto the single
+    xxhash64(NULL) seed constant — they fall back to the same
+    (source, text) content hash used when no id_field is given, so
+    distinct texts keep distinct doc_ids (ADVICE r5)."""
+    p = str(tmp_path / "nullids.jsonl")
+    _write_jsonl(p, [{"text": "alpha beta", "id": None},
+                     {"text": "gamma delta", "id": None},
+                     {"text": "kept", "id": 5}])
+    docs = read_jsonl_docs(spark, p, id_field="id")
+    rows = {r.text: r.doc_id for r in docs.collect()}
+    assert rows["kept"] == 5
+    assert None not in rows.values()
+    assert len(set(rows.values())) == 3  # no shared-seed collision
+    # null-id rows hash exactly as the no-id_field path does
+    noid = {r.text: r.doc_id for r in read_jsonl_docs(spark, p).collect()}
+    assert rows["alpha beta"] == noid["alpha beta"]
+    assert rows["gamma delta"] == noid["gamma delta"]

@@ -272,3 +272,79 @@ class TestPerceptualHash:
             if h <= D:
                 exp[(i, j)] = h
         assert got == exp
+
+
+class TestOddShapeHashing:
+    """ADVICE r5: banner/tall-narrow images and shape-vs-kind routing."""
+
+    W = None  # set lazily
+
+    @staticmethod
+    def _expected_bucket_hash(arr):
+        import numpy as np
+
+        flat = arr.astype(np.float64).ravel()
+        if flat.size < 64:
+            flat = np.pad(flat, (0, 64 - flat.size))
+        if flat.size > 64:
+            flat = np.array([s.mean() for s in np.array_split(flat, 64)])
+        bits = (flat > flat.mean()).astype(np.uint64)
+        w = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+        return int((bits * w).sum(dtype=np.uint64).astype(np.int64))
+
+    def test_banner_and_tall_narrow_images_hash_as_2d_content(self, spark):
+        import numpy as np
+
+        from extended_rabitq_spark.operators import multimodal
+
+        rng = np.random.default_rng(11)
+        banner = rng.integers(0, 256, (4, 100)).astype(np.float64)   # 4×100
+        tall = rng.integers(0, 256, (100, 4)).astype(np.float64)     # 100×4
+        shapes = {1: banner, 2: tall}
+
+        def odd(content: bytes) -> np.ndarray:
+            return shapes[content[0]]
+
+        multimodal.register_decoder("oddimg", odd)
+        media = spark.createDataFrame(
+            [(1, "oddimg", bytearray([1])), (2, "oddimg", bytearray([2]))],
+            "media_id long, kind string, content binary",
+        )
+        got = {r.media_id: r.phash
+               for r in multimodal.perceptual_hash(media).collect()}
+        # no ValueError poison-row abort, and the hash is the row-major
+        # 2-D ravel bucket-average — NOT an audio-style mono mixdown of
+        # the tall-narrow image
+        assert got[1] == self._expected_bucket_hash(banner)
+        assert got[2] == self._expected_bucket_hash(tall)
+        mixed = tall.mean(axis=1)  # the pre-fix (wrong) signal treatment
+        assert got[2] != self._expected_bucket_hash(mixed)
+
+    def test_audio_kind_still_mixes_down_to_mono(self, spark):
+        import numpy as np
+
+        from extended_rabitq_spark.operators import multimodal
+
+        rng = np.random.default_rng(12)
+        stereo = rng.integers(-(2**15), 2**15, (100, 2)).astype(np.float64)
+
+        def aud(content: bytes) -> np.ndarray:
+            return stereo
+
+        multimodal.register_decoder("testaud", aud, audio=True)
+        try:
+            media = spark.createDataFrame(
+                [(1, "testaud", bytearray(b"x"))],
+                "media_id long, kind string, content binary",
+            )
+            (row,) = multimodal.perceptual_hash(media).collect()
+            assert row.phash == self._expected_bucket_hash(stereo.mean(axis=1))
+        finally:
+            multimodal._DECODERS.pop("testaud", None)
+            multimodal._AUDIO_KINDS.discard("testaud")
+
+    def test_wav_kind_registered_as_audio(self):
+        from extended_rabitq_spark.operators import multimodal
+
+        assert "wav" in multimodal._AUDIO_KINDS
+        assert "png" not in multimodal._AUDIO_KINDS
