@@ -470,8 +470,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    out.update({f"extra_{k}": v for k, v in extras.items()})
-    print(json.dumps(out))
+    # The driver keeps only the LAST ~2 KB of stdout; r5's single fat
+    # line got its head truncated there (BENCH_r05 "parsed": null).
+    # Emit extras on their own earlier line and keep the final line —
+    # the one the driver json-parses — compact (VERDICT r5 item 4).
+    print(json.dumps({f"extra_{k}": v for k, v in extras.items()}))
+    final_line = json.dumps(out)
+    while len(final_line) > 1800 and out["queries"]:  # tail-capture guard
+        out["queries"].popitem()
+        final_line = json.dumps(out)
+    print(final_line)
     spark.stop()
 
 
