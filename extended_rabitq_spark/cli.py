@@ -67,7 +67,10 @@ def cmd_create_index(spark: SparkSession, a: argparse.Namespace) -> int:
         train_base = base
     elif a.metric == "ip":
         train_base, mips_m = rabitq.mips_prepare(base, vec="vec")
-    cents = ivf.sampled_kmeans_centroids(train_base, k=a.k, vec="vec")
+    cents = ivf.sampled_kmeans_centroids(
+        train_base, k=a.k, vec="vec",
+        sample_size=a.train_sample, iters=a.train_iters,
+    )
     index_df, meta = rabitq.build_index(
         base, cents, total_bits=a.b, metric=a.metric, mips_m=mips_m
     )
@@ -356,6 +359,13 @@ def build_parser() -> argparse.ArgumentParser:
              "in index meta and honored by search)",
     )
     s.add_argument("--packed", action="store_true", help="Q4 BINARY codes")
+    s.add_argument(
+        "--train-sample", type=int, default=25_000,
+        help="k-means training sample size (faiss-style subsample; "
+             "size it ~40×K so every cluster sees enough points)",
+    )
+    s.add_argument("--train-iters", type=int, default=8,
+                   help="Lloyd iterations for centroid training")
     s.add_argument(
         "--graph", action="store_true",
         help="also build+save the W2 centroid graph (HNSW-analog probe "

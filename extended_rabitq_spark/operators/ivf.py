@@ -341,13 +341,23 @@ def sampled_kmeans_centroids(
     for _ in range(iters):
         d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (X @ cent.T)
         a = np.argmin(d, axis=1)
-        for j in range(len(cent)):
-            m = a == j
-            if m.any():
-                cent[j] = X[m].mean(axis=0)
-            else:  # empty cluster → reseed at the farthest point
-                far = np.argmax(d[np.arange(len(X)), a])
-                cent[j] = X[far]
+        # Vectorized Lloyd update: group-sum via sort + reduceat instead
+        # of a K-pass boolean scan (O(N log N + N·D) vs O(K·N)) — at the
+        # soak operating point (K=4096, 160k samples) the per-cluster
+        # loop dominated training.  Stable sort keeps within-cluster
+        # summation in row order, so means are bit-identical to the
+        # X[m].mean(axis=0) form this replaces.
+        order = np.argsort(a, kind="stable")
+        sa = a[order]
+        starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+        sums = np.add.reduceat(X[order], starts, axis=0)
+        labels = sa[starts]
+        counts = np.diff(np.r_[starts, len(sa)])
+        cent[labels] = sums / counts[:, None]
+        empty = np.setdiff1d(np.arange(len(cent)), labels, assume_unique=True)
+        if empty.size:  # empty cluster → reseed at the farthest point
+            far = np.argmax(d[np.arange(len(X)), a])
+            cent[empty] = X[far]
     spark = base.sparkSession
     # single-slice parallelize: see kmeans_centroids — K rows across 32
     # slices cost one Python worker per slice on every collect/broadcast

@@ -170,6 +170,10 @@ _DEMOTED = [
     "corpus_length_quantiles",  # green r2-r5; exact-percentile SQL shape
                              # also exercised by text_repetition's
                              # ordered shares (family rep in-window)
+    "doc_similarity",        # green r1-r5; similarity family keeps
+                             # knn_exact/knn_cosine in-window — frees
+                             # the slot for rabitq_recall_counts, the
+                             # approximate path's first hashable row
 ]
 
 # Promoted to the head of the registration order so they land inside the
@@ -196,6 +200,11 @@ _PROMOTED = [
     "token_topk",            # per-group heavy hitters (token relevance)
     "text_repetition",       # explode→count top word/bigram shares
     "dedup_lines",           # CCNet-style duplicated-segment removal
+    "rabitq_recall_counts",  # first hashable driver row for the
+                             # APPROXIMATE search path (VERDICT r5 #6):
+                             # integer GT hit counts at the pinned
+                             # (B=4, nprobe, k, seed) operating point
+                             # vs a committed expected table
 ]
 
 

@@ -1431,3 +1431,49 @@ class TestSearchIndexSugar:
         got_ng = rabitq.search_index(spark, path, qs, k=5, use_graph=False)
         _assert_rank_identical(_res_map(got_ng), _res_map(exp))
         idx.unpersist()
+
+
+class TestRecallCountsAttestation:
+    """rabitq_recall_counts: the approximate path's hashable driver row."""
+
+    def test_deterministic_and_matches_pinned_expected(self, spark):
+        from extended_rabitq_spark.queries.rabitq import (
+            _RECALL_COUNTS_EXPECTED,
+            rabitq_recall_counts,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        a = sorted((r.qid, r.hits) for r in rabitq_recall_counts(spark, sf).collect())
+        assert a == sorted(_RECALL_COUNTS_EXPECTED), (
+            "approximate-path hit counts drifted from the pinned table; "
+            "if the operating point changed ON PURPOSE, regenerate via "
+            "tools/gen_recall_counts_expected.py"
+        )
+        b = sorted((r.qid, r.hits) for r in rabitq_recall_counts(spark, sf).collect())
+        assert a == b  # run-to-run determinism
+
+    def test_counts_are_a_true_intersection(self, spark):
+        """hits == |approx top-k ∩ exact top-k| recomputed independently."""
+        from extended_rabitq_spark.operators import knn, rabitq
+        from extended_rabitq_spark.queries.ann import K, _base_df, _queries_df
+        from extended_rabitq_spark.queries.ivf import NPROBE
+        from extended_rabitq_spark.queries.rabitq import (
+            _build,
+            rabitq_recall_counts,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        base, index_df, cents, meta = _build(spark, sf)
+        qs = _queries_df(spark, sf)
+        res = rabitq.rabitq_search(qs, index_df, cents, meta, nprobe=NPROBE, k=K)
+        gt = knn.exact_knn(qs, base, k=K)
+        approx = {}
+        for r in res.collect():
+            approx.setdefault(r.qid, set()).add(r.id)
+        exact = {}
+        for r in gt.collect():
+            exact.setdefault(r.qid, set()).add(r.id)
+        got = {r.qid: r.hits for r in rabitq_recall_counts(spark, sf).collect()}
+        for qid in exact:
+            assert got[qid] == len(approx.get(qid, set()) & exact[qid])
+            assert 0 <= got[qid] <= K

@@ -71,6 +71,10 @@ MUST_BE_CHECKED = [
     "token_topk",
     "text_repetition",
     "dedup_lines",
+    # the approximate search path's first hashable row (VERDICT r5 #6);
+    # doc_similarity rotated out in exchange (green r1-r5, similarity
+    # family keeps knn_exact/knn_cosine in-window).
+    "rabitq_recall_counts",
 ]
 
 
