@@ -61,8 +61,9 @@ register_decoder("fake", _fake_decode)
 # Real pure-stdlib codecs (round 5): PNG/PPM/PGM/BMP images and PCM WAV
 # audio decode with zlib/struct only — no PIL/ffmpeg needed — so these
 # kinds run the full surface (extract_features, perceptual_hash,
-# phash_pairs, decode_frames) un-stubbed.  JPEG/video still raise
-# through the seam.
+# phash_pairs, decode_frames) un-stubbed.  Baseline JPEG joined in r6
+# (decode_jpeg); progressive JPEG and video still raise through the
+# seam.
 from ..sources import codecs as _codecs  # noqa: E402  (registry wiring)
 
 register_decoder("png", _codecs.decode_png)
@@ -70,6 +71,8 @@ register_decoder("ppm", _codecs.decode_pnm)
 register_decoder("pgm", _codecs.decode_pnm)
 register_decoder("bmp", _codecs.decode_bmp)
 register_decoder("wav", _codecs.decode_wav, audio=True)
+register_decoder("jpeg", _codecs.decode_jpeg)
+register_decoder("jpg", _codecs.decode_jpeg)
 
 
 def docs_as_media(docs: DataFrame) -> DataFrame:

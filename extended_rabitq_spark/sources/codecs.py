@@ -18,15 +18,20 @@ perceptual_hash, phash_pairs, decode_frames) un-stubbed end-to-end:
 - **WAV** (``decode_wav``): RIFF PCM 8-bit unsigned / 16-bit signed,
   any channel count; samples rescaled to [0, 256) so the downstream
   histogram features (range=(0, 256)) bin identically to pixels.
+- **JPEG** (``decode_jpeg``): baseline/extended sequential DCT
+  (SOF0/SOF1), 8-bit, Huffman-coded, any integer-ratio subsampling
+  (4:4:4 / 4:2:0 / 4:2:2 / grayscale), restart markers — the dominant
+  real-world corpus image format.  Marker parse + entropy decode in
+  Python, dequantize/iDCT/color as numpy matmuls.
 
 Every decoder returns a numpy array with values in [0, 256): images
 as (H, W) grayscale or (H, W, C), audio as (n_samples,) mono or
 (n_samples, n_channels) — the shapes ``extract_features`` (ravel +
 histogram) and ``perceptual_hash`` (block-average to 8×8) accept.
 
-JPEG and video containers still raise through the registry seam
-(honest: entropy-coded DCT needs a real codec library); the registry
-call shape is identical when one becomes available.
+Progressive/arithmetic JPEG and video containers still raise through
+the registry seam; the registry call shape is identical when a codec
+for those becomes available.
 
 These run INSIDE Arrow ``mapInPandas`` batches — per-blob decode is
 plain numpy, no Spark objects — so the same function serves any
@@ -40,7 +45,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["decode_png", "decode_pnm", "decode_bmp", "decode_wav"]
+__all__ = ["decode_png", "decode_pnm", "decode_bmp", "decode_wav", "decode_jpeg"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -237,3 +242,284 @@ def decode_wav(data: bytes) -> np.ndarray:
     if n_ch > 1:
         samples = samples[: len(samples) // n_ch * n_ch].reshape(-1, n_ch)
     return samples
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT) — VERDICT r5 item 5.  Pure stdlib+numpy:
+# marker parse, DQT/DHT tables, Huffman entropy decode (bit-serial over
+# un-stuffed segments), dequantize, 8x8 iDCT as two numpy matmuls,
+# chroma upsample, YCbCr->RGB.  Covers SOF0/SOF1 (baseline/extended
+# sequential, 8-bit) with any integer-ratio subsampling (4:4:4, 4:2:0,
+# 4:2:2, grayscale) and restart markers.  Progressive (SOF2), arithmetic
+# coding, 12-bit, and CMYK raise honestly through the seam.
+# ---------------------------------------------------------------------------
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Raster index of the k-th zigzag coefficient (generated, not typed)."""
+    idx = []
+    for s in range(15):
+        rng = range(s + 1)
+        for i in (rng if s % 2 else reversed(rng)):
+            r, c = i, s - i
+            if r < 8 and c < 8:
+                idx.append(r * 8 + c)
+    return np.array(idx, dtype=np.int64)
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# orthonormal 8-point DCT-II matrix: X = A.T @ F @ A inverts F = A @ X @ A.T
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(1 / 8.0) if u == 0 else np.sqrt(2 / 8.0))
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over one un-stuffed entropy segment."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        while self.n < nbits:
+            byte = self.buf[self.i] if self.i < len(self.buf) else 0
+            self.i += 1
+            self.acc = ((self.acc << 8) | byte) & 0xFFFFFFFFFF
+            self.n += 8
+        self.n -= nbits
+        return (self.acc >> self.n) & ((1 << nbits) - 1)
+
+
+def _jpeg_huff_table(bits_counts: bytes, values: bytes) -> dict:
+    """DHT (16 code-length counts + symbols) → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits_counts[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.read(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("decode_jpeg: invalid Huffman code in scan")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DIFF/coefficient sign extension (ITU T.81 F.2.2.1 EXTEND)."""
+    if s and v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def _jpeg_unstuff_scan(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes from ``pos`` → restart-delimited un-stuffed
+    segments, plus the offset of the terminating marker."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:  # stuffed FF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker ends the scan
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0/SOF1) JPEG → (H, W) gray or (H, W, 3) RGB
+    uint8.  Progressive / arithmetic / 12-bit / CMYK raise ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("decode_jpeg: bad SOI marker")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError(f"decode_jpeg: marker desync at {i}")
+        m = data[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:  # EOI before SOS
+            break
+        (seg_len,) = struct.unpack_from(">H", data, i + 2)
+        seg = data[i + 4 : i + 2 + seg_len]
+        i += 2 + seg_len
+        if m == 0xDB:  # DQT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
+                    p += 128
+                qt[tq] = tbl
+        elif m == 0xC4:  # DHT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = seg[p + 1 : p + 17]
+                nv = sum(counts)
+                vals = seg[p + 17 : p + 17 + nv]
+                huff[(tc, th)] = _jpeg_huff_table(counts, vals)
+                p += 17 + nv
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1: baseline / extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"decode_jpeg: only 8-bit precision (got {prec})")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"decode_jpeg: unsupported SOF marker FF{m:02X} "
+                "(only baseline/extended sequential Huffman; progressive "
+                "and arithmetic-coded JPEGs are outside the seam)"
+            )
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("decode_jpeg: SOS before SOF")
+            ns = seg[0]
+            scan_spec = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_spec.append((cs, tt >> 4, tt & 15))
+            segs, i = _jpeg_unstuff_scan(data, i)
+            return _jpeg_decode_scan(frame, scan_spec, qt, huff, segs,
+                                     restart_interval)
+        # else: APPn/COM — skipped
+    raise ValueError("decode_jpeg: no SOS marker found")
+
+
+def _jpeg_decode_scan(frame, scan_spec, qt, huff, segs, restart_interval):
+    h, w, comps = frame
+    if len(comps) not in (1, 3):
+        raise ValueError(
+            f"decode_jpeg: {len(comps)}-component images unsupported (1 or 3)"
+        )
+    by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
+    hmax = max(hc for _, hc, _, _ in comps)
+    vmax = max(vc for _, _, vc, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    order = []  # (cid, hc, vc, qtab, dc_table, ac_table)
+    for cs, td, ta in scan_spec:
+        if cs not in by_id:
+            raise ValueError(f"decode_jpeg: scan references unknown component {cs}")
+        hc, vc, tq = by_id[cs]
+        if tq not in qt or (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("decode_jpeg: missing quantization/Huffman table")
+        planes[cs] = np.zeros((mcuy * vc * 8, mcux * hc * 8), dtype=np.float64)
+        # dequant table in RASTER order, pre-permuted from zigzag
+        qraster = np.empty(64, dtype=np.float64)
+        qraster[_JPEG_ZZ] = qt[tq]
+        order.append((cs, hc, vc, qraster.reshape(8, 8), huff[(0, td)], huff[(1, ta)]))
+
+    mcus_total = mcux * mcuy
+    per_seg = restart_interval if restart_interval else mcus_total
+    mcu = 0
+    for seg in segs:
+        if mcu >= mcus_total:
+            break
+        bits = _JpegBits(seg)
+        dc_pred = {cs: 0 for cs, *_ in order}
+        for _ in range(min(per_seg, mcus_total - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for cs, hc, vc, qtab, dct, act in order:
+                plane = planes[cs]
+                for by in range(vc):
+                    for bx in range(hc):
+                        coef = np.zeros(64, dtype=np.float64)
+                        s = _jpeg_huff_decode(bits, dct)
+                        diff = _jpeg_extend(bits.read(s), s)
+                        dc_pred[cs] += diff
+                        coef[0] = dc_pred[cs]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, act)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "decode_jpeg: coefficient index overrun"
+                                )
+                            coef[_JPEG_ZZ[k]] = _jpeg_extend(bits.read(sz), sz)
+                            k += 1
+                        block = coef.reshape(8, 8) * qtab
+                        px = _DCT_A.T @ block @ _DCT_A + 128.0
+                        y0 = (my * vc + by) * 8
+                        x0 = (mx * hc + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu += 1
+
+    out_planes = []
+    for cid, hc, vc, _tq in comps:
+        p = planes[cid]
+        # crop to the component's true resolution, then nearest upsample
+        ch = -(-h * vc // vmax) if vc != vmax else h
+        cw = -(-w * hc // hmax) if hc != hmax else w
+        p = p[:ch, :cw]
+        if vc != vmax:
+            p = np.repeat(p, vmax // vc, axis=0)
+        if hc != hmax:
+            p = np.repeat(p, hmax // hc, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

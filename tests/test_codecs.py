@@ -304,3 +304,125 @@ class TestDecoderProperties:
             )
 
         check()
+
+
+FIXTURES = __file__.rsplit("/", 1)[0] + "/fixtures"
+
+
+class TestJpegDecoder:
+    """Baseline JPEG through the decode seam (VERDICT r5 item 5):
+    independently-generated real files (CPython/IPython test-suite
+    JPEGs, written by libjpeg-era tooling — a fully independent
+    encoder) plus encode→decode round-trips against the test-local
+    encoder (tests/jpeg_encoder_fixture.py, a separate implementation
+    path: forward DCT + self-built canonical Huffman tables)."""
+
+    @staticmethod
+    def _smooth3(h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = 128 + 80 * np.sin(xx / 13) * np.cos(yy / 17)
+        g = 128 + 60 * np.cos(xx / 19) * np.sin(yy / 11)
+        b = 128 + 50 * np.sin((xx + yy) / 23)
+        return np.clip(np.stack([r, g, b], -1), 0, 255)
+
+    def test_real_independent_jpeg_files_decode(self):
+        # 16x16 RGB 2x2-subsampled baseline JPEG from the CPython test
+        # suite; 2x2 grayscale-ish baseline JPEG from IPython's tests.
+        with open(f"{FIXTURES}/cpython_python.jpg", "rb") as fh:
+            img = codecs.decode_jpeg(fh.read())
+        assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+        # decode determinism + a pinned content anchor (regenerate only
+        # on a deliberate decoder change): the file is the Python logo
+        # on white — bright on average, non-constant
+        assert 80 < img.mean() < 110
+        assert img.std() > 30
+        with open(f"{FIXTURES}/ipython_2x2.jpg", "rb") as fh:
+            img2 = codecs.decode_jpeg(fh.read())
+        assert img2.shape == (2, 2)
+        assert np.all(img2 == 128)  # uniform mid-gray test image
+
+    @pytest.mark.parametrize(
+        "sub,rst",
+        [((1, 1), 0), ((2, 2), 0), ((2, 1), 0), ((2, 2), 2)],
+        ids=["444", "420", "422", "420+rst"],
+    )
+    def test_round_trip_color(self, sub, rst):
+        import sys
+
+        sys.path.insert(0, FIXTURES.rsplit("/", 1)[0])
+        from jpeg_encoder_fixture import encode_jpeg
+
+        img = self._smooth3(40, 56)
+        dec = codecs.decode_jpeg(
+            encode_jpeg(img, subsampling=sub, restart_interval=rst)
+        )
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        err = np.abs(dec.astype(np.float64) - img)
+        assert err.mean() < 2.0 and err.max() <= 12, (err.mean(), err.max())
+
+    def test_round_trip_gray_and_odd_dims(self):
+        import sys
+
+        sys.path.insert(0, FIXTURES.rsplit("/", 1)[0])
+        from jpeg_encoder_fixture import encode_jpeg
+
+        yy, xx = np.mgrid[0:17, 0:31]
+        img = np.clip(128 + 80 * np.sin(xx / 7) * np.cos(yy / 5), 0, 255)
+        dec = codecs.decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (17, 31)
+        err = np.abs(dec.astype(np.float64) - img)
+        assert err.mean() < 2.0 and err.max() <= 12
+
+    def test_progressive_raises_through_seam(self):
+        import sys
+
+        sys.path.insert(0, FIXTURES.rsplit("/", 1)[0])
+        from jpeg_encoder_fixture import encode_jpeg
+
+        data = bytearray(encode_jpeg(self._smooth3(8, 8)))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC2  # rewrite marker: baseline -> progressive
+        with pytest.raises(ValueError, match="progressive"):
+            codecs.decode_jpeg(bytes(data))
+
+    def test_truncated_and_garbage_raise(self):
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(b"not a jpeg")
+        with open(f"{FIXTURES}/cpython_python.jpg", "rb") as fh:
+            data = fh.read()
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(data[:40])  # ends before SOS
+
+    def test_spark_surface_over_genuine_jpeg_bytes(self, spark):
+        """extract_features + phash near-dup banding over real JPEG
+        blobs registered as kind 'jpeg' — the seam fully un-stubbed."""
+        import sys
+
+        sys.path.insert(0, FIXTURES.rsplit("/", 1)[0])
+        from jpeg_encoder_fixture import encode_jpeg
+
+        from extended_rabitq_spark.operators import multimodal
+
+        with open(f"{FIXTURES}/cpython_python.jpg", "rb") as fh:
+            real = fh.read()
+        base = self._smooth3(32, 32)
+        near = base.copy()
+        near[:4, :4] = 255 - near[:4, :4]
+        media = spark.createDataFrame(
+            [
+                (1, "jpeg", bytearray(real)),
+                (2, "jpeg", bytearray(encode_jpeg(base))),
+                (3, "jpg", bytearray(encode_jpeg(near, subsampling=(2, 2)))),
+            ],
+            "media_id long, kind string, content binary",
+        )
+        feats = {r.media_id: r.feat
+                 for r in multimodal.extract_features(media, out_dim=8).collect()}
+        assert set(feats) == {1, 2, 3}
+        assert all(abs(sum(v) - 1.0) < 1e-6 for v in feats.values())
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in multimodal.phash_pairs(media, max_hamming=10).collect()
+        }
+        assert (2, 3) in pairs  # same scene JPEG'd twice -> near-dup
+        assert (1, 2) not in pairs and (1, 3) not in pairs

@@ -37,8 +37,9 @@ def test_features_deterministic(media):
 
 
 def test_unregistered_kind_raises(spark):
+    # "tiff" has no registered decoder (jpeg gained a real one in r6)
     bad = spark.createDataFrame(
-        [(1, "jpeg", bytearray(b"xx"))], "media_id long, kind string, content binary"
+        [(1, "tiff", bytearray(b"xx"))], "media_id long, kind string, content binary"
     ).withColumn("meta", F.expr(
         "named_struct('width', 1, 'height', 1, 'sample_rate', CAST(NULL AS INT), "
         "'n_frames', CAST(NULL AS INT))"
