@@ -1477,3 +1477,62 @@ class TestRecallCountsAttestation:
         for qid in exact:
             assert got[qid] == len(approx.get(qid, set()) & exact[qid])
             assert 0 <= got[qid] <= K
+
+
+class TestAllSupportedBitWidths:
+    """The reference accepts B ∈ {3,4,5,7,8,9} total bits/dim
+    (src/create_index.cpp:15, README.md:34).  e2e parity for the full
+    set: every B builds, searches, and is LOSSLESS at full probes with
+    exact rerank; estimator quality is monotone in B at a fixed
+    moderate nprobe."""
+
+    @pytest.mark.parametrize("bits", [3, 5, 7, 8, 9])
+    def test_full_probe_rerank_lossless_at_any_b(self, spark, bits):
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import ivf, knn, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        idx, meta = rabitq.build_index(base, cents, total_bits=bits)
+        assert meta["total_bits"] == bits
+        cf = rabitq.centroids_with_rotation(spark, cents, meta)
+        n_clusters = cents.count()
+        res = rabitq.rabitq_search(
+            qs, idx, cf, meta, nprobe=n_clusters, k=5, rerank_base=base)
+        gt = knn.exact_knn(qs, base, k=5)
+        got = {(r.qid, r.rank): r.id for r in res.collect()}
+        exp = {(r.qid, r.rank): r.id for r in gt.collect()}
+        assert got == exp  # lossless at every supported bit width
+
+    def test_estimator_recall_monotone_in_b(self, spark):
+        """At a fixed moderate nprobe WITHOUT exact rerank, more bits →
+        at-least-as-good recall (the published B-vs-quality trade)."""
+        import pyspark.sql.functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark import metrics
+        from extended_rabitq_spark.operators import ivf, knn, rabitq
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        gt = knn.exact_knn(qs, base, k=10)
+        recalls = {}
+        for bits in (3, 9):
+            idx, meta = rabitq.build_index(base, cents, total_bits=bits)
+            cf = rabitq.centroids_with_rotation(spark, cents, meta)
+            res = rabitq.rabitq_search(qs, idx, cf, meta, nprobe=4, k=10)
+            r = metrics.recall_per_query(res, gt, 10).agg(
+                F.avg("recall")).first()[0]
+            recalls[bits] = float(r)
+        assert recalls[9] >= recalls[3]
+        assert recalls[9] > 0.5  # sanity: 9-bit estimates are good
