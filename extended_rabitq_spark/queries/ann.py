@@ -420,3 +420,48 @@ def knn_ip_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ip",
         F.expr(f"-({V.dot('qvec', 'vec')})").alias("dist"),
     )
+
+
+_I8_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+     s AS (SELECT vec_id, embedding,
+                  CAST(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS DOUBLE) / 127.0 AS scale
+           FROM e),
+     c AS (SELECT vec_id, scale,
+                  CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(list_reduce(list_transform(embedding, v ->
+                            floor(CAST(v AS DOUBLE) / scale + 0.5)), (x, y) -> x + y) AS BIGINT) END
+                    AS code_sum,
+                  CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(list_max(list_transform(embedding, v ->
+                            abs(floor(CAST(v AS DOUBLE) / scale + 0.5) * scale - CAST(v AS DOUBLE)))) AS DOUBLE) END
+                    AS max_err
+           FROM s)
+SELECT vec_id, scale, code_sum, max_err FROM c
+"""
+
+
+@register("embedding_int8_codec", _I8_ORACLE)
+def embedding_int8_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 STORAGE codec audit (beyond-reference §2.8):
+    symmetric scale = max|x|/127, floor-plus-half codes (P6 rounding
+    convention), per-vector Σcodes (summed over the TINYINT codes —
+    integer-exact) and max reconstruction error — the 4×-smaller
+    at-rest embedding format.  One map-only codegen projection."""
+    from ..operators import embcodec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embcodec.quantize_embeddings_int8(emb.select("vec_id", "embedding"))
+    j = q.join(emb.select("vec_id", F.col("embedding").alias("orig")), "vec_id")
+    return j.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "CAST(aggregate(code_i8, CAST(0 AS BIGINT), "
+            "(acc, c) -> acc + CAST(c AS BIGINT)) AS BIGINT)"
+        ).alias("code_sum"),
+        F.expr(
+            "CAST(array_max(zip_with(code_i8, orig, (c, o) -> "
+            "abs(CAST(c AS DOUBLE) * scale - CAST(o AS DOUBLE)))) AS DOUBLE)"
+        ).alias("max_err"),
+    )

@@ -331,3 +331,40 @@ def token_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio form — monotone in log-PMI, but free of cross-engine libm
     drift).  Min-support 3; ties broken by bigram text."""
     return textops.token_pmi(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_LM_TYP_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+           i -> struct_pack(ctx := substr(text, CAST(i AS INT), 2),
+                            ch := substr(text, CAST(i AS INT) + 2, 1)))) AS t
+  FROM documents),
+t AS (SELECT doc_id, lang, t.ctx AS ctx, t.ch AS ch FROM raw),
+c2 AS (SELECT lang, ctx, ch, COUNT(*) AS c2 FROM t GROUP BY 1, 2, 3),
+c1 AS (SELECT lang, ctx, COUNT(*) AS c1 FROM t GROUP BY 1, 2),
+m AS (SELECT c2.lang, c2.ctx, c2.ch, c2.c2, c1.c1 FROM c2 JOIN c1 USING (lang, ctx)),
+p AS (SELECT t.doc_id,
+             CAST(coalesce(floor(1000000 * (CAST(m.c2 AS DOUBLE) / CAST(m.c1 AS DOUBLE)) + 0.5), 0) AS BIGINT) AS p_fp
+      FROM t LEFT JOIN m USING (lang, ctx, ch)),
+s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+             CAST(SUM(p_fp) AS BIGINT) AS score_fp
+      FROM p GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_trans, 0) AS BIGINT) AS n_trans,
+       CAST(coalesce(s.score_fp, 0) AS BIGINT) AS score_fp
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("lm_typicality_score", _LM_TYP_ORACLE)
+def lm_typicality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's third quality pillar (beyond-reference §2.8): corpus
+    char-trigram LM trained in one pass, per-document fixed-point mean
+    transition probability — rare-transition documents (mojibake,
+    binary spill, wrong-language text) score low.  Integer-exact
+    cross-engine (libm-free fixed-point, the token_pmi convention)."""
+    from ..operators import lm_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_quality.lm_typicality(docs)

@@ -174,6 +174,18 @@ _DEMOTED = [
                              # knn_exact/knn_cosine in-window — frees
                              # the slot for rabitq_recall_counts, the
                              # approximate path's first hashable row
+    "embedding_int8_codec",  # NEW r6 (beyond-reference storage codec):
+                             # registered out-of-window — the window is
+                             # pinned this round; quantize-family rep
+                             # (query_quantize_uniform) stays checked;
+                             # verified by the cap-free parity replica
+                             # + tests/test_knn.py recall preservation
+    "lm_typicality_score",   # NEW r6 (CCNet third quality pillar):
+                             # out-of-window for the same reason; the
+                             # quality family keeps text_quality +
+                             # quality_classifier_score reps; parity
+                             # replica + planted-garbage separation
+                             # tests cover it
 ]
 
 # Promoted to the head of the registration order so they land inside the

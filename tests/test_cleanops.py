@@ -213,3 +213,56 @@ def test_span_dedup_separate_islands_stay_separate(spark):
 def test_span_dedup_short_docs_produce_no_windows(spark):
     rows = [(1, "a b"), (2, "a b")]
     assert cleanops.span_dedup(_docs(spark, rows), win=3).count() == 0
+
+
+class TestLmTypicality:
+    """Corpus char-LM typicality score (operators/lm_quality)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "web", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def test_garbage_scores_below_fluent(self, spark):
+        from extended_rabitq_spark.operators import lm_quality
+
+        fluent = [
+            "the quick brown fox jumps over the lazy dog and then rests",
+            "the quiet brown fox walks over the grassy field and rests",
+            "a quick brown dog jumps over the lazy fox near the field",
+            "the lazy dog rests near the quiet field and the brown fox",
+        ]
+        garbage = "zq xv qj wx kz jq vx zx qk jw zv xq kj wq"
+        docs = self._docs(
+            spark, [(i, t) for i, t in enumerate(fluent)] + [(99, garbage)]
+        )
+        got = {r.doc_id: (r.n_trans, r.score_fp)
+               for r in lm_quality.lm_typicality(docs).collect()}
+        mean = {d: s / n / lm_quality.FIXED_POINT
+                for d, (n, s) in got.items() if n}
+        assert all(mean[99] < mean[i] for i in range(len(fluent))), mean
+
+    def test_external_model_and_unseen_transitions(self, spark):
+        from extended_rabitq_spark.operators import lm_quality
+
+        corpus = self._docs(spark, [(1, "abcabcabcabc"), (2, "abcabcabc")])
+        lm = lm_quality.train_char_lm(corpus)
+        new = self._docs(spark, [(10, "abcabc"), (11, "xyzxyz")])
+        got = {r.doc_id: (r.n_trans, r.score_fp)
+               for r in lm_quality.lm_typicality(new, lm=lm).collect()}
+        # in-distribution shard: every transition seen, prob 1 each
+        n, s = got[10]
+        assert n == 4 and s == 4 * lm_quality.FIXED_POINT
+        # unseen alphabet: all transitions miss the model -> score 0
+        n, s = got[11]
+        assert n == 4 and s == 0
+
+    def test_short_docs_score_zero_transitions(self, spark):
+        from extended_rabitq_spark.operators import lm_quality
+
+        docs = self._docs(spark, [(1, "ab"), (2, ""), (3, "abcd")])
+        got = {r.doc_id: (r.n_trans, r.score_fp)
+               for r in lm_quality.lm_typicality(docs).collect()}
+        assert got[1] == (0, 0) and got[2] == (0, 0)
+        assert got[3][0] == 2

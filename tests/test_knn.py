@@ -119,3 +119,69 @@ def test_maxsim_topk_tie_break_and_k(spark):
     # tie between ents 3 and 7 at score 1.0 (then 2.0): id ascending wins
     assert sorted(by_group[0]) == [(1, 3), (2, 7)]
     assert sorted(by_group[1]) == [(1, 3), (2, 7)]
+
+
+class TestInt8EmbeddingCodec:
+    """Storage codec (operators/embcodec): round-trip error bound and
+    neighborhood preservation over the fixture embeddings."""
+
+    def test_roundtrip_error_bounded_by_half_scale(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import embcodec
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        q = embcodec.quantize_embeddings_int8(emb.select("vec_id", "embedding"))
+        j = embcodec.dequantize_embeddings_int8(
+            q.join(emb.select("vec_id", F.col("embedding").alias("orig")),
+                   "vec_id"),
+            vec="recon",
+        )
+        rows = j.select("vec_id", "recon", "orig").collect()
+        assert len(rows) == emb.count()
+        for r in rows:
+            o = np.array(r.orig, dtype=np.float64)
+            rec = np.array(r.recon, dtype=np.float64)
+            half_step = np.abs(o).max() / 127.0 / 2.0
+            assert np.abs(rec - o).max() <= half_step + 1e-12
+
+    def test_codes_fit_int8_and_plan_is_map_only(self, spark):
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import embcodec
+        from extended_rabitq_spark.plans import inspect as I
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        q = embcodec.quantize_embeddings_int8(emb.select("vec_id", "embedding"))
+        assert dict(q.dtypes)["code_i8"] == "array<tinyint>"
+        plan = I.physical_plan(q)
+        assert "Exchange" not in plan  # map-only: no shuffle
+        mx = q.selectExpr(
+            "max(array_max(transform(code_i8, c -> abs(CAST(c AS INT))))) AS m"
+        ).first().m
+        assert mx <= 127
+
+    def test_knn_over_dequantized_preserves_recall(self, spark):
+        from pyspark.sql import functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark import metrics
+        from extended_rabitq_spark.operators import embcodec, knn
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        dq = embcodec.dequantize_embeddings_int8(
+            embcodec.quantize_embeddings_int8(
+                emb.where(F.col("vec_id") >= 10).select("vec_id", "embedding"),
+                vec="embedding"),
+            vec="vec",
+        ).select(F.col("vec_id").alias("id"), "vec")
+        gt = knn.exact_knn(qs, base, k=10)
+        approx = knn.exact_knn(qs, dq, k=10)
+        rec = metrics.recall_per_query(approx, gt, 10).agg(
+            F.avg("recall")).first()[0]
+        assert rec >= 0.9, rec
