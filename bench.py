@@ -47,6 +47,9 @@ EXTRA_QUERIES = [
     # round-5: the learned quality filter — weak-label bootstrap + MLlib
     # L-BFGS fit + map-only JVM scoring, end-to-end
     "quality_classifier_score",
+    # round-6: hybrid retrieval — one tokenize pass + BM25 + dense ranks
+    # + integer RRF fusion, the RAG-serving composition
+    "hybrid_search_rrf",
 ]
 
 

@@ -27,7 +27,7 @@ def register(name: str, oracle: str | None = None):
 
 
 # Importing the query modules populates the registry.
-from .queries import ann, clean, dedup, events, ivf, pipeline, rabitq, sampling, text, tpch  # noqa: E402,F401
+from .queries import ann, clean, dedup, events, ivf, pipeline, rabitq, retrieval, sampling, text, tpch  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Check-priority ordering.  The driver's correctness gate verifies the FIRST
@@ -186,6 +186,15 @@ _DEMOTED = [
                              # quality_classifier_score reps; parity
                              # replica + planted-garbage separation
                              # tests cover it
+    "bm25_topk",             # NEW r6 (sparse retrieval): out-of-window
+                             # (window pinned this round); fixed-point
+                             # BM25 — integer-typed end-to-end; parity
+                             # replica + tests/test_retrieval.py
+    "hybrid_search_rrf",     # NEW r6 (BM25+cosine RRF fusion): same
+                             # rationale; pure-integer rank fusion
+    "knn_mrl_prefix",        # NEW r6 (Matryoshka two-phase KNN): same
+                             # rationale; similarity family keeps
+                             # knn_exact/knn_cosine checked
 ]
 
 # Promoted to the head of the registration order so they land inside the
