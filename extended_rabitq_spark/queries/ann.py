@@ -465,3 +465,19 @@ def embedding_int8_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(CAST(c AS DOUBLE) * scale - CAST(o AS DOUBLE)))) AS DOUBLE)"
         ).alias("max_err"),
     )
+
+
+from ..operators.embcodec import d_knn_int8_rerank as _d_i8r
+
+
+@register("knn_int8_rerank", _d_i8r(nq=NQ, coarse_k=50, k=K))
+def knn_int8_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase KNN over the int8 storage codec: estimate on dequantized
+    codes (4× less IO at rest), exact fp32 rerank on the bounded
+    candidate set — the SQ analog of the RaBitQ estimate→rerank
+    pipeline.  Oracle = the same two-phase plan in DuckDB SQL."""
+    from ..operators import embcodec
+
+    q = _queries_df(spark, sf_dir)
+    b = _base_df(spark, sf_dir)
+    return embcodec.knn_int8_rerank(q, b, coarse_k=50, k=K)

@@ -195,6 +195,9 @@ _DEMOTED = [
     "knn_mrl_prefix",        # NEW r6 (Matryoshka two-phase KNN): same
                              # rationale; similarity family keeps
                              # knn_exact/knn_cosine checked
+    "knn_int8_rerank",       # NEW r6 (SQ estimate→rerank over the int8
+                             # storage codec): same rationale; oracle =
+                             # same two-phase plan in SQL
 ]
 
 # Promoted to the head of the registration order so they land inside the

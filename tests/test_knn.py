@@ -185,3 +185,41 @@ class TestInt8EmbeddingCodec:
         rec = metrics.recall_per_query(approx, gt, 10).agg(
             F.avg("recall")).first()[0]
         assert rec >= 0.9, rec
+
+    def test_int8_two_phase_rerank_beats_pure_dequant(self, spark):
+        """knn_int8_rerank (estimate on codes → exact fp32 rerank) must
+        dominate pure dequantized KNN: overfetch absorbs code error."""
+        from pyspark.sql import functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark import metrics
+        from extended_rabitq_spark.operators import embcodec, knn
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        gt = knn.exact_knn(qs, base, k=10)
+        out = embcodec.knn_int8_rerank(qs, base, coarse_k=50, k=10)
+        rec = metrics.recall_per_query(out, gt, 10).agg(
+            F.avg("recall")).first()[0]
+        assert rec >= 0.95, rec
+
+    def test_int8_rerank_full_coarse_is_exact(self, spark):
+        """coarse_k = |base| ⇒ the estimate phase filters nothing and the
+        exact rerank must reproduce brute-force KNN bitwise."""
+        from pyspark.sql import functions as F
+
+        from conftest import SF_SMOKE
+        from extended_rabitq_spark.operators import embcodec, knn
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        n = base.count()
+        got = sorted(map(tuple, embcodec.knn_int8_rerank(qs, base, coarse_k=n, k=10).collect()))
+        want = sorted(map(tuple, knn.exact_knn(qs, base, k=10).collect()))
+        assert got == want
