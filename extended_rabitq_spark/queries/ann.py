@@ -481,3 +481,65 @@ def knn_int8_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries_df(spark, sf_dir)
     b = _base_df(spark, sf_dir)
     return embcodec.knn_int8_rerank(q, b, coarse_k=50, k=K)
+
+
+def _pq_oracle(nq: int, m: int, dsub: int, coarse_k: int, k: int) -> str:
+    from .. import oracle as O
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {nq}),
+b AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= {nq}),
+ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
+       FROM embeddings WHERE vec_id >= {nq}),
+pd AS (SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS c FROM ex GROUP BY label, pos),
+cent AS (SELECT CAST(label AS INT) AS code, list(c ORDER BY pos) AS centroid
+         FROM pd GROUP BY label),
+cb AS (SELECT CAST(j AS INT) AS sub_id, code,
+              list_slice(centroid, j * {dsub} + 1, (j + 1) * {dsub}) AS cw
+       FROM cent, range(0, {m}) t(j)),
+subs AS (SELECT id, CAST(j AS INT) AS sub_id,
+                list_slice(vec, j * {dsub} + 1, (j + 1) * {dsub}) AS sv
+         FROM b, range(0, {m}) t(j)),
+enc AS (SELECT id, sub_id, code FROM (
+    SELECT s.id, s.sub_id, cb.code,
+           row_number() OVER (PARTITION BY s.id, s.sub_id
+                ORDER BY {O.l2sq('s.sv', 'cb.cw')} ASC, cb.code ASC) AS rn
+    FROM subs s JOIN cb ON s.sub_id = cb.sub_id) WHERE rn = 1),
+dec AS (SELECT e.id, flatten(list(cb.cw ORDER BY e.sub_id)) AS dvec
+        FROM enc e JOIN cb ON e.sub_id = cb.sub_id AND e.code = cb.code
+        GROUP BY e.id),
+cp AS (SELECT q.qid, d.id, q.qvec, {O.l2sq('q.qvec', 'd.dvec')} AS dist_q
+       FROM dec d CROSS JOIN q),
+cand AS (SELECT qid, id, qvec FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY dist_q ASC, id ASC) AS BIGINT) AS crank FROM cp)
+    WHERE crank <= {coarse_k}),
+fin AS (SELECT c.qid, c.id, {O.l2sq('c.qvec', 'b2.vec')} AS dist
+        FROM cand c JOIN b b2 ON c.id = b2.id),
+rk AS (SELECT qid, id, dist,
+              CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY dist ASC, id ASC) AS BIGINT) AS rank
+       FROM fin)
+SELECT qid, rank, id, dist FROM rk WHERE rank <= {k}
+"""
+
+
+@register("knn_pq_adc", _pq_oracle(nq=NQ, m=4, dsub=16, coarse_k=50, k=K))
+def knn_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (beyond-reference §2.8 — the FAISS
+    IndexPQ family next to RaBitQ): m=4 subspaces × 16 dims, label-mean
+    codebooks (the deterministic oracle twin of per-subspace k-means —
+    production trains via operators/pq.train_pq_codebooks), estimate on
+    decoded codewords, exact fp32 rerank on the broadcast shortlist."""
+    from ..operators import ivf as ivf_ops
+    from ..operators import pq
+    from ..tables import base_vectors
+
+    base_full = base_vectors(spark, sf_dir)
+    cents = ivf_ops.label_centroids(base_full).select(
+        "cluster_id", "centroid"
+    )
+    cb = pq.subspace_codebooks(cents, m=4, dsub=16)
+    q = _queries_df(spark, sf_dir)
+    b = _base_df(spark, sf_dir)
+    return pq.pq_adc_knn(q, b, cb, m=4, dsub=16, coarse_k=50, k=K)

@@ -198,6 +198,10 @@ _DEMOTED = [
     "knn_int8_rerank",       # NEW r6 (SQ estimate→rerank over the int8
                              # storage codec): same rationale; oracle =
                              # same two-phase plan in SQL
+    "knn_pq_adc",            # NEW r6 (product-quantization ADC, the
+                             # FAISS IndexPQ family): same rationale;
+                             # label-mean codebooks = deterministic
+                             # oracle twin of per-subspace k-means
 ]
 
 # Promoted to the head of the registration order so they land inside the
