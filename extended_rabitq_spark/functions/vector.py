@@ -91,3 +91,14 @@ def sign_bits(a: str) -> str:
 def popcount(a: str) -> str:
     """Number of 1-bits = Σ bits (P9, inc/utils/space.hpp:562-569)."""
     return f"CAST(aggregate({sign_bits(a)}, 0, (acc, v) -> acc + v) AS BIGINT)"
+
+
+def hamming(a: str, b: str) -> str:
+    """Hamming distance between the sign codes of two vectors: the count
+    of dimensions whose sign bits differ (strict ``> 0`` on both sides,
+    matching :func:`sign_bits`).  Integer end-to-end — no float folds."""
+    return (
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CASE WHEN (x > 0) != (y > 0) THEN 1 ELSE 0 END), "
+        f"0, (acc, v) -> acc + v) AS BIGINT)"
+    )

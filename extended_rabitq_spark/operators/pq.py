@@ -128,6 +128,127 @@ def pq_adc_knn(
     return out.where(F.col("rank") <= k).select("qid", "rank", "id", "dist")
 
 
+def residual_octant_codebooks(res_subs: DataFrame) -> DataFrame:
+    """Deterministic residual codebooks: per-subspace OCTANT means.
+
+    Each residual subvector is bucketed by the 3-bit sign pattern of its
+    first three dims (8 buckets/subspace); the codeword is the bucket's
+    per-dim mean, rounded to 6 decimals — the ``label_centroids``
+    cross-engine-exactness trick, so a DuckDB oracle reproduces the
+    codebook (and every distance derived from it) bitwise.  A sensible
+    quantizer in its own right (sign quantization refined by conditional
+    means — the B=1→B>1 refinement idea of the reference, expressed as
+    one aggregation); production IVF-PQ instead trains per-subspace
+    Lloyd's on residuals via :func:`train_pq_codebooks`.
+
+    res_subs: (id, sub_id, sv ARRAY<DOUBLE>), dsub ≥ 3.
+    → (sub_id INT, code INT, cw ARRAY<DOUBLE>).
+    """
+    keyed = res_subs.withColumn(
+        "code",
+        F.expr(
+            "CAST((CASE WHEN element_at(sv, 1) > 0 THEN 4 ELSE 0 END) + "
+            "(CASE WHEN element_at(sv, 2) > 0 THEN 2 ELSE 0 END) + "
+            "(CASE WHEN element_at(sv, 3) > 0 THEN 1 ELSE 0 END) AS INT)"
+        ),
+    )
+    per_dim = (
+        keyed.select("sub_id", "code", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("sub_id", "code", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+    return (
+        per_dim.groupBy("sub_id", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("sub_id", "code", F.expr("transform(pc, x -> x.c)").alias("cw"))
+    )
+
+
+def ivfpq_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    dsub: int,
+    nprobe: int = 3,
+    coarse_k: int = 50,
+    k: int = 10,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ search (the FAISS ``IndexIVFPQ`` family, the closest classic
+    relative of the reference's IVF+RaBitQ design) → (qid, rank, id, dist).
+
+    Index side: assign each base vector to its nearest centroid (argmin
+    join), PQ-encode the RESIDUAL ``vec − centroid`` per subspace.
+    Query side: probe the top-``nprobe`` centroids (W1), reconstruct
+    candidates in probed clusters only as ``centroid + decode(residual
+    codes)``, rank by the ADC estimate, exact fp32 re-rank of the
+    top-``coarse_k`` shortlist.
+
+    At 100 TB the probe join is the partition-pruning analog of
+    ``rabitq_search``: with the code table written ``partitionBy
+    (cluster_id)`` only nprobe/K of the data is scanned, codes are
+    m bytes/vector, and the fp32 column is read only for the
+    rank-bounded shortlist.  ``codebooks=None`` derives deterministic
+    octant codebooks from the residuals themselves (the oracle twin);
+    pass :func:`train_pq_codebooks` output (trained on residuals) for
+    production.
+    """
+    from .ivf import assign_clusters, select_probes
+
+    assigned = assign_clusters(base, centroids)  # (id, vec, cluster_id)
+    res = assigned.join(F.broadcast(centroids), "cluster_id").select(
+        "id", "cluster_id", F.expr(V.sub("vec", "centroid")).alias("rvec")
+    )
+    res_subs = _sub_explode(res.select("id", "rvec"), "rvec", m, dsub, "sv").select(
+        "id", "sub_id", "sv"
+    )
+    if codebooks is None:
+        codebooks = residual_octant_codebooks(res_subs)
+
+    # Encode: nearest codeword per (id, sub_id), ties → smaller code.
+    we = Window.partitionBy("id", "sub_id").orderBy(
+        F.col("sdist").asc(), F.col("code").asc()
+    )
+    codes = (
+        res_subs.join(F.broadcast(codebooks), "sub_id")
+        .withColumn("sdist", F.expr(V.l2sq("sv", "cw")))
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == 1)
+        .select("id", "sub_id", "code")
+    )
+    # Decode + reconstruct: approx = centroid + decoded residual.
+    approx = (
+        pq_decode(codes, codebooks)
+        .join(res.select("id", "cluster_id"), "id")
+        .join(F.broadcast(centroids), "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            F.expr(
+                "zip_with(centroid, dvec, (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE))"
+            ).alias("avec"),
+        )
+    )
+    probes = select_probes(queries, centroids, nprobe)  # (qid, probe_rank, cluster_id, cdist)
+    wc = Window.partitionBy("qid").orderBy(F.col("dist_q").asc(), F.col("id").asc())
+    cand = (
+        approx.join(F.broadcast(probes.select("qid", "cluster_id")), "cluster_id")
+        .join(F.broadcast(queries), "qid")
+        .select("qid", "id", "qvec", F.expr(V.l2sq("qvec", "avec")).alias("dist_q"))
+        .withColumn("crank", F.row_number().over(wc).cast("bigint"))
+        .where(F.col("crank") <= coarse_k)
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        base.join(F.broadcast(cand.select("qid", "id", "qvec")), "id")
+        .select("qid", "id", F.expr(V.l2sq("qvec", "vec")).alias("dist"))
+        .withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
+    )
+
+
 def train_pq_codebooks(
     base: DataFrame,
     m: int,

@@ -52,3 +52,11 @@ def popcount(a: str) -> str:
         f"CAST(list_reduce(list_transform({a}, x -> "
         f"CASE WHEN x > 0 THEN 1 ELSE 0 END), (x, y) -> x + y) AS BIGINT)"
     )
+
+
+def hamming(a: str, b: str) -> str:
+    return (
+        f"CAST(list_reduce(list_transform(list_zip({a}, {b}), p -> "
+        f"CASE WHEN (p[1] > 0) != (p[2] > 0) THEN 1 ELSE 0 END), "
+        f"(x, y) -> x + y) AS BIGINT)"
+    )

@@ -543,3 +543,143 @@ def knn_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries_df(spark, sf_dir)
     b = _base_df(spark, sf_dir)
     return pq.pq_adc_knn(q, b, cb, m=4, dsub=16, coarse_k=50, k=K)
+
+
+_HAMMING_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {NQ}),
+     b AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= {NQ}),
+     d AS (SELECT q.qid, b.id, {O.hamming('q.qvec', 'b.vec')} AS hamming FROM b CROSS JOIN q),
+     r AS (SELECT qid, id, hamming,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS BIGINT) AS rank
+           FROM d)
+SELECT qid, rank, id, hamming FROM r WHERE rank <= {K}
+"""
+
+
+@register("knn_hamming", _HAMMING_ORACLE)
+def knn_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) Hamming top-k — the storage-minimal end of the
+    quantization spectrum the reference's RaBitQ generalizes (B=1 sign
+    binarization, inc/index/Quantizer.hpp:356-361, minus the scaling
+    factors).  INTEGER distances end-to-end: the cleanest hashable
+    approximate-family row.  Scale twin: operators/binary.hamming_knn_packed
+    (64 bits/BIGINT word, Σ bit_count(xor)) is value-equal by test."""
+    from ..operators import binary
+
+    return binary.hamming_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K)
+
+
+def _binary_rerank_oracle(nq: int, coarse_k: int, k: int) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {nq}),
+     b AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= {nq}),
+     d AS (SELECT q.qid, b.id, {O.hamming('q.qvec', 'b.vec')} AS hamming FROM b CROSS JOIN q),
+     cand AS (SELECT qid, id FROM (
+         SELECT qid, id,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS BIGINT) AS crank
+         FROM d) WHERE crank <= {coarse_k}),
+     fin AS (SELECT c.qid, c.id, {O.l2sq('q.qvec', 'b2.vec')} AS dist
+             FROM cand c JOIN q ON q.qid = c.qid JOIN b b2 ON b2.id = c.id),
+     rk AS (SELECT qid, id, dist,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS BIGINT) AS rank
+            FROM fin)
+SELECT qid, rank, id, dist FROM rk WHERE rank <= {k}
+"""
+
+
+@register("knn_binary_rerank", _binary_rerank_oracle(nq=NQ, coarse_k=50, k=K))
+def knn_binary_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase binary search (the E1→E3 estimate→rerank shape over
+    1-bit codes): Hamming shortlist (top-50, ties → smaller id), exact
+    fp32 L2 re-rank of the broadcast shortlist only.  At 100 TB the
+    estimate pass scans 1/32 of the fp32 bytes (packed twin) and the
+    full vectors are read only for the rank-bounded shortlist join."""
+    from ..operators import binary
+
+    return binary.hamming_rerank_knn(
+        _queries_df(spark, sf_dir), _base_df(spark, sf_dir), coarse_k=50, k=K
+    )
+
+
+def _ivfpq_oracle(nq: int, m: int, dsub: int, nprobe: int, coarse_k: int, k: int) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {nq}),
+b AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= {nq}),
+ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
+       FROM embeddings WHERE vec_id >= {nq}),
+pd AS (SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS c FROM ex GROUP BY label, pos),
+cent AS (SELECT CAST(label AS INT) AS cluster_id, list(c ORDER BY pos) AS centroid
+         FROM pd GROUP BY label),
+asg AS (SELECT id, vec, cluster_id FROM (
+    SELECT b.id, b.vec, c.cluster_id,
+           row_number() OVER (PARTITION BY b.id
+                ORDER BY {O.l2sq('b.vec', 'c.centroid')} ASC, c.cluster_id ASC) AS rn
+    FROM b CROSS JOIN cent c) WHERE rn = 1),
+res AS (SELECT a.id, a.cluster_id,
+               list_transform(list_zip(a.vec, c.centroid),
+                    p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rvec
+        FROM asg a JOIN cent c ON a.cluster_id = c.cluster_id),
+subs AS (SELECT id, CAST(j AS INT) AS sub_id,
+                list_slice(rvec, j * {dsub} + 1, (j + 1) * {dsub}) AS sv
+         FROM res, range(0, {m}) t(j)),
+kex AS (SELECT sub_id,
+               CAST((CASE WHEN sv[1] > 0 THEN 4 ELSE 0 END) +
+                    (CASE WHEN sv[2] > 0 THEN 2 ELSE 0 END) +
+                    (CASE WHEN sv[3] > 0 THEN 1 ELSE 0 END) AS INT) AS code,
+               generate_subscripts(sv, 1) - 1 AS pos, unnest(sv) AS val
+        FROM subs),
+cb AS (SELECT sub_id, code, list(c ORDER BY pos) AS cw FROM (
+    SELECT sub_id, code, pos, round(avg(val), 6) AS c FROM kex GROUP BY sub_id, code, pos)
+    GROUP BY sub_id, code),
+enc AS (SELECT id, sub_id, code FROM (
+    SELECT s.id, s.sub_id, cb.code,
+           row_number() OVER (PARTITION BY s.id, s.sub_id
+                ORDER BY {O.l2sq('s.sv', 'cb.cw')} ASC, cb.code ASC) AS rn
+    FROM subs s JOIN cb ON s.sub_id = cb.sub_id) WHERE rn = 1),
+dec AS (SELECT e.id, flatten(list(cb.cw ORDER BY e.sub_id)) AS dvec
+        FROM enc e JOIN cb ON e.sub_id = cb.sub_id AND e.code = cb.code
+        GROUP BY e.id),
+apx AS (SELECT d.id, r.cluster_id,
+               list_transform(list_zip(c.centroid, d.dvec),
+                    p -> CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) AS avec
+        FROM dec d JOIN res r ON d.id = r.id JOIN cent c ON r.cluster_id = c.cluster_id),
+pr AS (SELECT qid, cluster_id FROM (
+    SELECT q.qid, c.cluster_id,
+           row_number() OVER (PARTITION BY q.qid
+                ORDER BY {O.l2sq('q.qvec', 'c.centroid')} ASC, c.cluster_id ASC) AS prk
+    FROM q CROSS JOIN cent c) WHERE prk <= {nprobe}),
+cp AS (SELECT q.qid, a.id, q.qvec, {O.l2sq('q.qvec', 'a.avec')} AS dist_q
+       FROM apx a JOIN pr ON a.cluster_id = pr.cluster_id JOIN q ON q.qid = pr.qid),
+cand AS (SELECT qid, id, qvec FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY dist_q ASC, id ASC) AS BIGINT) AS crank FROM cp)
+    WHERE crank <= {coarse_k}),
+fin AS (SELECT c.qid, c.id, {O.l2sq('c.qvec', 'b2.vec')} AS dist
+        FROM cand c JOIN b b2 ON c.id = b2.id),
+rk AS (SELECT qid, id, dist,
+              CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY dist ASC, id ASC) AS BIGINT) AS rank
+       FROM fin)
+SELECT qid, rank, id, dist FROM rk WHERE rank <= {k}
+"""
+
+
+@register("knn_ivfpq", _ivfpq_oracle(nq=NQ, m=4, dsub=16, nprobe=3, coarse_k=50, k=K))
+def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (FAISS IndexIVFPQ — the classic relative of the
+    reference's IVF+RaBitQ layout): label-mean coarse centroids (the
+    deterministic k-means stand-in every IVF oracle uses), PQ over
+    RESIDUALS with deterministic octant-mean codebooks (production:
+    train_pq_codebooks on residuals), nprobe=3 probe join (the partition
+    -pruning analog of rabitq_search), ADC estimate on reconstructed
+    candidates, exact fp32 rerank of the top-50 shortlist."""
+    from ..operators import ivf as ivf_ops
+    from ..operators import pq
+    from ..tables import base_vectors
+
+    cents = ivf_ops.label_centroids(base_vectors(spark, sf_dir)).select(
+        "cluster_id", "centroid"
+    )
+    q = _queries_df(spark, sf_dir)
+    b = _base_df(spark, sf_dir)
+    return pq.ivfpq_knn(q, b, cents, m=4, dsub=16, nprobe=3, coarse_k=50, k=K)

@@ -202,6 +202,18 @@ _DEMOTED = [
                              # FAISS IndexPQ family): same rationale;
                              # label-mean codebooks = deterministic
                              # oracle twin of per-subspace k-means
+    "knn_hamming",           # NEW r6 (1-bit sign Hamming top-k — the
+                             # B=1 end of the RaBitQ spectrum, integer
+                             # distances end-to-end): out-of-window,
+                             # window pinned; parity replica + packed-
+                             # twin equivalence tests
+    "knn_binary_rerank",     # NEW r6 (Hamming estimate → exact fp32
+                             # rerank, the E1→E3 shape over 1-bit
+                             # codes): same rationale
+    "knn_ivfpq",             # NEW r6 (IVF-PQ: residual PQ inside IVF
+                             # probes, the FAISS IndexIVFPQ family):
+                             # same rationale; octant-mean residual
+                             # codebooks = deterministic oracle twin
 ]
 
 # Promoted to the head of the registration order so they land inside the

@@ -1,0 +1,126 @@
+"""Binary sign-code Hamming search (operators/binary.py) + IVF-PQ
+(operators/pq.ivfpq_knn)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from extended_rabitq_spark.operators import binary, ivf as ivf_ops, knn, pq
+
+from conftest import SF_SMOKE
+
+K = 10
+
+
+def _frames(spark, nq=10):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    b = emb.where(F.col("vec_id") >= nq).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    return q, b
+
+
+class TestHamming:
+    def test_matches_numpy(self, spark):
+        q, b = _frames(spark)
+        got = {
+            (r.qid, r.rank): (r.id, r.hamming)
+            for r in binary.hamming_knn(q, b, k=K).collect()
+        }
+        qs = {r.qid: np.array(r.qvec) for r in q.collect()}
+        bs = sorted((r.id, np.array(r.vec)) for r in b.collect())
+        for qid, qv in qs.items():
+            qb = qv > 0
+            hams = sorted(
+                (int((qb != (bv > 0)).sum()), bid) for bid, bv in bs
+            )
+            for rank, (h, bid) in enumerate(hams[:K], start=1):
+                assert got[(qid, rank)] == (bid, h), (qid, rank)
+
+    def test_packed_twin_value_equal(self, spark):
+        q, b = _frames(spark)
+        a = sorted(map(tuple, binary.hamming_knn(q, b, k=K).collect()))
+        p = sorted(map(tuple, binary.hamming_knn_packed(q, b, k=K).collect()))
+        assert a == p
+
+    def test_packed_words_shape(self, spark):
+        _, b = _frames(spark)
+        row = binary.pack_sign_bits(b.limit(5)).first()
+        d = len(b.select("vec").first()[0])
+        assert len(row.words) == -(-d // 32)
+
+    def test_rerank_improves_over_raw_hamming(self, spark):
+        """Exact-rerank top-k recall vs GT must be ≥ raw Hamming's: the
+        rerank re-scores a superset of raw Hamming's top-k with the true
+        metric, so it can only recover neighbors Hamming misranked."""
+        q, b = _frames(spark)
+        gt = {
+            (r.qid, r.id) for r in knn.exact_knn(q, b, k=K).collect()
+        }
+        raw = {(r.qid, r.id) for r in binary.hamming_knn(q, b, k=K).collect()}
+        rr = {
+            (r.qid, r.id)
+            for r in binary.hamming_rerank_knn(q, b, coarse_k=50, k=K).collect()
+        }
+        assert len(rr & gt) >= len(raw & gt)
+
+    def test_no_python_in_plan(self, spark):
+        q, b = _frames(spark)
+        plan = binary.hamming_knn_packed(q, b, k=K)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestIVFPQ:
+    def test_deterministic_across_partitioning(self, spark):
+        q, b = _frames(spark)
+        cents = ivf_ops.label_centroids(
+            spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").where(F.col("vec_id") >= 10)
+        ).select("cluster_id", "centroid")
+        a = sorted(map(tuple, pq.ivfpq_knn(q, b, cents, m=4, dsub=16, k=K).collect()))
+        c = sorted(
+            map(tuple, pq.ivfpq_knn(q, b.repartition(13), cents, m=4, dsub=16, k=K).collect())
+        )
+        assert a == c
+
+    def test_recall_reasonable_and_dists_exact(self, spark):
+        """Rerank outputs true L2² (every returned dist matches a direct
+        recompute) and full-probe IVF-PQ recall beats random."""
+        q, b = _frames(spark)
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        cents = ivf_ops.label_centroids(emb.where(F.col("vec_id") >= 10)).select(
+            "cluster_id", "centroid"
+        )
+        nclusters = cents.count()
+        res = pq.ivfpq_knn(
+            q, b, cents, m=4, dsub=16, nprobe=nclusters, coarse_k=200, k=K
+        ).collect()
+        qs = {r.qid: np.array(r.qvec, dtype=np.float64) for r in q.collect()}
+        bs = {r.id: np.array(r.vec, dtype=np.float64) for r in b.collect()}
+        for r in res:
+            want = float(((qs[r.qid] - bs[r.id]) ** 2).sum())
+            assert abs(r.dist - want) < 1e-6
+        gt = {(r.qid, r.id) for r in knn.exact_knn(q, b, k=K).collect()}
+        got = {(r.qid, r.id) for r in res}
+        assert len(got & gt) / len(gt) > 0.5
+
+    def test_octant_codebooks_cover_nonempty_octants(self, spark):
+        q, b = _frames(spark)
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        cents = ivf_ops.label_centroids(emb.where(F.col("vec_id") >= 10)).select(
+            "cluster_id", "centroid"
+        )
+        assigned = ivf_ops.assign_clusters(b, cents)
+        from extended_rabitq_spark.functions import vector as V
+
+        res = assigned.join(F.broadcast(cents), "cluster_id").select(
+            "id", F.expr(V.sub("vec", "centroid")).alias("rvec")
+        )
+        subs = pq._sub_explode(res, "rvec", 4, 16, "sv").select("id", "sub_id", "sv")
+        cb = pq.residual_octant_codebooks(subs)
+        rows = cb.collect()
+        assert all(0 <= r.code < 8 and len(r.cw) == 16 for r in rows)
+        assert {r.sub_id for r in rows} == {0, 1, 2, 3}
