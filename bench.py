@@ -50,6 +50,13 @@ EXTRA_QUERIES = [
     # round-6: hybrid retrieval — one tokenize pass + BM25 + dense ranks
     # + integer RRF fusion, the RAG-serving composition
     "hybrid_search_rrf",
+    # round-6: the two new LLM-pipeline selection/dedup shapes — DSIR
+    # (tokenize + two B-row aggs + Gumbel top-N) and SemDeDup (argmin
+    # assign + within-cluster quadratic pair join)
+    "dsir_select",
+    "semdedup",
+    # round-6: IVF-PQ (residual encode + probe join + ADC + rerank)
+    "knn_ivfpq",
 ]
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup
+from ..operators import semdedup as semdedup_ops
 from ..registry import register
 
 _D_NORM = T.d_norm_text("text")
@@ -410,3 +411,20 @@ def dedup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("size")
         .agg(F.count("*").cast("long").alias("n_clusters"))
     )
+
+
+@register("semdedup", semdedup_ops.d_semdedup(nq=10, tau=0.925))
+def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    assign embeddings to (label-mean) centroids, compare pairs only
+    within a cluster (Sigma|cluster|^2 not N^2), mark every member of a
+    cos >= tau near-dup group except its min-id representative.  The
+    cluster equi-join is the 100 TB design point; production passes
+    kmeans_centroids output instead of the deterministic stand-in."""
+    from ..operators import ivf as ivf_ops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10)
+    cents = ivf_ops.label_centroids(base).select("cluster_id", "centroid")
+    vectors = base.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    return semdedup_ops.semdedup(vectors, cents, tau=0.925)

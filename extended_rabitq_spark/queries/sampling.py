@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dedup_ops
 from ..functions import text as T
+from ..operators import dsir as dsir_ops
 from ..operators import sampling
 from ..registry import register
 from .dedup import _SHINGLE_CTES
@@ -167,3 +168,21 @@ def corpus_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-order greedy fill; integer-exact cumulative sums)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return sampling.mixture_sample(docs, MIX_BUDGET)
+
+
+@register(
+    "dsir_select",
+    dsir_ops.d_dsir_select(
+        target_pred="d.lang = 'en' AND d.source IN ('src1', 'src2')", n_select=100
+    ),
+)
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    bucket features, Laplace-smoothed log-likelihood ratio of a target
+    subset (here: en docs from src1/src2) vs the raw pool, Gumbel-top-N
+    selection.  Micro-nat FIXED-POINT integers end-to-end — document
+    weights are BIGINT sums, exact under any aggregation order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_ops.dsir_select(
+        docs, target_pred="lang = 'en' AND source IN ('src1', 'src2')", n_select=100
+    )

@@ -214,6 +214,15 @@ _DEMOTED = [
                              # probes, the FAISS IndexIVFPQ family):
                              # same rationale; octant-mean residual
                              # codebooks = deterministic oracle twin
+    "dsir_select",           # NEW r6 (DSIR importance resampling —
+                             # Gumbel-top-N over fixed-point micro-nat
+                             # importance weights): out-of-window,
+                             # window pinned; sampling family keeps
+                             # stratified_sample/corpus_mixture_sample
+    "semdedup",              # NEW r6 (cluster-scoped semantic dedup,
+                             # Abbas et al. 2023): same rationale; the
+                             # embedding-dedup family keeps
+                             # dedup_embedding_ann checked
 ]
 
 # Promoted to the head of the registration order so they land inside the

@@ -1,0 +1,102 @@
+"""DSIR importance resampling (operators/dsir.py) + SemDeDup
+(operators/semdedup.py) semantics on planted corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from extended_rabitq_spark.operators import dsir, semdedup as sd
+
+
+def _planted_docs(spark):
+    """60 docs: 20 'target-like' (share the rare token 'zyxw'), 40 filler.
+    Target subset = the first 10 target-like docs (source='tgt')."""
+    rows = []
+    for i in range(20):
+        src = "tgt" if i < 10 else "pool"
+        rows.append((i, f"alpha beta zyxw gamma delta zyxw epsilon {i}", "en", src, 40))
+    for i in range(20, 60):
+        rows.append((i, f"lorem ipsum dolor sit amet consectetur {i}", "en", "pool", 40))
+    return spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+
+
+class TestDSIR:
+    def test_target_like_docs_selected_first(self, spark):
+        docs = _planted_docs(spark)
+        sel = dsir.dsir_select(docs, target_pred="source = 'tgt'", n_select=20)
+        picked = {r.doc_id for r in sel.collect()}
+        # The 10 pool docs sharing the target's rare-token signature must
+        # all be selected ahead of generic filler.
+        assert set(range(10, 20)) <= picked
+        # Filler can only fill the remaining slots.
+        assert len(picked & set(range(20, 60))) <= 10
+
+    def test_weights_integer_and_deterministic(self, spark):
+        docs = _planted_docs(spark)
+        a = sorted(map(tuple, dsir.dsir_select(docs, "source = 'tgt'", 15).collect()))
+        b = sorted(
+            map(
+                tuple,
+                dsir.dsir_select(docs.repartition(7), "source = 'tgt'", 15).collect(),
+            )
+        )
+        assert a == b
+        assert all(isinstance(t[1], int) for t in a)  # BIGINT scores
+
+    def test_rank_dense_and_bounded(self, spark):
+        docs = _planted_docs(spark)
+        rows = dsir.dsir_select(docs, "source = 'tgt'", 12).collect()
+        assert sorted(r.rank for r in rows) == list(range(1, 13))
+
+
+class TestSemDeDup:
+    def test_min_id_survives_exact_dups(self, spark):
+        # Two clusters; ids 1/2/3 are identical vectors (one group),
+        # id 4 is a lone vector in the other cluster.
+        vecs = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [1.0, 0.0, 0.0]),
+                (3, [1.0, 0.0, 0.0]),
+                (4, [0.0, 1.0, 0.0]),
+            ],
+            "id BIGINT, vec ARRAY<DOUBLE>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+            "cluster_id INT, centroid ARRAY<DOUBLE>",
+        )
+        got = {r.id: r.is_dup for r in sd.semdedup(vecs, cents, tau=0.99).collect()}
+        assert got == {1: False, 2: True, 3: True, 4: False}
+
+    def test_cross_cluster_pairs_never_compared(self, spark):
+        # Identical vectors that land in DIFFERENT clusters are not
+        # compared (the SemDeDup contract: scope = cluster).
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.05, 0.0]), (2, [0.05, 1.0, 0.0])],
+            "id BIGINT, vec ARRAY<DOUBLE>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+            "cluster_id INT, centroid ARRAY<DOUBLE>",
+        )
+        got = {r.id: r.is_dup for r in sd.semdedup(vecs, cents, tau=0.0).collect()}
+        assert got == {1: False, 2: False}
+
+    def test_deterministic_across_partitioning(self, spark):
+        from conftest import SF_SMOKE
+
+        from extended_rabitq_spark.operators import ivf as ivf_ops
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").where(
+            F.col("vec_id") >= 10
+        )
+        cents = ivf_ops.label_centroids(emb).select("cluster_id", "centroid")
+        vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        a = sorted(map(tuple, sd.semdedup(vecs, cents, tau=0.925).collect()))
+        b = sorted(
+            map(tuple, sd.semdedup(vecs.repartition(9), cents, tau=0.925).collect())
+        )
+        assert a == b
