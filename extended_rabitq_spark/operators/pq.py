@@ -249,6 +249,55 @@ def ivfpq_knn(
     )
 
 
+def _lloyd_subspace(X, ksub: int, iters: int, seed: int):
+    """Seeded Lloyd's over one subspace sample → (ksub', dsub) ndarray."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(ksub, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for c in range(len(cents)):
+            mask = a == c
+            if mask.any():
+                cents[c] = X[mask].mean(0)
+    return cents
+
+
+def _train_sample_codebooks(sample, m: int, dsub: int, ksub: int, iters: int, seed: int):
+    """Per-subspace Lloyd's over a driver sample → {(sub_id, code): cw}."""
+    return {
+        (j, c): cents[c]
+        for j in range(m)
+        for cents in [_lloyd_subspace(sample[:, j * dsub : (j + 1) * dsub], ksub, iters, seed + j)]
+        for c in range(len(cents))
+    }
+
+
+def _encode_decode_sample(sample, books, m: int, dsub: int):
+    """Reconstruct a sample through the codebooks (numpy, for training)."""
+    import numpy as np
+
+    out = np.empty_like(sample)
+    for j in range(m):
+        cents = np.stack([books[(j, c)] for c in range(sum(1 for k in books if k[0] == j))])
+        X = sample[:, j * dsub : (j + 1) * dsub]
+        a = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        out[:, j * dsub : (j + 1) * dsub] = cents[a]
+    return out
+
+
+def _collect_sample(base: DataFrame, vec: str, sample_size: int):
+    import numpy as np
+
+    take = min(sample_size, base.count())
+    return np.array(
+        [r[0] for r in base.select(vec).orderBy(F.xxhash64(vec)).limit(take).collect()],
+        dtype=np.float64,
+    )
+
+
 def train_pq_codebooks(
     base: DataFrame,
     m: int,
@@ -263,33 +312,110 @@ def train_pq_codebooks(
     (sub_id, code, cw).  Deterministic for a fixed (seed, sample_size);
     at 100 TB the sample is the standard PQ training protocol (FAISS
     trains on ≤ a few 100k vectors regardless of corpus size)."""
+    d = len(base.select(vec).first()[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    sample = _collect_sample(base, vec, sample_size)
+    books = _train_sample_codebooks(sample, m, dsub, ksub, iters, seed)
+    rows = [(j, c, [float(x) for x in cw]) for (j, c), cw in sorted(books.items())]
+    return base.sparkSession.createDataFrame(
+        rows, "sub_id INT, code INT, cw ARRAY<DOUBLE>"
+    )
+
+
+def train_opq(
+    base: DataFrame,
+    m: int,
+    ksub: int,
+    vec: str = "vec",
+    sample_size: int = 25_000,
+    opq_iters: int = 10,
+    lloyd_iters: int = 4,
+    seed: int = 42,
+):
+    """OPQ-NP (Ge et al., *Optimized Product Quantization*, CVPR 2013,
+    non-parametric variant): learn an orthonormal rotation R that
+    minimizes PQ reconstruction error by alternating (1) per-subspace
+    Lloyd's in the rotated space and (2) the orthogonal-Procrustes solve
+    ``R = UVᵀ`` of ``XᵀẐ = USVᵀ`` (Ẑ = the decoded reconstruction).
+
+    Driver-side numpy on a bounded sample (the FAISS OPQMatrix training
+    protocol — sample size is corpus-independent, so this is the 100 TB
+    path too); everything downstream applies R with :func:`rotate_vectors`
+    (Arrow batch matmul) and reuses the plain-PQ operators unchanged,
+    because L2 distances are rotation-invariant.
+
+    Returns ``(R, codebooks_df)``: R as a (D, D) float64 ndarray,
+    codebooks trained in the rotated space.
+    """
     import numpy as np
 
     d = len(base.select(vec).first()[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    n = base.count()
-    take = min(sample_size, n)
-    sample = np.array(
-        [r[0] for r in base.select(vec).orderBy(F.xxhash64(vec)).limit(take).collect()],
-        dtype=np.float64,
+    X = _collect_sample(base, vec, sample_size)
+    R = np.eye(d)
+    books = None
+    for _ in range(opq_iters):
+        Z = X @ R
+        books = _train_sample_codebooks(Z, m, dsub, ksub, lloyd_iters, seed)
+        Zhat = _encode_decode_sample(Z, books, m, dsub)
+        U, _, Vt = np.linalg.svd(X.T @ Zhat)
+        R = U @ Vt
+    Z = X @ R
+    books = _train_sample_codebooks(Z, m, dsub, ksub, lloyd_iters, seed)
+    rows = [(j, c, [float(x) for x in cw]) for (j, c), cw in sorted(books.items())]
+    cb = base.sparkSession.createDataFrame(rows, "sub_id INT, code INT, cw ARRAY<DOUBLE>")
+    return R, cb
+
+
+def rotate_vectors(df: DataFrame, R, vec: str = "vec", out: str | None = None) -> DataFrame:
+    """Apply a rotation to a vector column in one Arrow-batched matmul
+    (the ``rabitq.rotate_queries`` shape, generalized) — map-only, no
+    shuffle; other columns pass through."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    out = out or vec
+    spark = df.sparkSession
+    bR = spark.sparkContext.broadcast(np.asarray(R, dtype=np.float64))
+    others = [c for c in df.columns if c != vec]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != vec]
+        + [f"{out} array<double>"]
     )
-    rows = []
-    for j in range(m):
-        X = sample[:, j * dsub : (j + 1) * dsub]
-        rng = np.random.default_rng(seed + j)
-        cents = X[rng.choice(len(X), size=min(ksub, len(X)), replace=False)]
-        for _ in range(iters):
-            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            a = d2.argmin(1)
-            for c in range(len(cents)):
-                mask = a == c
-                if mask.any():
-                    cents[c] = X[mask].mean(0)
-        rows.extend(
-            (j, c, [float(x) for x in cents[c]]) for c in range(len(cents))
-        )
-    return base.sparkSession.createDataFrame(
-        rows, "sub_id INT, code INT, cw ARRAY<DOUBLE>"
-    )
+
+    def rot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        R_ = bR.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec].tolist(), dtype=np.float64)
+            cols = {c: pdf[c].to_numpy() for c in others}
+            cols[out] = list(V @ R_)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(rot, schema)
+
+
+def opq_adc_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    R,
+    codebooks: DataFrame,
+    m: int,
+    dsub: int,
+    coarse_k: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """OPQ-ADC search → (qid, rank, id, dist): rotate both sides (L2 is
+    rotation-invariant, so ranks AND distances match the unrotated
+    space up to float round-off), then run the plain PQ estimate→rerank
+    pipeline in the rotated space."""
+    qr = rotate_vectors(queries, R, vec="qvec")
+    br = rotate_vectors(base, R, vec="vec")
+    return pq_adc_knn(qr, br, codebooks, m=m, dsub=dsub, coarse_k=coarse_k, k=k)

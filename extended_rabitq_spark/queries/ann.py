@@ -683,3 +683,21 @@ def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries_df(spark, sf_dir)
     b = _base_df(spark, sf_dir)
     return pq.ivfpq_knn(q, b, cents, m=4, dsub=16, nprobe=3, coarse_k=50, k=K)
+
+
+@register("knn_opq_adc")  # rows-only: the OPQ rotation is trained by
+# driver-side numpy alternating minimization (Lloyd's + Procrustes SVD)
+# — not SQL-expressible.  Semantics pinned by tests/test_pq.py::TestOPQ
+# (orthonormality, distortion < plain PQ, rerank dists == true L2).
+def knn_opq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-ADC search (Ge et al. 2013 — FAISS OPQMatrix+IndexPQ): learn
+    an orthonormal rotation minimizing PQ reconstruction error on a
+    driver sample, rotate both sides via one Arrow matmul (map-only),
+    then the plain PQ estimate→rerank pipeline in the rotated space
+    (L2 is rotation-invariant, so distances match the original space)."""
+    from ..operators import pq
+
+    q = _queries_df(spark, sf_dir)
+    b = _base_df(spark, sf_dir)
+    R, cb = pq.train_opq(b, m=4, ksub=16, opq_iters=4, seed=42)
+    return pq.opq_adc_knn(q, b, R, cb, m=4, dsub=16, coarse_k=50, k=K)

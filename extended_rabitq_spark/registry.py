@@ -223,6 +223,10 @@ _DEMOTED = [
                              # Abbas et al. 2023): same rationale; the
                              # embedding-dedup family keeps
                              # dedup_embedding_ann checked
+    "knn_opq_adc",           # NEW r6 (OPQ learned rotation + PQ ADC):
+                             # rows-only by nature (numpy Procrustes
+                             # training); would burn a checked slot on
+                             # a guaranteed no_oracle row
 ]
 
 # Promoted to the head of the registration order so they land inside the

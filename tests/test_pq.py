@@ -113,3 +113,65 @@ class TestPQTrainer:
         _, b, _ = _frames(spark)
         with pytest.raises(ValueError, match="not divisible"):
             pq.train_pq_codebooks(b, m=7, ksub=8)
+
+
+class TestOPQ:
+    def _aniso(self, spark, n=400, d=16, seed=11):
+        """Correlated anisotropic data: PQ's independence-across-subspaces
+        assumption is violated, which is exactly where OPQ wins."""
+        rng = np.random.default_rng(seed)
+        A = rng.standard_normal((d, d))
+        scales = np.linspace(3.0, 0.1, d)
+        X = rng.standard_normal((n, d)) * scales @ A
+        return spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(n)],
+            "id BIGINT, vec ARRAY<DOUBLE>",
+        )
+
+    def test_rotation_orthonormal(self, spark):
+        b = self._aniso(spark)
+        R, _ = pq.train_opq(b, m=4, ksub=16, opq_iters=4, seed=5)
+        assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+
+    def test_opq_beats_plain_pq_distortion(self, spark):
+        b = self._aniso(spark)
+        m, dsub = 4, 4
+        R, cb_opq = pq.train_opq(b, m=m, ksub=16, opq_iters=8, seed=5)
+        cb_pq = pq.train_pq_codebooks(b, m=m, ksub=16, seed=5)
+        from extended_rabitq_spark.functions import vector as V
+
+        def mse(frame, cb):
+            dec = pq.pq_decode(pq.pq_encode(frame, cb, m, dsub), cb)
+            return (
+                frame.join(dec, "id")
+                .select(F.expr(V.l2sq("vec", "dvec")).alias("e"))
+                .agg(F.avg("e"))
+                .first()[0]
+            )
+
+        br = pq.rotate_vectors(b, R, vec="vec")
+        assert mse(br, cb_opq) < mse(b, cb_pq)
+
+    def test_opq_search_matches_exact_distances(self, spark):
+        """Rerank distances in the rotated space equal true L2² in the
+        original space (rotation invariance) to float tolerance."""
+        b = self._aniso(spark, n=200)
+        q = b.where(F.col("id") < 5).select(
+            F.col("id").alias("qid"), F.col("vec").alias("qvec")
+        )
+        base = b.where(F.col("id") >= 5)
+        R, cb = pq.train_opq(base, m=4, ksub=16, opq_iters=4, seed=5)
+        res = pq.opq_adc_knn(q, base, R, cb, m=4, dsub=4, coarse_k=40, k=5).collect()
+        qs = {r.qid: np.array(r.qvec) for r in q.collect()}
+        bs = {r.id: np.array(r.vec) for r in base.collect()}
+        assert len(res) == 25
+        for r in res:
+            want = float(((qs[r.qid] - bs[r.id]) ** 2).sum())
+            assert abs(r.dist - want) < 1e-7 * max(1.0, want)
+
+    def test_rotate_vectors_passthrough_and_matmul(self, spark):
+        b = self._aniso(spark, n=20)
+        R, _ = pq.train_opq(b, m=4, ksub=4, opq_iters=2, seed=5)
+        got = {r.id: np.array(r.vec) for r in pq.rotate_vectors(b, R).collect()}
+        for r in b.collect():
+            assert np.allclose(got[r.id], np.array(r.vec) @ R, atol=1e-12)
