@@ -139,8 +139,8 @@ lr AS (SELECT raw.bucket,
 w AS (SELECT bc.doc_id, sum(bc.cnt * lr.lr) AS w FROM bc JOIN lr ON bc.bucket = lr.bucket
       GROUP BY bc.doc_id),
 sc AS (SELECT doc_id,
-              w + CAST(round(-ln(-ln(((({hg}) % {SCALE} + {SCALE}) % {SCALE} + 0.5)
-                  / {SCALE}.0)) * {SCALE}.0) AS BIGINT) AS score
+              CAST(w + CAST(round(-ln(-ln(((({hg}) % {SCALE} + {SCALE}) % {SCALE} + 0.5)
+                  / {SCALE}.0)) * {SCALE}.0) AS BIGINT) AS BIGINT) AS score
        FROM w),
 rk AS (SELECT doc_id, score,
               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank

@@ -402,6 +402,132 @@ def rotate_vectors(df: DataFrame, R, vec: str = "vec", out: str | None = None) -
     return df.mapInPandas(rot, schema)
 
 
+def save_ivfpq_index(
+    base: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    m: int,
+    dsub: int,
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Persist an IVF-PQ index: codes parquet ``partitionBy(cluster_id)``
+    (probe joins prune partitions, the ``rabitq.save_index`` layout) +
+    centroid and codebook side tables + ``meta.json``.  Encoding runs
+    ONCE here — searches touch only codes + the rank-bounded rerank
+    shortlist.  ``codebooks=None`` derives the deterministic octant
+    codebooks from the residuals (pass ``train_pq_codebooks`` output
+    trained on residuals for production)."""
+    import json
+    import os
+
+    from .ivf import assign_clusters
+
+    spark = base.sparkSession
+    assigned = assign_clusters(base, centroids)
+    res = assigned.join(F.broadcast(centroids), "cluster_id").select(
+        "id", "cluster_id", F.expr(V.sub("vec", "centroid")).alias("rvec")
+    )
+    res_subs = _sub_explode(res.select("id", "rvec"), "rvec", m, dsub, "sv").select(
+        "id", "sub_id", "sv"
+    )
+    if codebooks is None:
+        codebooks = residual_octant_codebooks(res_subs)
+    codebooks = codebooks.localCheckpoint()  # derived from res_subs: pin
+    # before the encode below re-reads it (self-join lineage hazard)
+    we = Window.partitionBy("id", "sub_id").orderBy(F.col("sdist").asc(), F.col("code").asc())
+    codes = (
+        res_subs.join(F.broadcast(codebooks), "sub_id")
+        .withColumn("sdist", F.expr(V.l2sq("sv", "cw")))
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == 1)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "code"))).alias("sc"))
+        .select("id", F.expr("transform(sc, x -> x.code)").alias("codes"))
+        .join(res.select("id", "cluster_id"), "id")
+    )
+    codes.write.mode("overwrite").partitionBy("cluster_id").parquet(f"{path}/codes")
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump({"kind": "ivfpq", "m": m, "dsub": dsub}, f)
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 3,
+    coarse_k: int = 50,
+    k: int = 10,
+    rerank_base: DataFrame | None = None,
+) -> DataFrame:
+    """Search a saved IVF-PQ index → (qid, rank, id, dist).  The probe
+    semi-join pushes ``cluster_id`` into the partitioned codes scan
+    (only nprobe/K partitions read); candidates are reconstructed from
+    codes (``centroid + codeword``s) and ranked by ADC.  With
+    ``rerank_base`` (id, vec) the shortlist re-ranks on exact fp32 —
+    FAISS-style refine; without it, ADC estimates are returned (codes
+    are all the index stores, like the reference)."""
+    import json
+
+    from .ivf import select_probes
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    m, dsub = meta["m"], meta["dsub"]
+    codes = spark.read.parquet(f"{path}/codes")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    probes = select_probes(queries, centroids, nprobe)
+    sub_codes = codes.join(
+        F.broadcast(probes.select("qid", "cluster_id")), "cluster_id"
+    ).select(
+        "qid",
+        "id",
+        "cluster_id",
+        F.expr(
+            "explode(transform(sequence(0, size(codes) - 1), "
+            "j -> struct(CAST(j AS INT) AS sub_id, codes[j] AS code)))"
+        ).alias("sc"),
+    ).select("qid", "id", "cluster_id", F.col("sc.sub_id").alias("sub_id"), F.col("sc.code").alias("code"))
+    dec = (
+        sub_codes.join(F.broadcast(codebooks), ["sub_id", "code"])
+        .groupBy("qid", "id", "cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "cw"))).alias("scw"))
+        .select(
+            "qid", "id", "cluster_id",
+            F.expr("flatten(transform(scw, x -> x.cw))").alias("dvec"),
+        )
+    )
+    apx = dec.join(F.broadcast(centroids), "cluster_id").select(
+        "qid", "id",
+        F.expr("zip_with(centroid, dvec, (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE))").alias("avec"),
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("dist_q").asc(), F.col("id").asc())
+    cand = (
+        apx.join(F.broadcast(queries), "qid")
+        .select("qid", "id", "qvec", F.expr(V.l2sq("qvec", "avec")).alias("dist_q"))
+        .withColumn("crank", F.row_number().over(wc).cast("bigint"))
+        .where(F.col("crank") <= coarse_k)
+    )
+    if rerank_base is None:
+        wf = Window.partitionBy("qid").orderBy(F.col("dist_q").asc(), F.col("id").asc())
+        return (
+            cand.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "id", F.col("dist_q").alias("dist"))
+        )
+    wf = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        rerank_base.join(F.broadcast(cand.select("qid", "id", "qvec")), "id")
+        .select("qid", "id", F.expr(V.l2sq("qvec", "vec")).alias("dist"))
+        .withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
+    )
+
+
 def opq_adc_knn(
     queries: DataFrame,
     base: DataFrame,

@@ -701,3 +701,43 @@ def knn_opq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _base_df(spark, sf_dir)
     R, cb = pq.train_opq(b, m=4, ksub=16, opq_iters=4, seed=42)
     return pq.opq_adc_knn(q, b, R, cb, m=4, dsub=16, coarse_k=50, k=K)
+
+
+def _eval_hamming_oracle(nq: int, k: int) -> str:
+    from ..operators import evalmetrics as EV
+
+    res = f"""
+SELECT qid, rank, id FROM (
+  SELECT qid, id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS BIGINT) AS rank
+  FROM (SELECT q.vec_id AS qid, b.vec_id AS id,
+               {O.hamming('q.embedding', 'b.embedding')} AS hamming
+        FROM embeddings b, embeddings q
+        WHERE q.vec_id < {nq} AND b.vec_id >= {nq})
+) WHERE rank <= {k}"""
+    gt = f"""
+SELECT qid, rank, id FROM (
+  SELECT qid, id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS BIGINT) AS rank
+  FROM (SELECT q.vec_id AS qid, b.vec_id AS id,
+               {O.l2sq('q.embedding', 'b.embedding')} AS dist
+        FROM embeddings b, embeddings q
+        WHERE q.vec_id < {nq} AND b.vec_id >= {nq})
+) WHERE rank <= {k}"""
+    return EV.d_retrieval_eval(res, gt, k)
+
+
+@register("retrieval_eval_hamming", _eval_hamming_oracle(nq=NQ, k=K))
+def retrieval_eval_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker grading (beyond J4/J5 recall+ratio): per-query hit count,
+    MRR and nDCG of the 1-bit Hamming searcher against exact-L2 ground
+    truth — micro-unit FIXED-POINT integers (the DCG discount table is
+    precomputed in Python and frozen identically into both engines), so
+    the whole metric row is BIGINT and hash-stable."""
+    from ..operators import binary, evalmetrics
+
+    q = _queries_df(spark, sf_dir)
+    b = _base_df(spark, sf_dir)
+    res = binary.hamming_knn(q, b, k=K)
+    gt = knn.exact_knn(q, b, k=K)
+    return evalmetrics.retrieval_eval(res, gt, k=K)

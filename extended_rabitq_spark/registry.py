@@ -227,6 +227,10 @@ _DEMOTED = [
                              # rows-only by nature (numpy Procrustes
                              # training); would burn a checked slot on
                              # a guaranteed no_oracle row
+    "retrieval_eval_hamming",  # NEW r6 (hit/MRR/nDCG ranker grading in
+                             # fixed point): out-of-window, window
+                             # pinned; metric-join family keeps
+                             # ivf_recall checked
 ]
 
 # Promoted to the head of the registration order so they land inside the

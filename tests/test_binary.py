@@ -124,3 +124,85 @@ class TestIVFPQ:
         rows = cb.collect()
         assert all(0 <= r.code < 8 and len(r.cw) == 16 for r in rows)
         assert {r.sub_id for r in rows} == {0, 1, 2, 3}
+
+
+class TestRetrievalEval:
+    def test_perfect_ranker_gets_full_marks(self, spark):
+        from extended_rabitq_spark.operators import evalmetrics
+
+        q, b = _frames(spark)
+        gt = knn.exact_knn(q, b, k=K)
+        rows = evalmetrics.retrieval_eval(gt, gt, k=K).collect()
+        assert all(r.hits == K and r.mrr_fix == 1_000_000 and r.ndcg_fix == 1_000_000 for r in rows)
+
+    def test_zero_hit_query_emits_zeros(self, spark):
+        from extended_rabitq_spark.operators import evalmetrics
+
+        res = spark.createDataFrame([(1, 1, 100), (1, 2, 101)], "qid BIGINT, rank BIGINT, id BIGINT")
+        gt = spark.createDataFrame([(1, 1, 900), (1, 2, 901)], "qid BIGINT, rank BIGINT, id BIGINT")
+        rows = evalmetrics.retrieval_eval(res, gt, k=2).collect()
+        assert [tuple(r) for r in rows] == [(1, 0, 0, 0)]
+
+    def test_known_partial_credit(self, spark):
+        """Result with exactly the 2nd-ranked relevant at position 1:
+        hits=1, MRR=1e6, DCG=disc[0], IDCG=disc[0]+disc[1]."""
+        from extended_rabitq_spark.operators import evalmetrics
+
+        disc = evalmetrics.dcg_discounts(2)
+        res = spark.createDataFrame([(7, 1, 42), (7, 2, 99)], "qid BIGINT, rank BIGINT, id BIGINT")
+        gt = spark.createDataFrame([(7, 1, 41), (7, 2, 42)], "qid BIGINT, rank BIGINT, id BIGINT")
+        r = evalmetrics.retrieval_eval(res, gt, k=2).first()
+        assert r.hits == 1 and r.mrr_fix == 1_000_000
+        assert r.ndcg_fix == (1_000_000 * disc[0]) // (disc[0] + disc[1])
+
+
+class TestIVFPQIndex:
+    def test_saved_index_search_equals_inline(self, spark, tmp_path):
+        """search over the persisted index (with exact rerank) must equal
+        the inline ivfpq_knn plan at the same (nprobe, coarse_k, k)."""
+        q, b = _frames(spark)
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        cents = ivf_ops.label_centroids(emb.where(F.col("vec_id") >= 10)).select(
+            "cluster_id", "centroid"
+        )
+        path = str(tmp_path / "ivfpq")
+        pq.save_ivfpq_index(b, cents, path, m=4, dsub=16)
+        got = sorted(
+            map(
+                tuple,
+                pq.search_ivfpq_index(
+                    spark, path, q, nprobe=3, coarse_k=50, k=K, rerank_base=b
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, pq.ivfpq_knn(q, b, cents, m=4, dsub=16, nprobe=3, coarse_k=50, k=K).collect())
+        )
+        assert got == want
+
+    def test_probe_partition_pruning(self, spark, tmp_path):
+        q, b = _frames(spark)
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        cents = ivf_ops.label_centroids(emb.where(F.col("vec_id") >= 10)).select(
+            "cluster_id", "centroid"
+        )
+        path = str(tmp_path / "ivfpq2")
+        pq.save_ivfpq_index(b, cents, path, m=4, dsub=16)
+        df = pq.search_ivfpq_index(spark, path, q.limit(1), nprobe=1, coarse_k=20, k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the codes scan must carry the cluster_id filter (dynamic or
+        # static pruning), not read every partition
+        assert "cluster_id" in plan
+        assert len(df.collect()) == 5
+
+    def test_adc_only_mode_returns_estimates(self, spark, tmp_path):
+        q, b = _frames(spark)
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        cents = ivf_ops.label_centroids(emb.where(F.col("vec_id") >= 10)).select(
+            "cluster_id", "centroid"
+        )
+        path = str(tmp_path / "ivfpq3")
+        pq.save_ivfpq_index(b, cents, path, m=4, dsub=16)
+        rows = pq.search_ivfpq_index(spark, path, q, nprobe=2, coarse_k=50, k=K).collect()
+        assert len(rows) == K * q.count()
+        assert all(r.dist >= 0 for r in rows)
