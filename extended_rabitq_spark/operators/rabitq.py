@@ -891,8 +891,30 @@ def search_index(
       (inc/index/IVF.hpp:157-161); ``False`` forces exact W1 probes.
     - any :func:`rabitq_search` knob passes through (``refine``,
       ``estimator``, ``scorer``...).
+    - index-kind dispatch: a ``meta.json`` with ``kind: "ivfpq"`` (from
+      ``pq.save_ivfpq_index``) routes to :func:`pq.search_ivfpq_index`
+      with the same (queries, k, nprobe, rerank_base) contract — one
+      serving entry point regardless of which codec built the index.
     """
+    import json as _json
     import warnings
+
+    try:
+        with open(f"{path}/meta.json") as _f:
+            _kind = _json.load(_f).get("kind")
+    except FileNotFoundError:
+        _kind = None
+    if _kind == "ivfpq":
+        from . import pq
+
+        if nprobe is None:
+            n_cents = spark.read.parquet(f"{path}/centroids").count()
+            nprobe = max(1, n_cents // 16)
+        qdf = queries.select(F.col(qid).alias("qid"), F.col(qvec).alias("qvec"))
+        return pq.search_ivfpq_index(
+            spark, path, qdf, nprobe=int(nprobe), k=k,
+            rerank_base=rerank_base, **search_kw,
+        )
 
     codes, cents_full, meta = load_index(spark, path)
     if nprobe is None:

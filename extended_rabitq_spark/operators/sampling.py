@@ -185,3 +185,50 @@ def mixture_sample(
         F.col(id_), F.col(source), F.col(size_col).cast("long").alias("n_chars")
     ).withColumn("cum_chars", F.sum("n_chars").over(w).cast("long"))
     return sized.where(F.col("cum_chars") <= char_budget_per_source)
+
+
+def weighted_sample_aes(
+    docs: DataFrame,
+    k: int,
+    weight: str = "n_chars",
+    id_: str = "doc_id",
+    salt: str = "aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items with probability ∝
+    ``weight`` — the Efraimidis–Spirakis A-ES one-pass scheme: each row
+    draws ``u ∈ (0,1)`` deterministically from its id, keys on
+    ``−ln(u)/w`` and the k SMALLEST keys win (equivalent to the classic
+    ``u^{1/w}`` top-k form, in the numerically stable log domain).
+
+    Cross-engine exactness: u comes from the portable ``hash60`` bucket
+    (md5-based), the key is micro-scaled and rounded to BIGINT once per
+    row, ties break by id.  The top-k compiles to TakeOrderedAndProject
+    (per-partition local top-k, no global sort) — ONE pass at any
+    corpus size, the property A-ES was designed for.
+
+    Rows with ``weight <= 0`` are excluded (zero-weight items have zero
+    selection probability).  → (doc_id, key_fix, rank).
+    """
+    u = f"(({_bucket_expr(id_, salt)}) + 0.5) / {_BUCKETS}.0"
+    key = f"CAST(round(-ln({u}) * {_BUCKETS}.0 / CAST({weight} AS DOUBLE)) AS BIGINT)"
+    sel = (
+        docs.where(F.col(weight) > 0)
+        .select(F.col(id_).alias("doc_id"), F.expr(key).alias("key_fix"))
+        .orderBy(F.col("key_fix").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("key_fix").asc(), F.col("doc_id").asc())
+    return sel.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def d_weighted_sample_aes(k: int, weight: str = "n_chars", salt: str = "aes") -> str:
+    """DuckDB twin over the ``documents`` view."""
+    u = f"(({d_bucket_expr('doc_id', salt)}) + 0.5) / {_BUCKETS}.0"
+    key = f"CAST(round(-ln({u}) * {_BUCKETS}.0 / CAST({weight} AS DOUBLE)) AS BIGINT)"
+    return f"""
+WITH keyed AS (SELECT doc_id, {key} AS key_fix FROM documents WHERE {weight} > 0),
+rk AS (SELECT doc_id, key_fix,
+              CAST(row_number() OVER (ORDER BY key_fix ASC, doc_id ASC) AS BIGINT) AS rank
+       FROM keyed)
+SELECT doc_id, key_fix, rank FROM rk WHERE rank <= {k}
+"""

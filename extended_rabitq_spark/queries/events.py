@@ -677,3 +677,37 @@ def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = multimodal.docs_as_media(docs.unionByName(planted))
     return multimodal.phash_pairs(media, max_hamming=8)
+
+
+def _zorder_oracle() -> str:
+    from ..operators import zorder as Z
+
+    k = Z.d_zorder_key_expr(["user_id", "minute"], bits=21)
+    return f"""
+WITH m AS (SELECT event_id, user_id,
+                  CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute
+           FROM events),
+z AS (SELECT event_id, {k} AS zkey FROM m)
+SELECT event_id, zkey FROM z
+"""
+
+
+@register("events_zorder_layout", _zorder_oracle())
+def events_zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user_id, event-minute) —
+    the Delta/Iceberg OPTIMIZE ZORDER BY layout primitive: write files
+    sorted by this key and min/max zone maps prune scans for filters on
+    EITHER column.  Pure integer bit interleave (frozen 21-bit range),
+    bitwise cross-engine.  operators/zorder.zorder_layout applies the
+    range-exchange + in-partition sort for the actual write."""
+    from ..operators import zorder as Z
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(unix_micros(ts) div 60000000 AS BIGINT)").alias("minute"),
+    )
+    return ev.select(
+        "event_id", F.expr(Z.zorder_key_expr(["user_id", "minute"], bits=21)).alias("zkey")
+    )

@@ -186,3 +186,14 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_ops.dsir_select(
         docs, target_pred="lang = 'en' AND source IN ('src1', 'src2')", n_select=100
     )
+
+
+@register("weighted_sample_aes", sampling.d_weighted_sample_aes(k=50))
+def weighted_sample_aes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis A-ES weighted sampling without replacement:
+    50 docs with probability proportional to n_chars, one pass, keys in
+    micro fixed point, top-k via TakeOrderedAndProject (no global
+    sort).  The length-proportional sample every mixture/curriculum
+    pipeline draws."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.weighted_sample_aes(docs, k=50)

@@ -231,6 +231,14 @@ _DEMOTED = [
                              # fixed point): out-of-window, window
                              # pinned; metric-join family keeps
                              # ivf_recall checked
+    "weighted_sample_aes",   # NEW r6 (Efraimidis-Spirakis one-pass
+                             # weighted sampling w/o replacement):
+                             # out-of-window, window pinned; sampling
+                             # family keeps stratified_sample checked
+    "events_zorder_layout",  # NEW r6 (Morton-interleave layout keys —
+                             # the OPTIMIZE ZORDER BY primitive): out-
+                             # of-window, window pinned; pure integer
+                             # bit arithmetic, bitwise cross-engine
 ]
 
 # Promoted to the head of the registration order so they land inside the

@@ -206,3 +206,35 @@ class TestIVFPQIndex:
         rows = pq.search_ivfpq_index(spark, path, q, nprobe=2, coarse_k=50, k=K).collect()
         assert len(rows) == K * q.count()
         assert all(r.dist >= 0 for r in rows)
+
+
+class TestSearchIndexDispatch:
+    def test_search_index_routes_ivfpq_kind(self, spark, tmp_path):
+        """The one-call serving API must dispatch on meta.json kind and
+        return the same rows as calling search_ivfpq_index directly."""
+        from extended_rabitq_spark.operators import rabitq
+
+        q, b = _frames(spark)
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        cents = ivf_ops.label_centroids(emb.where(F.col("vec_id") >= 10)).select(
+            "cluster_id", "centroid"
+        )
+        path = str(tmp_path / "ivfpq_disp")
+        pq.save_ivfpq_index(b, cents, path, m=4, dsub=16)
+        via_api = sorted(
+            map(
+                tuple,
+                rabitq.search_index(
+                    spark, path, q, k=K, nprobe=3, rerank_base=b
+                ).collect(),
+            )
+        )
+        direct = sorted(
+            map(
+                tuple,
+                pq.search_ivfpq_index(
+                    spark, path, q, nprobe=3, coarse_k=50, k=K, rerank_base=b
+                ).collect(),
+            )
+        )
+        assert via_api == direct

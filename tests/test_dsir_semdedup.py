@@ -100,3 +100,86 @@ class TestSemDeDup:
             map(tuple, sd.semdedup(vecs.repartition(9), cents, tau=0.925).collect())
         )
         assert a == b
+
+
+class TestWeightedSampleAES:
+    def test_huge_weight_always_wins(self, spark):
+        from extended_rabitq_spark.operators import sampling
+
+        rows = [(i, "x", "en", "s", 10) for i in range(100)] + [(999, "x", "en", "s", 10**9)]
+        docs = spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        sel = sampling.weighted_sample_aes(docs, k=5)
+        got = {r.doc_id: r.rank for r in sel.collect()}
+        assert got[999] == 1  # key = -ln(u)/1e9 ~ 0 beats every unit weight
+
+    def test_zero_weight_excluded_and_deterministic(self, spark):
+        from extended_rabitq_spark.operators import sampling
+
+        rows = [(i, "x", "en", "s", i % 7) for i in range(50)]
+        docs = spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        a = sorted(map(tuple, sampling.weighted_sample_aes(docs, k=10).collect()))
+        b = sorted(map(tuple, sampling.weighted_sample_aes(docs.repartition(5), k=10).collect()))
+        assert a == b
+        zero_ids = {i for i in range(50) if i % 7 == 0}
+        assert not ({t[0] for t in a} & zero_ids)
+
+    def test_longer_docs_overrepresented(self, spark):
+        """Inclusion frequency must increase with weight: split 200 docs
+        into weight-1 and weight-20 halves; the heavy half should take
+        a clear majority of a k=60 sample."""
+        from extended_rabitq_spark.operators import sampling
+
+        rows = [(i, "x", "en", "s", 1 if i < 100 else 20) for i in range(200)]
+        docs = spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        sel = [r.doc_id for r in sampling.weighted_sample_aes(docs, k=60).collect()]
+        heavy = sum(1 for i in sel if i >= 100)
+        assert heavy > 40
+
+
+class TestZOrder:
+    def test_matches_python_interleave(self, spark):
+        from extended_rabitq_spark.operators import zorder as Z
+
+        rows = [(i, (i * 37) % 1000, (i * 101) % 50000) for i in range(300)]
+        df = spark.createDataFrame(rows, "id BIGINT, a BIGINT, b BIGINT")
+        got = {r.id: r.zkey for r in df.select(
+            "id", __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                Z.zorder_key_expr(["a", "b"], bits=21)).alias("zkey")).collect()}
+
+        def morton(a, b, bits=21):
+            out = 0
+            for i in range(bits):
+                out |= ((a >> i) & 1) << (2 * i)
+                out |= ((b >> i) & 1) << (2 * i + 1)
+            return out
+
+        for i, a, b in rows:
+            assert got[i] == morton(a, b), (i, a, b)
+
+    def test_bits_overflow_guard(self, spark):
+        import pytest
+
+        from extended_rabitq_spark.operators import zorder as Z
+
+        with pytest.raises(ValueError, match="BIGINT"):
+            Z.zorder_key_expr(["a", "b", "c"], bits=22)
+        with pytest.raises(ValueError, match="at least one"):
+            Z.zorder_key_expr([], bits=8)
+
+    def test_layout_sorted_within_partitions(self, spark):
+        from extended_rabitq_spark.operators import zorder as Z
+
+        rows = [(i, (i * 37) % 1000, (i * 101) % 50000) for i in range(500)]
+        df = spark.createDataFrame(rows, "id BIGINT, a BIGINT, b BIGINT")
+        out = Z.zorder_layout(df, ["a", "b"], bits=21)
+        ok = out.rdd.mapPartitions(
+            lambda it: [all(x <= y for x, y in zip(ks, ks[1:]))
+                        for ks in [[r["zkey"] for r in it]]]
+        ).collect()
+        assert all(ok)
