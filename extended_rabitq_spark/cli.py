@@ -233,6 +233,17 @@ def cmd_ingest_docs(spark: SparkSession, a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest_warc(spark: SparkSession, a: argparse.Namespace) -> int:
+    """WARC shard(s) → canonical documents parquet (+ url/date/ctype)."""
+    from .sources.warc_io import read_warc_docs
+
+    docs = read_warc_docs(spark, a.src, min_chars=a.min_chars)
+    docs.write.mode("overwrite").parquet(a.out)
+    n = spark.read.parquet(a.out).count()
+    print(f"ingested {n} documents -> {a.out}")
+    return 0
+
+
 def cmd_quality(spark: SparkSession, a: argparse.Namespace) -> int:
     """Learned quality scoring over a documents table: self-train the LR
     classifier with the Gopher rule gate as weak label (or filter on a
@@ -419,6 +430,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--source-field", default=None)
     s.add_argument("--default-source", default="jsonl")
     s.set_defaults(fn=cmd_ingest_docs)
+
+    s = sub.add_parser(
+        "ingest-warc", help="WARC crawl shards (plain/.gz) -> documents parquet"
+    )
+    s.add_argument("src", help="file/dir/glob of *.warc[.gz]")
+    s.add_argument("out")
+    s.add_argument("--min-chars", type=int, default=1)
+    s.set_defaults(fn=cmd_ingest_warc)
 
     s = sub.add_parser(
         "quality", help="self-trained learned quality scores for a corpus"

@@ -265,3 +265,25 @@ def test_cli_ingest_docs(spark, tmp_path, capsys):
     df = spark.read.parquet(out)
     assert df.count() == 12
     assert set(df.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+def test_cli_ingest_warc(spark, tmp_path, capsys):
+    src = str(tmp_path / "shard.warc")
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><body><p>warc cli doc</p></body></html>"
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    with open(src, "wb") as fh:
+        fh.write(rec)
+    out = str(tmp_path / "wdocs.parquet")
+    assert cli.main(["ingest-warc", src, out]) == 0
+    assert "ingested 1 documents" in capsys.readouterr().out
+    df = spark.read.parquet(out)
+    row = df.first()
+    assert row.text == "warc cli doc" and row.url == "http://x.example/"
