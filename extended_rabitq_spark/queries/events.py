@@ -711,3 +711,57 @@ def events_zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.expr(Z.zorder_key_expr(["user_id", "minute"], bits=21)).alias("zkey")
     )
+
+
+_SCD2_ORACLE = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+o AS (SELECT user_id, event_type, us, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+ch AS (SELECT user_id, event_type, us, event_id FROM o
+       WHERE prev_type IS NULL OR prev_type <> event_type),
+iv AS (SELECT user_id, event_type AS state, us AS valid_from_us,
+              lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+       FROM ch)
+SELECT user_id, state, valid_from_us,
+       coalesce(valid_to_us, CAST(9223372036854775807 AS BIGINT)) AS valid_to_us,
+       CAST(valid_to_us IS NULL AS BOOLEAN) AS is_current
+FROM iv
+"""
+
+
+@register("events_scd2_intervals", _SCD2_ORACLE)
+def events_scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event stream into
+    state-validity intervals [valid_from, valid_to) — consecutive
+    same-state events merge, the open interval marks the current state.
+    The dimension-history shape every warehouse maintains; one hash
+    shuffle on user_id serves both windows (lag to detect changes, lead
+    to close intervals).  Times in integer epoch-µs for bitwise parity;
+    the open end is BIGINT max (NULL would sort engine-differently)."""
+    from pyspark.sql import Window
+
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    ch = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    iv = ch.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"),
+    )
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.coalesce("valid_to_us", F.lit(9223372036854775807).cast("long")).alias("valid_to_us"),
+        F.col("valid_to_us").isNull().alias("is_current"),
+    )

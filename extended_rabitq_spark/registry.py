@@ -239,6 +239,10 @@ _DEMOTED = [
                              # the OPTIMIZE ZORDER BY primitive): out-
                              # of-window, window pinned; pure integer
                              # bit arithmetic, bitwise cross-engine
+    "events_scd2_intervals", # NEW r6 (SCD Type-2 validity intervals):
+                             # out-of-window, window pinned; the keyed-
+                             # compaction family keeps
+                             # events_latest_state's green history
 ]
 
 # Promoted to the head of the registration order so they land inside the

@@ -183,3 +183,53 @@ class TestZOrder:
                         for ks in [[r["zkey"] for r in it]]]
         ).collect()
         assert all(ok)
+
+
+class TestSCD2:
+    def test_planted_stream_intervals(self, spark):
+        import datetime as dt
+
+        from extended_rabitq_spark.queries.events import events_scd2_intervals_q  # noqa: F401
+        from pyspark.sql import Window
+
+        # Reuse the registered query's logic via a direct mini-frame
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base + dt.timedelta(minutes=m), 7, t, 0.0, "{}")
+            for m, (t,) in enumerate([("A",), ("A",), ("B",), ("A",)])
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+        sel = ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id")
+        ch = sel.withColumn("prev", F.lag("event_type").over(w)).where(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+        )
+        iv = ch.select(
+            "user_id", F.col("event_type").alias("state"), F.col("us").alias("f"),
+            F.lead("us").over(w).alias("t"),
+        ).orderBy("f").collect()
+        assert [r.state for r in iv] == ["A", "B", "A"]
+        # consecutive same-state events merged; intervals contiguous
+        assert iv[0].t == iv[1].f and iv[1].t == iv[2].f
+        assert iv[2].t is None  # current/open
+
+    def test_registered_query_contiguity(self, spark):
+        from conftest import SF_SMOKE
+
+        import __spark_entry__ as e
+
+        rows = e.queries()["events_scd2_intervals"](spark, SF_SMOKE).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        MAX = 9223372036854775807
+        for uid, ivs in by_user.items():
+            ivs.sort(key=lambda r: r.valid_from_us)
+            assert sum(1 for r in ivs if r.is_current) == 1
+            assert ivs[-1].valid_to_us == MAX and ivs[-1].is_current
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.valid_to_us == b.valid_from_us  # no gaps/overlaps
+                # consecutive intervals never share a state (else merged)
+                assert a.state != b.state
