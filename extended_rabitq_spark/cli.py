@@ -89,8 +89,26 @@ def cmd_create_index(spark: SparkSession, a: argparse.Namespace) -> int:
 
 
 def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
+    import json as _json
+    import os as _os
+
     from .harness import nprobe_sweep, save_results_csv, tune_nprobe
     from .operators import rabitq
+
+    # Fail at the dispatch boundary, not deep inside plan analysis: the
+    # sweep harness below is RaBitQ-specific; other index kinds serve
+    # through operators.rabitq.search_index (which dispatches on kind).
+    _mp = _os.path.join(a.index, "meta.json")
+    if _os.path.exists(_mp):
+        with open(_mp) as _f:
+            _kind = _json.load(_f).get("kind")
+        if _kind is not None and _kind != "rabitq":
+            raise SystemExit(
+                f"search: index at {a.index} has kind={_kind!r}; the sweep "
+                "harness is RaBitQ-only — query it via "
+                "extended_rabitq_spark.operators.rabitq.search_index (one-"
+                "call serving, kind-dispatched) instead"
+            )
 
     codes, cents_full, meta = rabitq.load_index(spark, a.index)
     queries = _vectors(spark, a.queries).select(

@@ -53,12 +53,16 @@ def pack_sign_bits(df: DataFrame, vec: str = "vec", id_: str = "id") -> DataFram
     word pack as 0-bits (zero-pad maps to sign bit 0, matching
     ``sign_bits``)."""
     bits = V.sign_bits(vec)
+    # try_element_at, not element_at: under ANSI mode (Spark 4 default)
+    # element_at THROWS on the out-of-bounds tail positions of a short
+    # final word — the coalesce zero-pad only ever sees NULLs from the
+    # try_ variant.
     return df.select(
         F.col(id_),
         F.expr(
             f"transform(sequence(0, CAST(ceil(size({vec}) / 32.0) AS INT) - 1, 1), "
             f"w -> aggregate(sequence(0, 31, 1), CAST(0 AS BIGINT), "
-            f"(acc, j) -> acc * 2 + CAST(coalesce(element_at({bits}, w * 32 + j + 1), 0) AS BIGINT)))"
+            f"(acc, j) -> acc * 2 + CAST(coalesce(try_element_at({bits}, w * 32 + j + 1), 0) AS BIGINT)))"
         ).alias("words"),
     )
 
@@ -85,7 +89,8 @@ def hamming_knn_packed(
     qid: str = "qid", qvec: str = "qvec", id_: str = "id", vec: str = "vec",
 ) -> DataFrame:
     """Scale twin of :func:`hamming_knn`: distance = Σ bit_count(xor) over
-    packed 64-bit words.  Value-equal by construction (tested)."""
+    the packed words (32 sign bits per BIGINT — see
+    :func:`pack_sign_bits`).  Value-equal by construction (tested)."""
     qb = pack_sign_bits(queries, vec=qvec, id_=qid).withColumnRenamed("words", "qwords")
     bb = pack_sign_bits(base, vec=vec, id_=id_)
     pairs = bb.crossJoin(F.broadcast(qb))

@@ -70,13 +70,11 @@ def subspace_codebooks(centroids: DataFrame, m: int, dsub: int) -> DataFrame:
     ).select("sub_id", "code", "cw")
 
 
-def pq_encode(base: DataFrame, codebooks: DataFrame, m: int, dsub: int) -> DataFrame:
-    """Encode → (id, sub_id, code): nearest codeword per subspace (ties →
-    smaller code).  Codebooks broadcast; everything else map-side until
-    the per-(id, sub_id) rank window."""
-    subs = _sub_explode(base.select("id", "vec"), "vec", m, dsub, "sv").select(
-        "id", "sub_id", "sv"
-    )
+def encode_subs(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """The PQ encode core, shared by every encoder here: nearest codeword
+    per (id, sub_id), ties → smaller code.  ``subs`` is the exploded
+    (id, sub_id, sv) form; codebooks broadcast; map-side until the
+    per-(id, sub_id) rank window."""
     w = Window.partitionBy("id", "sub_id").orderBy(
         F.col("sdist").asc(), F.col("code").asc()
     )
@@ -87,6 +85,14 @@ def pq_encode(base: DataFrame, codebooks: DataFrame, m: int, dsub: int) -> DataF
         .where(F.col("rn") == 1)
         .select("id", "sub_id", "code")
     )
+
+
+def pq_encode(base: DataFrame, codebooks: DataFrame, m: int, dsub: int) -> DataFrame:
+    """Encode → (id, sub_id, code): explode + :func:`encode_subs`."""
+    subs = _sub_explode(base.select("id", "vec"), "vec", m, dsub, "sv").select(
+        "id", "sub_id", "sv"
+    )
+    return encode_subs(subs, codebooks)
 
 
 def pq_decode(codes: DataFrame, codebooks: DataFrame) -> DataFrame:
@@ -204,19 +210,12 @@ def ivfpq_knn(
         "id", "sub_id", "sv"
     )
     if codebooks is None:
-        codebooks = residual_octant_codebooks(res_subs)
+        # Pinned (localCheckpoint): the derived codebooks are consumed
+        # by BOTH the encode and decode joins below — compute the
+        # aggregation once instead of once per consumer.
+        codebooks = residual_octant_codebooks(res_subs).localCheckpoint()
 
-    # Encode: nearest codeword per (id, sub_id), ties → smaller code.
-    we = Window.partitionBy("id", "sub_id").orderBy(
-        F.col("sdist").asc(), F.col("code").asc()
-    )
-    codes = (
-        res_subs.join(F.broadcast(codebooks), "sub_id")
-        .withColumn("sdist", F.expr(V.l2sq("sv", "cw")))
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == 1)
-        .select("id", "sub_id", "code")
-    )
+    codes = encode_subs(res_subs, codebooks)
     # Decode + reconstruct: approx = centroid + decoded residual.
     approx = (
         pq_decode(codes, codebooks)
@@ -431,15 +430,11 @@ def save_ivfpq_index(
         "id", "sub_id", "sv"
     )
     if codebooks is None:
-        codebooks = residual_octant_codebooks(res_subs)
-    codebooks = codebooks.localCheckpoint()  # derived from res_subs: pin
-    # before the encode below re-reads it (self-join lineage hazard)
-    we = Window.partitionBy("id", "sub_id").orderBy(F.col("sdist").asc(), F.col("code").asc())
+        # Same pin as ivfpq_knn: the derived codebooks are consumed by
+        # the encode join here AND persisted below — compute once.
+        codebooks = residual_octant_codebooks(res_subs).localCheckpoint()
     codes = (
-        res_subs.join(F.broadcast(codebooks), "sub_id")
-        .withColumn("sdist", F.expr(V.l2sq("sv", "cw")))
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == 1)
+        encode_subs(res_subs, codebooks)
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("sub_id", "code"))).alias("sc"))
         .select("id", F.expr("transform(sc, x -> x.code)").alias("codes"))

@@ -907,6 +907,17 @@ def search_index(
     if _kind == "ivfpq":
         from . import pq
 
+        if use_graph:
+            raise ValueError(
+                "search_index: use_graph applies to RaBitQ indexes only "
+                "(ivfpq probes are exact W1)"
+            )
+        unknown = set(search_kw) - {"coarse_k"}
+        if unknown:  # fail at the boundary, not deep in plan analysis
+            raise TypeError(
+                f"search_index: {sorted(unknown)} are RaBitQ-only knobs — "
+                "an ivfpq index accepts only coarse_k"
+            )
         if nprobe is None:
             n_cents = spark.read.parquet(f"{path}/centroids").count()
             nprobe = max(1, n_cents // 16)

@@ -208,9 +208,16 @@ def weighted_sample_aes(
 
     Rows with ``weight <= 0`` are excluded (zero-weight items have zero
     selection probability).  → (doc_id, key_fix, rank).
+
+    Key resolution: −ln(u) is bounded by ~14.5 (u ≥ 0.5/1e6), so the
+    fixed-point scale must dwarf the weight range or keys collapse to
+    few distinct values and ties degrade into doc_id order (the review
+    found this at the natural 1e6 scale).  1e12 keeps ~1.45e13/w
+    distinct levels — ~1.45e8 at a 100 KB doc, still ~14.5k at a 1 GB
+    doc — while staying far inside BIGINT.
     """
     u = f"(({_bucket_expr(id_, salt)}) + 0.5) / {_BUCKETS}.0"
-    key = f"CAST(round(-ln({u}) * {_BUCKETS}.0 / CAST({weight} AS DOUBLE)) AS BIGINT)"
+    key = f"CAST(round(-ln({u}) * 1e12 / CAST({weight} AS DOUBLE)) AS BIGINT)"
     sel = (
         docs.where(F.col(weight) > 0)
         .select(F.col(id_).alias("doc_id"), F.expr(key).alias("key_fix"))
@@ -224,7 +231,7 @@ def weighted_sample_aes(
 def d_weighted_sample_aes(k: int, weight: str = "n_chars", salt: str = "aes") -> str:
     """DuckDB twin over the ``documents`` view."""
     u = f"(({d_bucket_expr('doc_id', salt)}) + 0.5) / {_BUCKETS}.0"
-    key = f"CAST(round(-ln({u}) * {_BUCKETS}.0 / CAST({weight} AS DOUBLE)) AS BIGINT)"
+    key = f"CAST(round(-ln({u}) * 1e12 / CAST({weight} AS DOUBLE)) AS BIGINT)"
     return f"""
 WITH keyed AS (SELECT doc_id, {key} AS key_fix FROM documents WHERE {weight} > 0),
 rk AS (SELECT doc_id, key_fix,

@@ -59,8 +59,12 @@ def semdedup(
         .select(F.col("b_id").alias("dup_id"))
         .distinct()
     )
+    # No broadcast hint: on a heavily duplicated corpus dup_ids is
+    # corpus-scale (SemDeDup removes up to ~50%), so force-broadcasting
+    # it would OOM at exactly the scale this operator targets.  Left to
+    # Catalyst/AQE, the join broadcasts only when dup_ids is small.
     return assigned.join(
-        F.broadcast(dup_ids), assigned[id_] == dup_ids["dup_id"], "left"
+        dup_ids, assigned[id_] == dup_ids["dup_id"], "left"
     ).select(
         F.col(id_).alias("id"),
         "cluster_id",

@@ -29,26 +29,55 @@ def _check(cols: list[str], bits: int) -> None:
         raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a signed BIGINT")
 
 
-def zorder_key_expr(cols: list[str], bits: int = 21) -> str:
+def zorder_key_expr(cols: list[str], bits: int = 21, check: bool = True) -> str:
     """Spark SQL text: Morton interleave of the low ``bits`` bits of each
     (non-negative integral) column.  Column j contributes its bit i at
-    output position ``i·n + j``."""
+    output position ``i·n + j``.
+
+    ``check=True`` (default) raises at runtime on any value outside
+    ``[0, 2^bits)`` instead of silently wrapping — a wrapped column
+    (e.g. epoch-minutes ≈ 28.5M >> 2²¹) would alias values 2^bits apart
+    into the same key and quietly defeat the zone-map pruning the layout
+    exists for.  Normalize first (rank, or subtract the corpus min, as
+    ``events_zorder_layout`` does) rather than disabling the check."""
     _check(cols, bits)
     n = len(cols)
+    lim = 1 << bits
+    refs = []
+    for c in cols:
+        v = f"CAST({c} AS BIGINT)"
+        if check:
+            refs.append(
+                f"(CASE WHEN {v} >= 0 AND {v} < {lim} THEN {v} ELSE "
+                f"CAST(raise_error(concat('zorder: value of {c} outside [0, {lim}): ', "
+                f"CAST({c} AS STRING))) AS BIGINT) END)"
+            )
+        else:
+            refs.append(v)
     terms = " + ".join(
-        f"shiftleft(shiftright(CAST({c} AS BIGINT), i) & 1, i * {n} + {j})"
-        for j, c in enumerate(cols)
+        f"shiftleft(shiftright({v}, i) & 1, i * {n} + {j})" for j, v in enumerate(refs)
     )
     return f"aggregate(sequence(0, {bits - 1}, 1), CAST(0 AS BIGINT), (acc, i) -> acc + {terms})"
 
 
-def d_zorder_key_expr(cols: list[str], bits: int = 21) -> str:
-    """DuckDB twin (list_reduce over the same frozen bit range)."""
+def d_zorder_key_expr(cols: list[str], bits: int = 21, check: bool = True) -> str:
+    """DuckDB twin (list_reduce over the same frozen bit range; the
+    range guard uses ``error()``)."""
     _check(cols, bits)
     n = len(cols)
+    lim = 1 << bits
+    refs = []
+    for c in cols:
+        v = f"CAST({c} AS BIGINT)"
+        if check:
+            refs.append(
+                f"(CASE WHEN {v} >= 0 AND {v} < {lim} THEN {v} ELSE "
+                f"CAST(error('zorder: value of {c} outside [0, {lim})') AS BIGINT) END)"
+            )
+        else:
+            refs.append(v)
     terms = " + ".join(
-        f"(((CAST({c} AS BIGINT) >> i) & 1) << (i * {n} + {j}))"
-        for j, c in enumerate(cols)
+        f"((({v} >> i) & 1) << (i * {n} + {j}))" for j, v in enumerate(refs)
     )
     return (
         f"list_reduce(list_transform(range(0, {bits}), i -> {terms}), "

@@ -592,8 +592,10 @@ def knn_binary_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase binary search (the E1→E3 estimate→rerank shape over
     1-bit codes): Hamming shortlist (top-50, ties → smaller id), exact
     fp32 L2 re-rank of the broadcast shortlist only.  At 100 TB the
-    estimate pass scans 1/32 of the fp32 bytes (packed twin) and the
-    full vectors are read only for the rank-bounded shortlist join."""
+    estimate pass scans 1/16 of the fp32 bytes via the packed twin
+    (array<bigint>, 32 bits used per 8-byte word → D/4 bytes vs 4·D;
+    a dedicated D/8-byte binary sink would make it 1/32) and the full
+    vectors are read only for the rank-bounded shortlist join."""
     from ..operators import binary
 
     return binary.hamming_rerank_knn(

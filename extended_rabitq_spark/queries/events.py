@@ -684,9 +684,12 @@ def _zorder_oracle() -> str:
 
     k = Z.d_zorder_key_expr(["user_id", "minute"], bits=21)
     return f"""
-WITH m AS (SELECT event_id, user_id,
-                  CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute
-           FROM events),
+WITH raw AS (SELECT event_id, user_id,
+                    CAST(epoch_us(ts) // 60000000 AS BIGINT) AS abs_minute
+             FROM events),
+m AS (SELECT event_id, user_id,
+             abs_minute - (SELECT min(abs_minute) FROM raw) AS minute
+      FROM raw),
 z AS (SELECT event_id, {k} AS zkey FROM m)
 SELECT event_id, zkey FROM z
 """
@@ -698,15 +701,24 @@ def events_zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Delta/Iceberg OPTIMIZE ZORDER BY layout primitive: write files
     sorted by this key and min/max zone maps prune scans for filters on
     EITHER column.  Pure integer bit interleave (frozen 21-bit range),
-    bitwise cross-engine.  operators/zorder.zorder_layout applies the
+    bitwise cross-engine.  The minute column is normalized by the
+    corpus-min minute — a monotone shift (zone maps stay effective)
+    that fits any ≤ 2²¹-minute (~4 year) corpus into the bit budget;
+    raw epoch-minutes (~28.5M) would silently alias 4 years apart, so
+    the key expression RAISES on out-of-range values rather than wrap
+    (operators/zorder.py ``check=True``).  zorder_layout applies the
     range-exchange + in-partition sort for the actual write."""
     from ..operators import zorder as Z
     from ..tables import load_events
 
-    ev = load_events(spark, sf_dir).select(
+    raw = load_events(spark, sf_dir).select(
         "event_id",
         "user_id",
-        F.expr("CAST(unix_micros(ts) div 60000000 AS BIGINT)").alias("minute"),
+        F.expr("CAST(unix_micros(ts) div 60000000 AS BIGINT)").alias("abs_minute"),
+    )
+    m0 = raw.agg(F.min("abs_minute").alias("m0"))
+    ev = raw.crossJoin(F.broadcast(m0)).select(
+        "event_id", "user_id", (F.col("abs_minute") - F.col("m0")).alias("minute")
     )
     return ev.select(
         "event_id", F.expr(Z.zorder_key_expr(["user_id", "minute"], bits=21)).alias("zkey")

@@ -38,18 +38,31 @@ _TAG_RE = re.compile(rb"<script.*?</script>|<style.*?</style>|<[^>]+>", re.S | r
 _WS_RE = re.compile(r"\s+")
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress all gzip members of a stream (CC writes one member per
-    record); plain (non-gzip) input passes through."""
+def _iter_decompressed(data: bytes, chunk: int = 1 << 20):
+    """Yield decompressed chunks of a (possibly multi-member) gzip
+    stream, ≤ ``chunk`` bytes at a time; plain input yields itself.
+
+    Chunked (``decompressobj`` + ``max_length``) so a whole-stream-gzip
+    shard never materializes fully decompressed — peak memory is one
+    chunk + the largest in-flight record, not the ~5 GB a decompressed
+    Common Crawl shard would occupy."""
     if not data.startswith(b"\x1f\x8b"):
-        return data
-    out = []
+        yield data
+        return
     rest = data
     while rest.startswith(b"\x1f\x8b"):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(rest))
+        buf = rest
+        while True:
+            out = d.decompress(buf, chunk)
+            if out:
+                yield out
+            buf = d.unconsumed_tail
+            if d.eof or not buf:
+                break
+        if not d.eof:  # truncated member
+            break
         rest = d.unused_data
-    return b"".join(out)
 
 
 def html_to_text(payload: bytes) -> str:
@@ -60,40 +73,64 @@ def html_to_text(payload: bytes) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+def _emit_record(headers: dict, body: bytes):
+    """One parsed record → (url, date, ctype, text) or None (non-response)."""
+    if headers.get(b"warc-type") != b"response":
+        return None
+    url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+    date = headers.get(b"warc-date", b"").decode("ascii", "replace")
+    http_end = body.find(b"\r\n\r\n")
+    http_hdr = body[:http_end] if http_end >= 0 else b""
+    payload = body[http_end + 4 :] if http_end >= 0 else body
+    m = re.search(rb"(?im)^content-type:\s*([^\r\n;]+)", http_hdr)
+    ctype = m.group(1).strip().decode("ascii", "replace") if m else ""
+    return url, date, ctype, html_to_text(payload)
+
+
 def parse_warc_bytes(data: bytes):
-    """Yield (url, date, content_type, text) for each response record."""
-    data = _gunzip_members(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # Seek the record version line.
-        start = data.find(b"WARC/", pos)
-        if start < 0:
-            break
-        hdr_end = data.find(b"\r\n\r\n", start)
-        if hdr_end < 0:
-            break
-        headers = {}
-        for line in data[start:hdr_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            headers[k.strip().lower()] = v.strip()
-        try:
-            length = int(headers.get(b"content-length", b"0"))
-        except ValueError:
-            length = 0
-        body = data[hdr_end + 4 : hdr_end + 4 + length]
-        pos = hdr_end + 4 + length
-        if headers.get(b"warc-type") != b"response":
+    """Yield (url, date, content_type, text) for each response record.
+
+    Incremental: decompressed chunks feed a rolling buffer from which
+    complete records are parsed and discarded, so memory stays bounded
+    by one record + one chunk regardless of shard size (review r6)."""
+    buf = bytearray()
+    done = False
+    chunks = _iter_decompressed(data)
+    while not done or buf:
+        # Refill until a complete record is in the buffer (or EOF).
+        start = bytes(buf).find(b"WARC/")
+        hdr_end = bytes(buf).find(b"\r\n\r\n", start) if start >= 0 else -1
+        need_more = start < 0 or hdr_end < 0
+        rec_end = -1
+        headers: dict = {}
+        if not need_more:
+            for line in bytes(buf[start:hdr_end]).split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower()] = v.strip()
+            try:
+                length = int(headers.get(b"content-length", b"0"))
+            except ValueError:
+                length = 0
+            rec_end = hdr_end + 4 + length
+            need_more = len(buf) < rec_end
+        if need_more:
+            if done:
+                break  # truncated tail — stop cleanly
+            nxt = next(chunks, None)
+            if nxt is None:
+                done = True
+                # keep only a bounded tail while searching for a marker
+                if start < 0 and len(buf) > 8:
+                    del buf[:-8]
+            else:
+                buf.extend(nxt)
+                if start < 0 and len(buf) > (1 << 22):
+                    del buf[: -(1 << 22)]  # runaway garbage guard
             continue
-        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
-        date = headers.get(b"warc-date", b"").decode("ascii", "replace")
-        # Split the HTTP response headers off the payload.
-        http_end = body.find(b"\r\n\r\n")
-        http_hdr = body[:http_end] if http_end >= 0 else b""
-        payload = body[http_end + 4 :] if http_end >= 0 else body
-        m = re.search(rb"(?im)^content-type:\s*([^\r\n;]+)", http_hdr)
-        ctype = (m.group(1).strip().decode("ascii", "replace") if m else "")
-        yield url, date, ctype, html_to_text(payload)
+        rec = _emit_record(headers, bytes(buf[hdr_end + 4 : rec_end]))
+        del buf[:rec_end]  # drop the consumed record from memory
+        if rec is not None:
+            yield rec
 
 
 def read_warc_docs(

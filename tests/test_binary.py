@@ -238,3 +238,48 @@ class TestSearchIndexDispatch:
             )
         )
         assert via_api == direct
+
+
+class TestReviewRegressions:
+    def test_pack_sign_bits_non_multiple_of_32_dims(self, spark):
+        """ANSI element_at threw on the short final word (review r6):
+        D=33 must pack into 2 words with the tail zero-padded."""
+        df = spark.createDataFrame(
+            [(1, [1.0] * 33), (2, [-1.0] * 33)], "id BIGINT, vec ARRAY<DOUBLE>"
+        )
+        rows = {r.id: r.words for r in binary.pack_sign_bits(df).collect()}
+        assert len(rows[1]) == 2
+        assert rows[1][0] == (1 << 32) - 1  # 32 positive signs
+        assert rows[1][1] == 1 << 31        # bit 33 MSB-first, tail zeros
+        assert rows[2] == [0, 0]
+
+    def test_packed_twin_equal_at_odd_dims(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        data = [(i, [float(x) for x in rng.standard_normal(33)]) for i in range(40)]
+        df = spark.createDataFrame(data, "id BIGINT, vec ARRAY<DOUBLE>")
+        q = df.where(F.col("id") < 3).select(
+            F.col("id").alias("qid"), F.col("vec").alias("qvec")
+        )
+        b = df.where(F.col("id") >= 3)
+        a = sorted(map(tuple, binary.hamming_knn(q, b, k=5).collect()))
+        p = sorted(map(tuple, binary.hamming_knn_packed(q, b, k=5).collect()))
+        assert a == p
+
+    def test_search_index_ivfpq_rejects_rabitq_knobs(self, spark, tmp_path):
+        import pytest
+
+        from extended_rabitq_spark.operators import rabitq
+
+        q, b = _frames(spark)
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        cents = ivf_ops.label_centroids(emb.where(F.col("vec_id") >= 10)).select(
+            "cluster_id", "centroid"
+        )
+        path = str(tmp_path / "ivfpq_knobs")
+        pq.save_ivfpq_index(b, cents, path, m=4, dsub=16)
+        with pytest.raises(TypeError, match="RaBitQ-only"):
+            rabitq.search_index(spark, path, q, k=5, nprobe=2, estimator="high_acc")
+        with pytest.raises(ValueError, match="use_graph"):
+            rabitq.search_index(spark, path, q, k=5, nprobe=2, use_graph=True)

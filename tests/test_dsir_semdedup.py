@@ -233,3 +233,38 @@ class TestSCD2:
                 assert a.valid_to_us == b.valid_from_us  # no gaps/overlaps
                 # consecutive intervals never share a state (else merged)
                 assert a.state != b.state
+
+
+class TestZOrderGuard:
+    def test_out_of_budget_value_raises(self, spark):
+        import pytest
+
+        from extended_rabitq_spark.operators import zorder as Z
+
+        df = spark.createDataFrame([(1, 5, 1 << 22)], "id BIGINT, a BIGINT, b BIGINT")
+        with pytest.raises(Exception, match="zorder"):
+            df.select(F.expr(Z.zorder_key_expr(["a", "b"], bits=21)).alias("z")).collect()
+
+    def test_check_false_allows_wrap(self, spark):
+        from extended_rabitq_spark.operators import zorder as Z
+
+        df = spark.createDataFrame([(1, 5, 1 << 22)], "id BIGINT, a BIGINT, b BIGINT")
+        row = df.select(
+            F.expr(Z.zorder_key_expr(["a", "b"], bits=21, check=False)).alias("z")
+        ).first()
+        assert row.z is not None
+
+
+class TestAESResolution:
+    def test_large_weights_keep_distinct_keys(self, spark):
+        """The review's collapse case: n_chars ~1e5-1e7 must still give
+        (near-)distinct keys, preserving weight-proportional order."""
+        from extended_rabitq_spark.operators import sampling
+
+        rows = [(i, "x", "en", "s", 100_000 + i * 97_000) for i in range(200)]
+        docs = spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        sel = sampling.weighted_sample_aes(docs, k=100).collect()
+        keys = [r.key_fix for r in sel]
+        assert len(set(keys)) >= 95  # no mass ties -> no doc_id-order bias
