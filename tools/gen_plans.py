@@ -186,6 +186,32 @@ def main() -> None:
         "`In(key, ...)` pushdown) runs inside the candidate checkpoint.",
     )
 
+    add(
+        "knn_ivfpq (residual PQ inside IVF probes)",
+        QUERIES["knn_ivfpq"](spark, SF),
+        "Probe semi-join bounds the candidate set to nprobe clusters "
+        "(the saved-index form prunes partitions); encode/decode are "
+        "broadcast codebook joins + one (id, sub_id) rank window; ADC "
+        "estimate and the exact rerank are codegen expressions over "
+        "rank-bounded shortlists — zero Python nodes.",
+    )
+    add(
+        "dsir_select (Gumbel-top-N importance resampling)",
+        QUERIES["dsir_select"](spark, SF),
+        "One tokenize/explode pass; the target and raw distributions are "
+        "B-row partial aggregates broadcast back; document weights are "
+        "BIGINT sums; the selection is a `TakeOrderedAndProject` — each "
+        "partition contributes only its local top-N, no global sort.",
+    )
+    add(
+        "semdedup (cluster-scoped embedding dedup)",
+        QUERIES["semdedup"](spark, SF),
+        "Argmin assignment against broadcast centroids, the pair join "
+        "equi-keyed on cluster_id only (Σ|cluster|² work, never N²), and "
+        "an AQE-chosen join for the dup-id flags (no forced broadcast — "
+        "dup counts are corpus-scale on heavy-dup corpora).",
+    )
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text(HDR + "\n".join(sections))
     print(f"wrote {out}")
