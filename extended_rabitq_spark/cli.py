@@ -262,6 +262,28 @@ def cmd_ingest_warc(spark: SparkSession, a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tokenize(spark: SparkSession, a: argparse.Namespace) -> int:
+    """Train (or load) a BPE merge table, tokenize a documents table."""
+    from .operators import bpe
+
+    import os as _os
+
+    docs = spark.read.parquet(a.docs)
+    if a.merges and _os.path.exists(a.merges) and not a.train:
+        merges = bpe.load_merges(a.merges)
+    else:
+        merges = bpe.train_bpe(docs, n_merges=a.n_merges, top_words=a.top_words)
+        if a.merges:
+            bpe.save_merges(merges, a.merges)
+    toks = bpe.bpe_tokenize(docs, merges)
+    toks.write.mode("overwrite").parquet(a.out)
+    n, tot = spark.read.parquet(a.out).agg(
+        F.count("*"), F.sum("n_tokens")
+    ).first()
+    print(f"tokenized {n} docs, {tot} tokens ({len(merges)} merges) -> {a.out}")
+    return 0
+
+
 def cmd_quality(spark: SparkSession, a: argparse.Namespace) -> int:
     """Learned quality scoring over a documents table: self-train the LR
     classifier with the Gopher rule gate as weak label (or filter on a
@@ -456,6 +478,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("out")
     s.add_argument("--min-chars", type=int, default=1)
     s.set_defaults(fn=cmd_ingest_warc)
+
+    s = sub.add_parser(
+        "tokenize", help="BPE-train (or reuse merges) + tokenize a documents table"
+    )
+    s.add_argument("docs", help="documents parquet path")
+    s.add_argument("out")
+    s.add_argument("--n-merges", type=int, default=500)
+    s.add_argument("--top-words", type=int, default=50_000)
+    s.add_argument("--merges", default=None, help="merge-table JSON to save/load")
+    s.add_argument("--train", action="store_true",
+                   help="with --merges: retrain and overwrite instead of loading")
+    s.set_defaults(fn=cmd_tokenize)
 
     s = sub.add_parser(
         "quality", help="self-trained learned quality scores for a corpus"

@@ -1,0 +1,176 @@
+"""Byte-pair-encoding tokenizer: corpus training + distributed apply.
+
+Sequence packing, token budgeting, and mixture math all need counts in
+REAL tokenizer units; the whitespace/regex counter (``text_token_count``)
+approximates them, this module computes them: train a BPE merge table
+on the corpus (Sennrich et al. 2016 — the algorithm under GPT-2/
+SentencePiece-BPE vocabularies) and tokenize at scale.
+
+Spark-first split of work:
+
+- **Training** needs only the WORD-FREQUENCY table, not the corpus: one
+  distributed tokenize + groupBy (partial-agg) pass, ``top_words``
+  rows collected (bounded, corpus-size-independent — the standard BPE
+  training protocol).  The merge loop itself is inherently sequential
+  (each merge depends on the previous), so it runs driver-side over
+  that bounded dict; ties break lexicographically → fully
+  deterministic, no RNG anywhere.
+- **Apply** broadcasts the merge-rank dict and tokenizes inside Arrow
+  batches (``mapInPandas``) with per-batch word memoization — map-only,
+  no shuffle; Python is unavoidable here (iterative best-ranked-pair
+  merging is not expressible in Catalyst) and is the documented
+  exception path (SURVEY §3): batch-level, never per-row UDFs.
+
+End-of-word marker: ``</w>`` appended to each word's last symbol so
+merges never cross word boundaries (the Sennrich convention).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+EOW = "</w>"
+
+
+def word_frequencies(docs: DataFrame, text: str = "text", top_words: int = 50_000):
+    """Bounded word-frequency dict off ONE distributed pass."""
+    wc = (
+        docs.select(F.explode(F.expr(T.tokens(text))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(top_words)
+    )
+    return {r.w: r.c for r in wc.collect()}
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text: str = "text",
+    top_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges → ordered merge list.
+
+    Deterministic: pair counts come from the (bounded) word-frequency
+    dict; the argmax tie-breaks lexicographically."""
+    freqs = word_frequencies(docs, text=text, top_words=top_words)
+    words = {w: tuple(w[:-1]) + (w[-1] + EOW,) for w in freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, sym in words.items():
+            c = freqs[w]
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        # (count DESC, pair lexicographically ASC) — deterministic argmax
+        pair, cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_words = {}
+        for w, sym in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    sym = list(word[:-1]) + [word[-1] + EOW] if word else []
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i, (a, b) in enumerate(zip(sym, sym[1:])):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """→ (doc_id, tokens ARRAY<STRING>, n_tokens BIGINT): merge-rank
+    greedy encode inside Arrow batches; the merge table broadcasts; a
+    per-batch word cache collapses repeated words (Zipf makes the cache
+    hit rate high)."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    bR = spark.sparkContext.broadcast({p: i for i, p in enumerate(merges)})
+    norm = docs.select(
+        F.col(id_).alias("doc_id"), F.expr(T.tokens(text)).alias("_toks")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = bR.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_col, n_col = [], []
+            for words in pdf["_toks"]:
+                out: list[str] = []
+                for w in words:
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, ranks)
+                        cache[w] = enc
+                    out.extend(enc)
+                toks_col.append(out)
+                n_col.append(len(out))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "tokens": toks_col, "n_tokens": n_col}
+            )
+
+    return norm.mapInPandas(run, "doc_id long, tokens array<string>, n_tokens long")
+
+
+def detokenize_expr(tokens: str = "tokens") -> str:
+    """SQL text reversing :func:`bpe_tokenize`: concatenate and restore
+    spaces at end-of-word markers (round-trip tested)."""
+    return (
+        f"rtrim(replace(concat_ws('', {tokens}), '{EOW}', ' '))"
+    )
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a merge table (ordered JSON list — the artifact a
+    production pipeline trains once and ships to every tokenize job)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump([list(p) for p in merges], f)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path) as f:
+        return [tuple(p) for p in json.load(f)]

@@ -368,3 +368,21 @@ def lm_typicality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return lm_quality.lm_typicality(docs)
+
+
+@register("bpe_token_stats")  # rows-only: the learned merge table comes
+# from an inherently sequential training loop (each merge depends on the
+# previous) — not SQL-expressible.  Semantics pinned in tests/test_bpe.py
+# (hand-checked first merges, lossless round-trip, compression curve,
+# repartition determinism).
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-tokenizer token counts (BPE, Sennrich 2016 — the units
+    sequence packing and token budgeting actually need): train 200
+    merges on the corpus word-frequency table (one distributed pass,
+    bounded collect), tokenize via broadcast merge ranks inside Arrow
+    batches (map-only).  → (doc_id, n_tokens)."""
+    from ..operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe.train_bpe(docs, n_merges=200)
+    return bpe.bpe_tokenize(docs, merges).select("doc_id", "n_tokens")

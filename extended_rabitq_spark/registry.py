@@ -243,6 +243,10 @@ _DEMOTED = [
                              # out-of-window, window pinned; the keyed-
                              # compaction family keeps
                              # events_latest_state's green history
+    "bpe_token_stats",       # NEW r6 (learned BPE tokenizer counts):
+                             # rows-only by nature (sequential merge
+                             # training loop); would burn a checked
+                             # slot on a guaranteed no_oracle row
 ]
 
 # Promoted to the head of the registration order so they land inside the

@@ -1,0 +1,101 @@
+"""BPE tokenizer (operators/bpe.py): hand-checkable merges, round-trip,
+compression, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from extended_rabitq_spark.operators import bpe
+
+from conftest import SF_SMOKE
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+
+
+class TestTrain:
+    def test_first_merges_hand_checked(self, spark):
+        """Corpus 'low low low lower lower newest' — classic Sennrich
+        example shape: the most frequent pair is ('l','o') (5 words
+        contain it), then ('lo','w')."""
+        docs = _docs(spark, ["low low low lower lower newest"])
+        merges = bpe.train_bpe(docs, n_merges=2)
+        assert merges[0] == ("l", "o")
+        assert merges[1] == ("lo", f"w{bpe.EOW}") or merges[1] == ("lo", "w")
+
+    def test_deterministic(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        a = bpe.train_bpe(docs, n_merges=40)
+        b = bpe.train_bpe(docs.repartition(7), n_merges=40)
+        assert a == b and len(a) == 40
+
+    def test_stops_when_no_repeating_pairs(self, spark):
+        docs = _docs(spark, ["ab cd ef"])
+        merges = bpe.train_bpe(docs, n_merges=50)
+        assert len(merges) < 50  # count<2 cutoff fires
+
+
+class TestApply:
+    def test_round_trip_and_compression(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+        merges = bpe.train_bpe(docs, n_merges=200)
+        toks = bpe.bpe_tokenize(docs, merges)
+        joined = toks.join(docs, "doc_id").select(
+            "doc_id",
+            F.expr(bpe.detokenize_expr("tokens")).alias("rt"),
+            F.expr(
+                "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+            ).alias("norm"),
+            "n_tokens",
+            F.length(F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))")).alias("nc"),
+        )
+        rows = joined.collect()
+        assert all(r.rt == r.norm for r in rows)  # lossless round-trip
+        # merges compress: fewer tokens than characters, more than words
+        assert all(0 < r.n_tokens <= r.nc for r in rows)
+        total_chars = sum(r.nc for r in rows)
+        total_toks = sum(r.n_tokens for r in rows)
+        assert total_toks < 0.8 * total_chars
+
+    def test_more_merges_fewer_tokens(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+        m50 = bpe.train_bpe(docs, n_merges=50)
+        m300 = bpe.train_bpe(docs, n_merges=300)
+        n50 = bpe.bpe_tokenize(docs, m50).agg(F.sum("n_tokens")).first()[0]
+        n300 = bpe.bpe_tokenize(docs, m300).agg(F.sum("n_tokens")).first()[0]
+        assert n300 < n50
+
+    def test_unseen_words_fall_back_to_chars(self, spark):
+        train = _docs(spark, ["aaa aaa aaa bbb"])
+        merges = bpe.train_bpe(train, n_merges=5)
+        new = _docs(spark, ["zqx"])
+        row = bpe.bpe_tokenize(new, merges).first()
+        assert row.tokens == ["z", "q", f"x{bpe.EOW}"]
+
+
+class TestPersistAndCLI:
+    def test_save_load_merges_round_trip(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+        merges = bpe.train_bpe(docs, n_merges=30)
+        p = str(tmp_path / "merges.json")
+        bpe.save_merges(merges, p)
+        assert bpe.load_merges(p) == merges
+
+    def test_cli_tokenize_train_then_reuse(self, spark, tmp_path, capsys):
+        from extended_rabitq_spark import cli
+
+        out1 = str(tmp_path / "t1.parquet")
+        out2 = str(tmp_path / "t2.parquet")
+        mp = str(tmp_path / "m.json")
+        docs = f"{SF_SMOKE}/documents.parquet"
+        assert cli.main(["tokenize", docs, out1, "--n-merges", "50", "--merges", mp]) == 0
+        assert "tokenized" in capsys.readouterr().out
+        # second run loads the saved merges -> identical token counts
+        assert cli.main(["tokenize", docs, out2, "--merges", mp]) == 0
+        a = sorted(map(tuple, spark.read.parquet(out1).select("doc_id", "n_tokens").collect()))
+        b = sorted(map(tuple, spark.read.parquet(out2).select("doc_id", "n_tokens").collect()))
+        assert a == b
