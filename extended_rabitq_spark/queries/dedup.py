@@ -428,3 +428,32 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_ops.label_centroids(base).select("cluster_id", "centroid")
     vectors = base.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     return semdedup_ops.semdedup(vectors, cents, tau=0.925)
+
+
+def _fuzzy_oracle() -> str:
+    from ..operators import fuzzy
+
+    return fuzzy.d_fuzzy_join(
+        "SELECT c_custkey AS l_id, c_name AS k FROM customer",
+        "SELECT s_suppkey AS r_id, s_name AS k FROM supplier",
+        "k", "k", tau=0.3, left_id="l_id", right_id="r_id", df_cap=50,
+    )
+
+
+@register("fuzzy_name_match", _fuzzy_oracle())
+def fuzzy_name_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution between two tables (customer names x supplier
+    names): char-trigram BLOCKING (stop-trigrams with right-side df >
+    50 excluded from candidate generation only) -> exact Jaccard >= 0.3
+    on full trigram sets -> integer (inter, union, sim_fix) output.
+    At 100 TB the blocking equi-join replaces the |L|x|R| cross
+    product; the tau cut is a cross-multiplied integer comparison."""
+    from ..operators import fuzzy
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("l_id"), F.col("c_name").alias("k")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("r_id"), F.col("s_name").alias("k")
+    )
+    return fuzzy.fuzzy_join(cust, supp, "k", "k", tau=0.3, df_cap=50)

@@ -247,6 +247,10 @@ _DEMOTED = [
                              # rows-only by nature (sequential merge
                              # training loop); would burn a checked
                              # slot on a guaranteed no_oracle row
+    "fuzzy_name_match",      # NEW r6 (trigram-blocked fuzzy join /
+                             # entity resolution): out-of-window,
+                             # window pinned; integer Jaccard cut,
+                             # oracle applies identical blocking
 ]
 
 # Promoted to the head of the registration order so they land inside the

@@ -511,3 +511,56 @@ def test_fingerprint_non_ascii_no_overflow(spark, duck):
     want = {r[0]: (r[1], r[2], r[3])
             for r in duck.sql(_FP_ORACLE.replace("FROM documents", "FROM nadocs")).fetchall()}
     assert got == want
+
+
+class TestFuzzyJoin:
+    def _tables(self, spark):
+        left = spark.createDataFrame(
+            [(1, "John Smith"), (2, "Mary Jones"), (3, "Unrelated Name")],
+            "l_id BIGINT, k STRING",
+        )
+        right = spark.createDataFrame(
+            [(10, "jon smith"), (20, "mary jomes"), (30, "zzzz qqqq")],
+            "r_id BIGINT, k STRING",
+        )
+        return left, right
+
+    def test_planted_matches_found(self, spark):
+        from extended_rabitq_spark.operators import fuzzy
+
+        left, right = self._tables(spark)
+        got = {(r.l_id, r.r_id): r.sim_fix for r in fuzzy.fuzzy_join(
+            left, right, "k", "k", tau=0.4).collect()}
+        assert (1, 10) in got and (2, 20) in got
+        assert not any(l == 3 or r == 30 for (l, r) in got)
+        assert all(400_000 <= v <= 1_000_000 for v in got.values())
+
+    def test_exact_match_sim_is_one(self, spark):
+        from extended_rabitq_spark.operators import fuzzy
+
+        left = spark.createDataFrame([(1, "Acme Corp")], "l_id BIGINT, k STRING")
+        right = spark.createDataFrame([(9, "ACME CORP")], "r_id BIGINT, k STRING")
+        r = fuzzy.fuzzy_join(left, right, "k", "k", tau=0.9).first()
+        assert r.sim_fix == 1_000_000  # case-normalized exact match
+
+    def test_stop_trigram_blocking_documented_miss(self, spark):
+        """Pairs sharing ONLY over-cap trigrams are not candidates — the
+        documented blocking trade-off."""
+        from extended_rabitq_spark.operators import fuzzy
+
+        left = spark.createDataFrame([(1, "aaaa")], "l_id BIGINT, k STRING")
+        # 3 right rows all containing 'aaa' -> df('aaa') = 3 > cap=2
+        right = spark.createDataFrame(
+            [(10, "aaaa"), (11, "aaab"), (12, "baaa")], "r_id BIGINT, k STRING"
+        )
+        got = fuzzy.fuzzy_join(left, right, "k", "k", tau=0.1, df_cap=2).collect()
+        assert got == []  # blocked despite true similarity
+
+    def test_deterministic_across_partitioning(self, spark):
+        from extended_rabitq_spark.operators import fuzzy
+
+        left, right = self._tables(spark)
+        a = sorted(map(tuple, fuzzy.fuzzy_join(left, right, "k", "k", tau=0.2).collect()))
+        b = sorted(map(tuple, fuzzy.fuzzy_join(
+            left.repartition(3), right.repartition(2), "k", "k", tau=0.2).collect()))
+        assert a == b
