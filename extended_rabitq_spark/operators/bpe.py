@@ -59,37 +59,60 @@ def train_bpe(
     """Learn ``n_merges`` BPE merges → ordered merge list.
 
     Deterministic: pair counts come from the (bounded) word-frequency
-    dict; the argmax tie-breaks lexicographically."""
+    dict; the argmax tie-breaks lexicographically.
+
+    Incremental (the Sennrich reference strategy): pair counts and a
+    pair→words index are maintained across merges, so each merge only
+    re-segments the words that actually contain the merged pair —
+    O(affected words), not O(vocabulary), per merge (review r6)."""
     freqs = word_frequencies(docs, text=text, top_words=top_words)
     words = {w: tuple(w[:-1]) + (w[-1] + EOW,) for w in freqs}
+    pair_counts: dict[tuple[str, str], int] = {}
+    # pair -> words that contained it at SOME point; entries may go
+    # stale after a rewrite — membership is re-derived from words[w]
+    # when the pair is merged, counts stay exact via add/sub below.
+    pair_words: dict[tuple[str, str], set[str]] = {}
+
+    def adjust(w: str, sym: tuple, sign: int, index: bool) -> None:
+        c = freqs[w] * sign
+        for a, b in zip(sym, sym[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            if index:
+                pair_words.setdefault(p, set()).add(w)
+
+    for w, sym in words.items():
+        adjust(w, sym, +1, index=True)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for w, sym in words.items():
-            c = freqs[w]
-            for a, b in zip(sym, sym[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
-        if not pair_counts:
+        live = [(p, c) for p, c in pair_counts.items() if c >= 2]
+        if not live:
             break
         # (count DESC, pair lexicographically ASC) — deterministic argmax
-        pair, cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if cnt < 2:
-            break
+        pair, _cnt = min(live, key=lambda kv: (-kv[1], kv[0]))
         merges.append(pair)
         merged = pair[0] + pair[1]
-        new_words = {}
-        for w, sym in words.items():
-            out = []
+        for w in sorted(pair_words.get(pair, ())):
+            sym = words[w]
+            out: list[str] = []
             i = 0
+            hit = False
             while i < len(sym):
                 if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
                     out.append(merged)
                     i += 2
+                    hit = True
                 else:
                     out.append(sym[i])
                     i += 1
-            new_words[w] = tuple(out)
-        words = new_words
+            if not hit:  # stale index entry — word was rewritten since
+                continue
+            adjust(w, sym, -1, index=False)
+            words[w] = tuple(out)
+            adjust(w, words[w], +1, index=True)
+        pair_counts.pop(pair, None)
+        pair_words.pop(pair, None)
     return merges
 
 
@@ -116,24 +139,33 @@ def bpe_tokenize(
 ) -> DataFrame:
     """→ (doc_id, tokens ARRAY<STRING>, n_tokens BIGINT): merge-rank
     greedy encode inside Arrow batches; the merge table broadcasts; a
-    per-batch word cache collapses repeated words (Zipf makes the cache
-    hit rate high)."""
+    per-BATCH word cache collapses repeated words (Zipf makes the hit
+    rate high) and is reset between batches so task memory stays
+    bounded on high-cardinality corpora (review r6).
+
+    The ``</w>`` marker is RESERVED: any literal occurrence inside a
+    word is stripped at tokenize time (normalization), so the
+    ``detokenize_expr`` round-trip is lossless exactly for marker-free
+    text — which is all natural text; HTML remnants containing the
+    literal marker lose it."""
     import pandas as pd
 
     spark = docs.sparkSession
     bR = spark.sparkContext.broadcast({p: i for i, p in enumerate(merges)})
+    id_type = docs.schema[id_].dataType.simpleString()
     norm = docs.select(
         F.col(id_).alias("doc_id"), F.expr(T.tokens(text)).alias("_toks")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks = bR.value
-        cache: dict[str, list[str]] = {}
         for pdf in batches:
+            cache: dict[str, list[str]] = {}  # per-batch: bounded memory
             toks_col, n_col = [], []
             for words in pdf["_toks"]:
                 out: list[str] = []
                 for w in words:
+                    w = w.replace(EOW, "")  # reserved-marker normalization
                     if not w:
                         continue
                     enc = cache.get(w)
@@ -147,12 +179,16 @@ def bpe_tokenize(
                 {"doc_id": pdf["doc_id"], "tokens": toks_col, "n_tokens": n_col}
             )
 
-    return norm.mapInPandas(run, "doc_id long, tokens array<string>, n_tokens long")
+    return norm.mapInPandas(
+        run, f"doc_id {id_type}, tokens array<string>, n_tokens long"
+    )
 
 
 def detokenize_expr(tokens: str = "tokens") -> str:
     """SQL text reversing :func:`bpe_tokenize`: concatenate and restore
-    spaces at end-of-word markers (round-trip tested)."""
+    spaces at end-of-word markers.  Lossless for text free of the
+    reserved literal ``</w>`` (stripped at tokenize — see
+    :func:`bpe_tokenize`); round-trip tested both ways."""
     return (
         f"rtrim(replace(concat_ws('', {tokens}), '{EOW}', ' '))"
     )

@@ -64,9 +64,17 @@ def fuzzy_join(
 ) -> DataFrame:
     """→ (l_id, r_id, inter, union_, sim_fix): candidate pairs via
     trigram blocking, exact Jaccard ≥ τ on full trigram sets,
-    ``sim_fix = (1e6·inter) div union`` BIGINT."""
-    lt = left.select(F.col(left_id), F.expr(_trigrams(left_key)).alias("lt"))
-    rt = right.select(F.col(right_id), F.expr(_trigrams(right_key)).alias("rt"))
+    ``sim_fix = (1e6·inter) div union`` BIGINT.
+
+    Blank/whitespace-only keys are dropped on both sides — an empty
+    normalized key would otherwise trigram to ``['']`` and "perfectly
+    match" every other blank key (review r6)."""
+    lt = left.where(F.expr(f"length(trim(lower({left_key}))) > 0")).select(
+        F.col(left_id), F.expr(_trigrams(left_key)).alias("lt")
+    )
+    rt = right.where(F.expr(f"length(trim(lower({right_key}))) > 0")).select(
+        F.col(right_id), F.expr(_trigrams(right_key)).alias("rt")
+    )
     # Blocking trigram df on the right side; stop-trigrams excluded.
     rdf = (
         rt.select(right_id, F.explode("rt").alias("g"))
@@ -116,8 +124,10 @@ def d_fuzzy_join(
     tau_fix = round(tau * SCALE)
     return f"""
 WITH l0 AS ({left_sql}), r0 AS ({right_sql}),
-lt AS (SELECT {left_id}, {d_trigrams(left_key)} AS lt FROM l0),
-rt AS (SELECT {right_id}, {d_trigrams(right_key)} AS rt FROM r0),
+lt AS (SELECT {left_id}, {d_trigrams(left_key)} AS lt FROM l0
+       WHERE length(trim(lower({left_key}))) > 0),
+rt AS (SELECT {right_id}, {d_trigrams(right_key)} AS rt FROM r0
+       WHERE length(trim(lower({right_key}))) > 0),
 rdf AS (SELECT g FROM (
     SELECT unnest(rt) AS g, {right_id} FROM rt) GROUP BY g
     HAVING count(*) <= {df_cap}),
@@ -125,8 +135,7 @@ lx AS (SELECT {left_id}, unnest(lt) AS g FROM lt),
 rx AS (SELECT {right_id}, unnest(rt) AS g FROM rt),
 cand AS (SELECT DISTINCT lx.{left_id}, rx.{right_id}
          FROM lx JOIN rdf ON lx.g = rdf.g
-                 JOIN rx ON lx.g = rx.g
-                 JOIN rdf rdf2 ON rx.g = rdf2.g),
+                 JOIN rx ON lx.g = rx.g),
 sc AS (SELECT c.{left_id}, c.{right_id},
               CAST(len(list_intersect(lt.lt, rt.rt)) AS BIGINT) AS inter,
               CAST(len(lt.lt) + len(rt.rt) - len(list_intersect(lt.lt, rt.rt)) AS BIGINT) AS union_

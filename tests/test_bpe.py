@@ -99,3 +99,54 @@ class TestPersistAndCLI:
         a = sorted(map(tuple, spark.read.parquet(out1).select("doc_id", "n_tokens").collect()))
         b = sorted(map(tuple, spark.read.parquet(out2).select("doc_id", "n_tokens").collect()))
         assert a == b
+
+
+class TestReviewRegressions:
+    def test_reserved_marker_stripped_not_corrupting(self, spark):
+        docs = _docs(spark, [f"foo{bpe.EOW}bar baz"])
+        merges = bpe.train_bpe(_docs(spark, ["baz baz baz"]), n_merges=3)
+        row = bpe.bpe_tokenize(docs, merges).first()
+        rt = docs.sparkSession.createDataFrame(
+            [(row.tokens,)], "tokens array<string>"
+        ).selectExpr(bpe.detokenize_expr("tokens") + " AS t").first().t
+        assert rt == "foobar baz"  # marker stripped, words intact
+
+    def test_string_id_column_supported(self, spark):
+        docs = spark.createDataFrame(
+            [("u-1", "hello world"), ("u-2", "hello hello")],
+            "doc_id STRING, text STRING",
+        )
+        merges = bpe.train_bpe(docs, n_merges=5)
+        rows = {r.doc_id: r.n_tokens for r in bpe.bpe_tokenize(docs, merges).collect()}
+        assert set(rows) == {"u-1", "u-2"} and all(v > 0 for v in rows.values())
+
+    def test_incremental_trainer_matches_reference_loop(self, spark):
+        """The indexed incremental trainer must produce the same merges
+        as a brute-force full-recount reference on a real corpus."""
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+        got = bpe.train_bpe(docs, n_merges=60)
+
+        freqs = bpe.word_frequencies(docs)
+        words = {w: tuple(w[:-1]) + (w[-1] + bpe.EOW,) for w in freqs}
+        ref = []
+        for _ in range(60):
+            pc = {}
+            for w, sym in words.items():
+                for a, b in zip(sym, sym[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + freqs[w]
+            live = [(p, c) for p, c in pc.items() if c >= 2]
+            if not live:
+                break
+            pair, _ = min(live, key=lambda kv: (-kv[1], kv[0]))
+            ref.append(pair)
+            nw = {}
+            for w, sym in words.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                        out.append(pair[0] + pair[1]); i += 2
+                    else:
+                        out.append(sym[i]); i += 1
+                nw[w] = tuple(out)
+            words = nw
+        assert got == ref
