@@ -239,3 +239,26 @@ rk AS (SELECT doc_id, key_fix,
        FROM keyed)
 SELECT doc_id, key_fix, rank FROM rk WHERE rank <= {k}
 """
+
+
+def split_by_group(
+    docs_with_group: DataFrame,
+    val_frac: float = 0.1,
+    salt: str = "gsplit",
+    id_: str = "doc_id",
+    group: str = "component_id",
+) -> DataFrame:
+    """Leakage-safe train/val split: membership is a pure function of
+    the GROUP id (e.g. a near-duplicate component), so every member of
+    a duplicate cluster lands in the SAME split — the standard fix for
+    train→val contamination through near-copies that a per-doc hash
+    split cannot prevent.  Map-only given the group column; re-runs
+    never migrate groups.  → (doc_id, <group>, split)."""
+    cut = int(round(val_frac * _BUCKETS))
+    return docs_with_group.select(
+        F.col(id_),
+        F.col(group),
+        F.when(F.expr(_bucket_expr(group, salt)) < cut, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

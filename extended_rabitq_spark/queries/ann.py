@@ -743,3 +743,48 @@ def retrieval_eval_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = binary.hamming_knn(q, b, k=K)
     gt = knn.exact_knn(q, b, k=K)
     return evalmetrics.retrieval_eval(res, gt, k=K)
+
+
+def _hard_negatives_oracle(nq: int, dup_tau: float, k: int) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {nq}),
+     b AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= {nq}),
+     d AS (SELECT q.qid, b.id, {O.l2sq('q.qvec', 'b.vec')} AS dist,
+                  {O.cosine_sim('q.qvec', 'b.vec')} AS cos
+           FROM b CROSS JOIN q),
+     f AS (SELECT qid, id, dist FROM d WHERE cos < {dup_tau}),
+     r AS (SELECT qid, id, dist,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS BIGINT) AS rank
+           FROM f)
+SELECT qid, rank, id, dist FROM r WHERE rank <= {k}
+"""
+
+
+@register("mine_hard_negatives", _hard_negatives_oracle(nq=NQ, dup_tau=0.92, k=K))
+def mine_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each anchor embedding, the
+    k NEAREST documents that are NOT near-duplicates (cosine < 0.92) —
+    hard negatives: close enough to be informative, far enough to not
+    be false negatives.  One broadcast cross join computes both the
+    L2 rank metric and the cosine dup gate in a single codegen pass;
+    at 100 TB the accelerated twin runs the same predicate over the
+    index shortlist (knn_filtered_rabitq's semi-join shape)."""
+    from ..functions import vector as V
+
+    q = _queries_df(spark, sf_dir)
+    b = _base_df(spark, sf_dir)
+    from pyspark.sql import Window
+
+    pairs = b.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "id",
+        F.expr(V.l2sq("qvec", "vec")).alias("dist"),
+        F.expr(V.cosine_sim("qvec", "vec")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        pairs.where(F.col("cos") < 0.92)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= K)
+        .select("qid", "rank", "id", "dist")
+    )

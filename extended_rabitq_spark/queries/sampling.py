@@ -197,3 +197,37 @@ def weighted_sample_aes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline draws."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return sampling.weighted_sample_aes(docs, k=50)
+
+
+def _split_by_component_oracle() -> str:
+    from .dedup import _COMPONENTS_ORACLE
+
+    cut = int(round(0.2 * sampling._BUCKETS))
+    comp_body = _COMPONENTS_ORACLE.strip()
+    assert comp_body.startswith("WITH RECURSIVE")
+    inner = comp_body[len("WITH RECURSIVE"):].strip()
+    # re-wrap the components query as a CTE chain + the split projection
+    head, select = inner.rsplit("SELECT id AS doc_id", 1)
+    return f"""
+WITH RECURSIVE {head.rstrip()},
+comp AS (SELECT id AS doc_id{select.rstrip()}),
+out AS (SELECT doc_id, component_id,
+               CASE WHEN {sampling.d_bucket_expr('component_id', 'gsplit')} < {cut}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM comp)
+SELECT doc_id, component_id, split FROM out
+"""
+
+
+@register("split_by_component", _split_by_component_oracle())
+def split_by_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: hash-split on the NEAR-DUP
+    COMPONENT id (MinHash-LSH pair graph -> connected components), so
+    every member of a duplicate cluster lands in the same split — the
+    contamination a per-doc hash split cannot prevent.  Composition:
+    dedup_components (checked) -> map-only group split."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comp = dedup_ops.connected_components(
+        dedup_ops.minhash_lsh_pairs(docs), docs.select("doc_id")
+    )
+    return sampling.split_by_group(comp, val_frac=0.2, salt="gsplit")

@@ -251,6 +251,15 @@ _DEMOTED = [
                              # entity resolution): out-of-window,
                              # window pinned; integer Jaccard cut,
                              # oracle applies identical blocking
+    "split_by_component",    # NEW r6 (leakage-safe split: hash-split
+                             # on the near-dup component, not the
+                             # doc): out-of-window, window pinned;
+                             # composition of the checked
+                             # dedup_components + map-only group split
+    "mine_hard_negatives",   # NEW r6 (contrastive hard negatives:
+                             # nearest non-near-dup docs): same
+                             # rationale; similarity family keeps
+                             # knn_exact/knn_cosine checked
 ]
 
 # Promoted to the head of the registration order so they land inside the

@@ -271,3 +271,52 @@ class TestPackSequencesProperty:
                 want[r.doc_id] = (shard, pos // budget, pos % budget, r.n)
                 pos += r.n
         assert got == want
+
+
+class TestLeakageSafeSplit:
+    def test_same_component_same_split(self, spark):
+        from extended_rabitq_spark.operators import sampling
+
+        comp = spark.createDataFrame(
+            [(1, 100), (2, 100), (3, 100), (4, 200), (5, 300), (6, 300)],
+            "doc_id BIGINT, component_id BIGINT",
+        )
+        rows = sampling.split_by_group(comp, val_frac=0.5).collect()
+        by_comp = {}
+        for r in rows:
+            by_comp.setdefault(r.component_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_comp.values())  # no leakage
+
+    def test_registered_query_no_cross_split_components(self, spark):
+        import __spark_entry__ as e
+        from conftest import SF_SMOKE
+
+        rows = e.queries()["split_by_component"](spark, SF_SMOKE).collect()
+        by_comp = {}
+        for r in rows:
+            by_comp.setdefault(r.component_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_comp.values())
+        assert {r.split for r in rows} == {"train", "val"}
+
+
+class TestHardNegatives:
+    def test_no_near_dups_and_ranked(self, spark):
+        import numpy as np
+
+        import __spark_entry__ as e
+        from conftest import SF_SMOKE
+
+        rows = e.queries()["mine_hard_negatives"](spark, SF_SMOKE).collect()
+        emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+               for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()}
+        for r in rows:
+            a, b = emb[r.qid], emb[r.id]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos < 0.92  # the dup gate held
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        for qid, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert all(x.dist <= y.dist for x, y in zip(rs, rs[1:]))
