@@ -57,6 +57,8 @@ EXTRA_QUERIES = [
     "semdedup",
     # round-6: IVF-PQ (residual encode + probe join + ADC + rerank)
     "knn_ivfpq",
+    # round-6: trigram-blocked fuzzy join (entity resolution)
+    "fuzzy_name_match",
 ]
 
 
