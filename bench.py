@@ -59,6 +59,11 @@ EXTRA_QUERIES = [
     "knn_ivfpq",
     # round-6: trigram-blocked fuzzy join (entity resolution)
     "fuzzy_name_match",
+    # round-6 session 3: mergeable HLL sketch (2 partial-agg shuffles,
+    # register-table volume) and fixed-point PageRank (iterative keyed
+    # joins, per-round checkpoints)
+    "hll_distinct_shingles",
+    "pagerank_event_types",
 ]
 
 

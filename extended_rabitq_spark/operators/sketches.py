@@ -1,0 +1,332 @@
+"""Mergeable cardinality sketches — HyperLogLog as a first-class table.
+
+The 100 TB reality: ``COUNT(DISTINCT x)`` is one of the most expensive
+relational operations at scale — the exact form shuffles every distinct
+value.  The standard warehouse answer (Flajolet et al. 2007, and the
+sketch the reference ecosystem's metric dashboards assume) is
+HyperLogLog: hash each value once, keep only ``m = 2^p`` tiny "max
+leading-zero-run" registers per group, and estimate cardinality from the
+register harmonic mean.  Two properties make it the scale path:
+
+* **One pass, partial-agg friendly** — the register table is produced by
+  a ``groupBy(group, register).max(rho)``; map-side combine collapses
+  each partition to ≤ m rows per group before the shuffle, so the
+  shuffle volume is O(groups · m), independent of row count.
+* **Mergeable** — the register table IS the sketch.  Sketches from
+  different shards / days / sources merge by the same ``max`` aggregate
+  (``hll_merge``), so a 100 TB corpus can be sketched incrementally and
+  per-partition sketches unioned without touching raw data again.
+
+Everything up to the final estimate is EXACT integer arithmetic so the
+DuckDB oracle is bitwise:
+
+* the value hash is the repo's portable 60-bit md5 hash
+  (``functions.text.hash60`` — identical in both engines);
+* register index ``j = h % m`` and suffix ``w = h div m`` are integer;
+* ``rho`` (leading-zero run length + 1 within the ``L = 60 - p`` bit
+  suffix) is ``L - bit_length(w) + 1`` via ``length(bin(w))`` — string
+  length of the minimal binary representation, identical in Spark and
+  DuckDB (both render ``bin`` without leading zeros);
+* the harmonic-mean denominator ``sum(2^-M_j)`` is kept in fixed point:
+  ``sum_fp = Σ 2^(FP - M_j)`` as BIGINT with ``FP = L + 1 = 61 - p``
+  (the max possible rho, so every term stays an exact non-negative
+  power of two) — the group sum is ≤ m · 2^FP = 2^61, inside BIGINT
+  for every p.
+
+Only the LAST step — ``E = α_m · m² · 2^FP / sum_fp`` and the
+small-range linear-counting branch ``m · ln(m / V)`` — is floating
+point, one expression over exact integers, rounded to a BIGINT
+estimate.  (The classic large-range correction kicks in at E > 2^60/30
+≈ 3.8e16 distinct values — unreachable for a 60-bit hash demo and
+deliberately omitted; at that cardinality you would raise p, not
+correct.)
+
+No counterpart in the reference repo (its metrics are exact joins,
+``python/bench/compute_metrics.py``); this is beyond-reference surface
+for the LLM-data-pipeline story (vocabulary growth tracking, per-source
+uniqueness monitoring) where exact distinct counts are the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+def _fp_exp(p: int) -> int:
+    """Fixed-point exponent: each register contributes 2^(FP - M_j).
+    FP = L + 1 = 61 - p is the MAX possible rho, so the smallest term
+    is 2^0 = 1 (exact; a smaller FP would make the deepest register a
+    fractional power — Spark CAST truncates, DuckDB rounds: mismatch)
+    and the group sum is ≤ m · 2^FP = 2^61 < 2^63 for every p."""
+    return 61 - p
+
+
+def _alpha(m: int) -> float:
+    """Flajolet's bias-correction constant for m ≥ 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_p(p: int) -> int:
+    if not 7 <= p <= 12:
+        # alpha formula needs m >= 128; beyond p = 12 the register table
+        # stops being "tiny" relative to the demo scales (accuracy knob,
+        # not a hard math limit).
+        raise ValueError(f"p must be in [7, 12], got {p}")
+    return 1 << p
+
+
+def hll_sketch(
+    df: DataFrame, group_cols: list[str], value: str, p: int = 8
+) -> DataFrame:
+    """→ (group..., j, m_j): the HLL register table for ``value`` within
+    each group — ``m_j`` = max leading-zero-run rank among hashed values
+    landing in register ``j``.  Registers never observed are simply
+    absent (``hll_estimate`` accounts for them); the table is the
+    mergeable sketch artifact (persist it per shard, ``hll_merge`` later).
+
+    One ``groupBy`` with map-side partial max — shuffle volume is
+    O(groups · 2^p) regardless of input rows."""
+    m = _check_p(p)
+    L = 60 - p  # suffix width of the portable 60-bit hash
+    h = df.select(*group_cols, F.expr(T.hash60(value)).alias("h")).where(
+        F.col("h").isNotNull()  # NULL values carry no cardinality signal
+    )
+    w = f"(h div {m})"
+    # rho = leading zeros + 1 = L - bit_length(w) + 1; bit_length via
+    # length(bin(w)) — minimal binary rendering in both engines.
+    rho = f"CAST(IF({w} = 0, {L + 1}, {L} - length(bin({w})) + 1) AS INT)"
+    return (
+        h.select(*group_cols, F.expr(f"h % {m}").alias("j"), F.expr(rho).alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union-merge register tables (same p!) — registers combine by max.
+    ``hll_sketch(A ∪ B) ≡ hll_merge(hll_sketch(A) ∪ hll_sketch(B))``
+    exactly (max is associative/commutative/idempotent), which is what
+    makes per-shard sketching sound."""
+    return sketches.groupBy(*group_cols, "j").agg(F.max("m_j").alias("m_j"))
+
+
+def _estimate_exprs(p: int) -> tuple[str, str, str]:
+    """(sum_fp, zero_regs, n_est) SQL expressions over an aggregated row
+    with columns ``reg_sum`` (Σ 2^(FP - m_j) over PRESENT registers)
+    and ``n_regs`` (count of present registers).  Shared verbatim by the
+    Spark query and the DuckDB oracle so the one floating-point step is
+    textually identical in both engines."""
+    m = 1 << p
+    two_fp = 1 << _fp_exp(p)  # the fixed-point ONE (an empty register's term)
+    # Float literals go through CAST('…' AS DOUBLE): a bare decimal
+    # literal parses as DECIMAL in BOTH engines (DuckDB then overflows
+    # DECIMAL(18) multiplying by m; Spark silently runs decimal
+    # arithmetic) — the string→double cast is correctly rounded in both.
+    alpha = f"CAST('{_alpha(m)!r}' AS DOUBLE)"
+    sum_fp = f"(reg_sum + ({m} - n_regs) * {two_fp})"
+    zero = f"({m} - n_regs)"
+    est_raw = f"({alpha} * {m} * {m} * CAST({two_fp} AS DOUBLE) / {sum_fp})"
+    linear = f"({m} * ln(CAST({m} AS DOUBLE) / {zero}))"
+    n_est = (
+        f"CAST(round(CASE WHEN {zero} > 0 AND {est_raw} <= CAST('2.5' AS DOUBLE) * {m} "
+        f"THEN {linear} ELSE {est_raw} END) AS BIGINT)"
+    )
+    return sum_fp, zero, n_est
+
+
+def hll_estimate(sketch: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """Register table → (group..., sum_fp, zero_regs, n_est): the exact
+    fixed-point harmonic sum, the zero-register count, and the rounded
+    HLL cardinality estimate (linear counting below 2.5m with empty
+    registers, per the original paper)."""
+    _check_p(p)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.expr(f"CAST(sum(CAST(pow(2, {_fp_exp(p)} - m_j) AS BIGINT)) AS BIGINT)").alias(
+            "reg_sum"
+        ),
+        F.count("*").alias("n_regs"),
+    )
+    sum_fp, zero, n_est = _estimate_exprs(p)
+    return agg.select(
+        *group_cols,
+        F.expr(sum_fp).cast("long").alias("sum_fp"),
+        F.expr(zero).cast("long").alias("zero_regs"),
+        F.expr(n_est).alias("n_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value: str, p: int = 8
+) -> DataFrame:
+    """One-call sketch + estimate (the registered-query form)."""
+    return hll_estimate(hll_sketch(df, group_cols, value, p), group_cols, p)
+
+
+# -- DuckDB twin ------------------------------------------------------------
+
+
+def d_hll_distinct(
+    source_sql: str, group_cols: list[str], value: str, p: int = 8
+) -> str:
+    """DuckDB oracle: identical integer pipeline, identical final float
+    expression.  ``source_sql`` yields (group..., value-column) rows.
+
+    NOTE ``pow(2, k)`` returns DOUBLE in both engines — a power of two
+    is always exactly representable, so the CAST back to BIGINT is
+    lossless on both sides."""
+    m = _check_p(p)
+    L = 60 - p
+    gc = ", ".join(group_cols)
+    w = f"(h // {m})"
+    rho = f"CAST(CASE WHEN {w} = 0 THEN {L + 1} ELSE {L} - length(bin({w})) + 1 END AS INT)"
+    sum_fp, zero, n_est = _estimate_exprs(p)
+    return f"""
+WITH src AS ({source_sql}),
+h AS (SELECT {gc}, {T.d_hash60(value)} AS h FROM src
+      WHERE {value} IS NOT NULL),
+reg AS (SELECT {gc}, h % {m} AS j, max({rho}) AS m_j
+        FROM h GROUP BY {gc}, h % {m}),
+agg AS (SELECT {gc},
+               CAST(sum(CAST(pow(2, {_fp_exp(p)} - m_j) AS BIGINT)) AS BIGINT) AS reg_sum,
+               count(*) AS n_regs
+        FROM reg GROUP BY {gc})
+SELECT {gc},
+       CAST({sum_fp} AS BIGINT) AS sum_fp,
+       CAST({zero} AS BIGINT) AS zero_regs,
+       {n_est} AS n_est
+FROM agg
+"""
+
+
+# -- KMV (k minimum values) -------------------------------------------------
+#
+# HLL answers "how many distinct?"; KMV (Bar-Yossef et al. 2002, the
+# theta-sketch core) additionally answers SET questions — "how much do
+# two corpora's vocabularies OVERLAP?" — which no HLL can.  The sketch
+# is simply the k smallest distinct hash values per group; it merges by
+# "k smallest of the union", and for two groups the combined min-k
+# sample is a uniform sample of the union, so the fraction of it present
+# in both sketches estimates Jaccard.  Everything here — hashes, min-k
+# selection, membership counts, the 1e6-scaled Jaccard ratio — is exact
+# integer arithmetic, so the whole query (not just the registers) is
+# bitwise cross-engine.
+
+KMV_K = 256
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value: str, k: int = KMV_K
+) -> DataFrame:
+    """→ (group..., h): the ≤ k smallest DISTINCT portable hashes of
+    ``value`` per group — the mergeable sketch table.  The min-k cut is
+    a rank window per group (partial WindowGroupLimit: each map task
+    pre-cuts to k before the shuffle, so shuffle volume is
+    O(partitions · groups · k))."""
+    from pyspark.sql import Window
+
+    h = (
+        df.select(*group_cols, F.expr(T.hash60(value)).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_jaccard_pairs(
+    sketches: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Sketch table → (g_a, g_b, k_used, n_shared, jaccard_fix) for every
+    unordered group pair: take the k smallest values of the UNION of the
+    two groups' sketches (a uniform hash-sample of the union), count how
+    many live in BOTH sketches, and scale — ``jaccard_fix = (1e6 ·
+    n_shared) div k_used``.  Group list is assumed small (sources,
+    shards, days — the monitoring use case); the per-pair explode is
+    O(pairs · k) rows, independent of corpus size."""
+    from pyspark.sql import Window
+
+    sk = sketches.select(F.col(group_col).alias("g"), "h")
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("g_a"))
+        .join(groups.select(F.col("g").alias("g_b")))
+        .where(F.col("g_a") < F.col("g_b"))
+    )
+    union_vals = (
+        sk.join(F.broadcast(pairs), sk.g == F.col("g_a"))
+        .select("g_a", "g_b", "h")
+        .unionByName(
+            sk.join(F.broadcast(pairs), sk.g == F.col("g_b")).select(
+                "g_a", "g_b", "h"
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy(F.col("h").asc())
+    combined = union_vals.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    in_a = sk.select(F.col("g").alias("g_a"), "h", F.lit(1).alias("ia"))
+    in_b = sk.select(F.col("g").alias("g_b"), "h", F.lit(1).alias("ib"))
+    return (
+        combined.join(in_a, on=["g_a", "h"], how="left")
+        .join(in_b, on=["g_b", "h"], how="left")
+        .groupBy("g_a", "g_b")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.sum(
+                (F.coalesce("ia", F.lit(0)) * F.coalesce("ib", F.lit(0)))
+            ).cast("long").alias("n_shared"),
+        )
+        .select(
+            "g_a",
+            "g_b",
+            "k_used",
+            "n_shared",
+            F.expr("CAST((1000000 * n_shared) div k_used AS BIGINT)").alias(
+                "jaccard_fix"
+            ),
+        )
+    )
+
+
+def d_kmv_jaccard_pairs(
+    source_sql: str, group_col: str, value: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of sketch → pairwise Jaccard.  ``source_sql`` yields
+    (group, value) rows."""
+    return f"""
+WITH src AS ({source_sql}),
+hv AS (SELECT DISTINCT {group_col} AS g, {T.d_hash60(value)} AS h FROM src
+       WHERE {value} IS NOT NULL),
+sk AS (SELECT g, h FROM (
+         SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h ASC) AS rn
+         FROM hv) WHERE rn <= {k}),
+grps AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM grps a JOIN grps b ON a.g < b.g),
+uv AS (SELECT DISTINCT g_a, g_b, h FROM (
+         SELECT p.g_a, p.g_b, s.h FROM pairs p JOIN sk s ON s.g = p.g_a
+         UNION ALL
+         SELECT p.g_a, p.g_b, s.h FROM pairs p JOIN sk s ON s.g = p.g_b)),
+comb AS (SELECT g_a, g_b, h FROM (
+           SELECT g_a, g_b, h,
+                  row_number() OVER (PARTITION BY g_a, g_b ORDER BY h ASC) AS rn
+           FROM uv) WHERE rn <= {k}),
+mk AS (SELECT c.g_a, c.g_b, c.h,
+              CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS ia,
+              CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS ib
+       FROM comb c
+       LEFT JOIN sk a ON a.g = c.g_a AND a.h = c.h
+       LEFT JOIN sk b ON b.g = c.g_b AND b.h = c.h)
+SELECT g_a, g_b,
+       CAST(count(*) AS BIGINT) AS k_used,
+       CAST(sum(ia * ib) AS BIGINT) AS n_shared,
+       CAST((1000000 * sum(ia * ib)) // count(*) AS BIGINT) AS jaccard_fix
+FROM mk GROUP BY g_a, g_b
+"""

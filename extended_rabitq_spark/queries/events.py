@@ -777,3 +777,57 @@ def events_scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("valid_to_us", F.lit(9223372036854775807).cast("long")).alias("valid_to_us"),
         F.col("valid_to_us").isNull().alias("is_current"),
     )
+
+
+def _pagerank_oracle() -> str:
+    from ..operators import graph
+
+    edges_sql = """
+SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             event_type
+      FROM events)
+WHERE prev IS NOT NULL GROUP BY prev, event_type"""
+    pr = graph.d_pagerank(edges_sql, iters=5)
+    return f"""
+SELECT node AS event_type, score_fix,
+       CAST(row_number() OVER (ORDER BY score_fix DESC, node) AS INT) AS rank
+FROM ({pr}) pr
+"""
+
+
+@register("pagerank_event_types", _pagerank_oracle())
+def pagerank_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph centrality (beyond-reference §2.8): weighted
+    PageRank over the user-journey transition graph — nodes are event
+    types, an edge (a → b) counts how often b immediately follows a in
+    some user's stream.  5 exact fixed-point iterations (damping 85/100
+    as an integer ratio, contributions integer-divided) so the unrolled
+    recursive oracle is bitwise.  The edge build is one lag window per
+    user; each iteration is one equi-join + one integer groupBy-sum —
+    the same keyed-shuffle shape at any scale."""
+    from pyspark.sql import Window
+
+    from ..operators import graph
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    edges = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    pr = graph.pagerank(edges, iters=5)
+    rw = Window.orderBy(F.col("score_fix").desc(), F.col("node").asc())
+    return pr.select(
+        F.col("node").alias("event_type"),
+        "score_fix",
+        F.row_number().over(rw).cast("int").alias("rank"),
+    )

@@ -386,3 +386,72 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = bpe.train_bpe(docs, n_merges=200)
     return bpe.bpe_tokenize(docs, merges).select("doc_id", "n_tokens")
+
+
+def _hll_oracle() -> str:
+    from ..operators import sketches
+
+    return sketches.d_hll_distinct(
+        f"SELECT source, unnest({T.d_shingles3(T.d_tokens('text'))}) AS shingle "
+        "FROM documents",
+        ["source"],
+        "shingle",
+        p=8,
+    )
+
+
+@register("hll_distinct_shingles", _hll_oracle())
+def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-growth monitoring via a MERGEABLE
+    HyperLogLog sketch (beyond-reference §2.8): approx distinct word
+    3-shingles per source → (source, sum_fp, zero_regs, n_est).  The
+    register harmonic sum is exact BIGINT fixed point, so the row is
+    hashable cross-engine; only the final estimate expression (shared
+    verbatim with the oracle) touches floats.  At 100 TB the register
+    table replaces an exact count-distinct's full-value shuffle with
+    O(sources · 256) rows and merges across shards by max."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "source",
+        F.explode(F.expr(T.shingles3(T.tokens("text")))).alias("shingle"),
+    )
+    return sketches.hll_distinct(sh, ["source"], "shingle", p=8)
+
+
+def _kmv_oracle() -> str:
+    from ..operators import sketches
+
+    return sketches.d_kmv_jaccard_pairs(
+        f"SELECT source, unnest({T.d_shingles3(T.d_tokens('text'))}) AS shingle "
+        "FROM documents",
+        "source",
+        "shingle",
+        k=256,
+    )
+
+
+@register("kmv_source_overlap", _kmv_oracle())
+def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary OVERLAP from KMV sketches
+    (beyond-reference §2.8) — the set question HLL cannot answer: for
+    every source pair, the k-min-values union sample and the integer
+    Jaccard estimate ``(1e6·n_shared) div k_used``.  The whole query is
+    exact integer arithmetic (hashes, min-k ranks, membership counts) —
+    even the ESTIMATE row hashes bitwise cross-engine.  At 100 TB each
+    source is sketched once (O(k) rows kept, map-side pre-cut window);
+    the pairwise stage touches only O(pairs · k) sketch rows."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "source",
+        F.explode(F.expr(T.shingles3(T.tokens("text")))).alias("shingle"),
+    )
+    sk = sketches.kmv_sketch(sh, ["source"], "shingle", k=256)
+    return sketches.kmv_jaccard_pairs(sk, "source", k=256)

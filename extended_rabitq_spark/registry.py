@@ -260,6 +260,24 @@ _DEMOTED = [
                              # nearest non-near-dup docs): same
                              # rationale; similarity family keeps
                              # knn_exact/knn_cosine checked
+    "hll_distinct_shingles", # NEW r6 (mergeable HyperLogLog distinct
+                             # sketch, exact fixed-point registers):
+                             # out-of-window, window pinned; corpus-
+                             # stat family keeps corpus_stats_cube +
+                             # vocab_stats checked
+    "pagerank_event_types",  # NEW r6 (fixed-point weighted PageRank —
+                             # iterative graph centrality): out-of-
+                             # window, window pinned; graph family
+                             # keeps dedup_components checked
+    "entity_resolution",     # NEW r6 (fuzzy self-join -> components ->
+                             # canonical entity): out-of-window,
+                             # window pinned; composes the checked
+                             # dedup_components machinery with the
+                             # fuzzy_name_match blocking
+    "kmv_source_overlap",    # NEW r6 (KMV set-overlap sketch — the
+                             # intersection question HLL can't answer):
+                             # out-of-window, window pinned; output is
+                             # pure integers end-to-end
 ]
 
 # Promoted to the head of the registration order so they land inside the

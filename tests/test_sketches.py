@@ -1,0 +1,189 @@
+"""HyperLogLog sketch: accuracy, merge law, determinism, guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from extended_rabitq_spark.operators import sketches
+
+
+def _values(spark, n, group="g", offset=0):
+    """n distinct string values in one group."""
+    return spark.range(n).select(
+        F.lit(group).alias("grp"),
+        F.concat(F.lit("val-"), (F.col("id") + offset).cast("string")).alias("v"),
+    )
+
+
+class TestHLLAccuracy:
+    @pytest.mark.parametrize("n", [300, 5_000, 40_000])
+    def test_estimate_within_5_sigma(self, spark, n):
+        # m = 256 -> relative std ~ 1.04/sqrt(256) = 6.5%; 5 sigma = 32.5%
+        est = sketches.hll_distinct(_values(spark, n), ["grp"], "v", p=8).collect()
+        assert len(est) == 1
+        got = est[0]["n_est"]
+        assert abs(got - n) / n < 0.325, f"n={n} est={got}"
+
+    def test_multi_group_independent(self, spark):
+        df = _values(spark, 1000, "a").unionByName(_values(spark, 3000, "b"))
+        rows = {
+            r["grp"]: r["n_est"]
+            for r in sketches.hll_distinct(df, ["grp"], "v", p=8).collect()
+        }
+        assert abs(rows["a"] - 1000) / 1000 < 0.325
+        assert abs(rows["b"] - 3000) / 3000 < 0.325
+
+    def test_duplicates_do_not_inflate(self, spark):
+        once = _values(spark, 2000)
+        thrice = once.unionByName(once).unionByName(once)
+        a = sketches.hll_distinct(once, ["grp"], "v", p=8).collect()[0]
+        b = sketches.hll_distinct(thrice, ["grp"], "v", p=8).collect()[0]
+        assert a["n_est"] == b["n_est"]  # registers identical: max is idempotent
+        assert a["sum_fp"] == b["sum_fp"]
+
+
+class TestHLLMergeLaw:
+    def test_merge_equals_union_sketch(self, spark):
+        # sketch(A u B) == merge(sketch(A), sketch(B)) EXACTLY
+        a = _values(spark, 1500, offset=0)
+        b = _values(spark, 1500, offset=1000)  # 500 overlap
+        direct = sketches.hll_sketch(a.unionByName(b), ["grp"], "v", p=8)
+        merged = sketches.hll_merge(
+            sketches.hll_sketch(a, ["grp"], "v", p=8).unionByName(
+                sketches.hll_sketch(b, ["grp"], "v", p=8)
+            ),
+            ["grp"],
+        )
+        d = {(r["grp"], r["j"]): r["m_j"] for r in direct.collect()}
+        m = {(r["grp"], r["j"]): r["m_j"] for r in merged.collect()}
+        assert d == m
+
+    def test_estimate_sees_true_union_cardinality(self, spark):
+        a = _values(spark, 1500, offset=0)
+        b = _values(spark, 1500, offset=1000)
+        merged = sketches.hll_merge(
+            sketches.hll_sketch(a, ["grp"], "v", p=8).unionByName(
+                sketches.hll_sketch(b, ["grp"], "v", p=8)
+            ),
+            ["grp"],
+        )
+        est = sketches.hll_estimate(merged, ["grp"], p=8).collect()[0]["n_est"]
+        assert abs(est - 2500) / 2500 < 0.325
+
+
+class TestHLLContract:
+    def test_partitioning_invariant(self, spark):
+        df = _values(spark, 4000)
+        one = sketches.hll_distinct(df.coalesce(1), ["grp"], "v", p=8).collect()
+        many = sketches.hll_distinct(df.repartition(16), ["grp"], "v", p=8).collect()
+        assert one == many
+
+    def test_register_table_bounded(self, spark):
+        sk = sketches.hll_sketch(_values(spark, 50_000), ["grp"], "v", p=8)
+        n = sk.count()
+        assert n <= 256  # never more rows than registers, whatever the input
+
+    def test_null_values_ignored(self, spark):
+        df = _values(spark, 1000).unionByName(
+            spark.range(50).select(
+                F.lit("g").alias("grp"), F.lit(None).cast("string").alias("v")
+            )
+        )
+        a = sketches.hll_distinct(df, ["grp"], "v", p=8).collect()
+        b = sketches.hll_distinct(_values(spark, 1000), ["grp"], "v", p=8).collect()
+        assert a == b
+
+    def test_bad_p_raises(self, spark):
+        df = _values(spark, 10)
+        for p in (3, 6, 13):
+            with pytest.raises(ValueError):
+                sketches.hll_sketch(df, ["grp"], "v", p=p)
+
+    def test_small_range_linear_counting_branch(self, spark):
+        # tiny cardinality -> most registers empty -> linear counting;
+        # at n << m the estimate should be nearly exact
+        est = sketches.hll_distinct(_values(spark, 40), ["grp"], "v", p=8).collect()[0]
+        assert est["zero_regs"] > 0
+        assert abs(est["n_est"] - 40) <= 5
+
+
+class TestKMV:
+    def _sh(self, spark, groups):
+        """groups: {name: (n, offset)} — distinct values val-offset..offset+n."""
+        dfs = [
+            spark.range(n).select(
+                F.lit(g).alias("grp"),
+                F.concat(F.lit("val-"), (F.col("id") + off).cast("string")).alias("v"),
+            )
+            for g, (n, off) in groups.items()
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def test_sketch_size_capped(self, spark):
+        df = self._sh(spark, {"a": (5000, 0)})
+        sk = sketches.kmv_sketch(df, ["grp"], "v", k=256)
+        assert sk.count() == 256
+
+    def test_small_group_kept_whole(self, spark):
+        df = self._sh(spark, {"a": (100, 0)})
+        sk = sketches.kmv_sketch(df, ["grp"], "v", k=256)
+        assert sk.count() == 100  # fewer distinct values than k: exact
+
+    def test_sketch_is_k_smallest(self, spark):
+        from pyspark.sql import functions as F2
+
+        df = self._sh(spark, {"a": (2000, 0)})
+        sk = {r["h"] for r in sketches.kmv_sketch(df, ["grp"], "v", k=64).collect()}
+        from extended_rabitq_spark.functions import text as T
+
+        all_h = sorted(
+            r["h"]
+            for r in df.select(F2.expr(T.hash60("v")).alias("h")).distinct().collect()
+        )
+        assert sk == set(all_h[:64])
+
+    def test_jaccard_estimate_accuracy(self, spark):
+        # A = 0..2999, B = 2000..4999 -> |A n B| = 1000, |A u B| = 5000, J = 0.2
+        df = self._sh(spark, {"a": (3000, 0), "b": (3000, 2000)})
+        sk = sketches.kmv_sketch(df, ["grp"], "v", k=256)
+        row = sketches.kmv_jaccard_pairs(sk, "grp", k=256).collect()[0]
+        est = row["jaccard_fix"] / 1e6
+        # k=256 sample of the union: std ~ sqrt(J(1-J)/k) ~ 0.025; 5 sigma
+        assert abs(est - 0.2) < 0.125, row
+        assert row["k_used"] == 256
+
+    def test_disjoint_and_identical(self, spark):
+        df = self._sh(spark, {"a": (1000, 0), "b": (1000, 5000), "c": (1000, 0)})
+        rows = {
+            (r["g_a"], r["g_b"]): r["jaccard_fix"]
+            for r in sketches.kmv_jaccard_pairs(
+                sketches.kmv_sketch(df, ["grp"], "v", k=256), "grp", k=256
+            ).collect()
+        }
+        assert rows[("a", "b")] == 0  # disjoint
+        assert rows[("a", "c")] == 1_000_000  # identical sets
+        assert rows[("b", "c")] == 0
+
+    def test_partitioning_invariant(self, spark):
+        df = self._sh(spark, {"a": (2000, 0), "b": (2000, 1500)})
+        one = sorted(
+            map(
+                tuple,
+                sketches.kmv_jaccard_pairs(
+                    sketches.kmv_sketch(df.coalesce(1), ["grp"], "v"), "grp"
+                ).collect(),
+            )
+        )
+        many = sorted(
+            map(
+                tuple,
+                sketches.kmv_jaccard_pairs(
+                    sketches.kmv_sketch(df.repartition(16), ["grp"], "v"), "grp"
+                ).collect(),
+            )
+        )
+        assert one == many
