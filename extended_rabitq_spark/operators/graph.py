@@ -23,9 +23,11 @@ formula) is bitwise:
 * scores start at ``SCALE`` (1e9 micro-units; unnormalized PageRank —
   totals sum to ~n·SCALE, a constant factor that cancels in ranking);
 * an edge carries ``contrib = (score_src · weight) div out_w_src``
-  (exact integer; requires ``max_score · max_weight < 2^63`` — with
-  SCALE=1e9 that allows total edge weights up to ~1e9 per graph at
-  n ≤ 1e3 nodes, and callers with heavier graphs lower SCALE);
+  (exact integer; requires ``max_score · max_weight < 2^63``, and a
+  score can absorb up to the whole graph's mass ≈ n · SCALE — so the
+  safe bound is ``max_weight < 2^63 / (n · SCALE)``: ~9e6 at
+  SCALE=1e9 with n = 1e3 nodes.  Callers with heavier edge weights or
+  bigger node sets lower SCALE accordingly);
 * the update is ``new = (15 · SCALE) div 100 + (85 · Σcontrib) div
   100`` — damping 0.85 as an exact integer ratio, and the Σ is an
   integer sum (order-independent, no float-reduction hazard).
@@ -60,14 +62,18 @@ def pagerank(
         F.col(dst).alias("dst"),
         F.col(weight).cast("long").alias("w"),
     )
+    # Both static frames joined every round — the annotated edge table
+    # and the node list — are persisted ONCE; without this each round's
+    # eager checkpoint would re-execute the whole upstream edge pipeline
+    # (review r6: 5 rounds = 5 full re-reads of the input).
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
+    nodes.count()
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # Edge table annotated once with its source's total out-weight; this
-    # is the static big side every round joins against — persist it.
     ew = e.join(out_w, on="src").persist()
     ew.count()
     scores = nodes.select("node", F.lit(SCALE).cast("long").alias("score_fix"))
@@ -84,6 +90,7 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("contrib").alias("inc"))
             )
+            prev = scores
             scores = (
                 nodes.join(inc.withColumnRenamed("dst", "node"), on="node", how="left")
                 .select(
@@ -94,8 +101,12 @@ def pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
+            # bound storage: only the newest frame lives (the
+            # connected_components convention)
+            prev.unpersist()
     finally:
         ew.unpersist()
+        nodes.unpersist()
     return scores
 
 

@@ -226,16 +226,21 @@ def kmv_sketch(
     O(partitions · groups · k))."""
     from pyspark.sql import Window
 
-    h = (
-        df.select(*group_cols, F.expr(T.hash60(value)).alias("h"))
-        .where(F.col("h").isNotNull())
-        .distinct()
+    h = df.select(*group_cols, F.expr(T.hash60(value)).alias("h")).where(
+        F.col("h").isNotNull()
     )
+    # dense_rank (not row_number over a pre-distinct) keeps the partial
+    # WindowGroupLimit pre-cut on the RAW rows: each map task cuts to
+    # its local k smallest BEFORE the shuffle, so no full shuffle of all
+    # distinct (group, h) pairs ever happens (review r6).  Duplicates of
+    # a surviving hash share a dense rank and are collapsed AFTER the
+    # cut, when at most ~k·dup rows per group remain.
     w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
     return (
-        h.withColumn("rn", F.row_number().over(w))
+        h.withColumn("rn", F.dense_rank().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
+        .distinct()
     )
 
 
