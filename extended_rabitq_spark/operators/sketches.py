@@ -335,3 +335,124 @@ SELECT g_a, g_b,
        CAST((1000000 * sum(ia * ib)) // count(*) AS BIGINT) AS jaccard_fix
 FROM mk GROUP BY g_a, g_b
 """
+
+
+# -- Count-min sketch -------------------------------------------------------
+#
+# The third sketch of the monitoring trio: HLL = how many DISTINCT,
+# KMV = how much OVERLAP, count-min (Cormode & Muthukrishnan 2005) =
+# how OFTEN.  A d × w grid of counters; item x increments cell
+# (i, perm_i(hash(x)) mod w) in every row; the estimate is the MIN over
+# the d cells — an overestimate by at most ε·N (ε = e/w) with
+# probability 1 − e^−d.  Counters are plain integer sums, so the sketch
+# is mergeable by + (per-shard sketches union into a groupBy-sum), the
+# shuffle volume is bounded by d·w per partition (map-side partial
+# aggregation), and the whole pipeline — including the estimate — is
+# exact integer arithmetic, bitwise cross-engine.
+
+CMS_D = 4
+CMS_W = 2048
+_CMS_MASK30 = (1 << 30) - 1
+_CMS_P = (1 << 61) - 1  # M61, the repo's 2-universal modulus
+
+
+def _cms_coeffs(n: int) -> list[tuple[int, int, int]]:
+    # Same splitmix-style literal generator as functions.text._mh_coeffs
+    # but a DIFFERENT seed, so CMS rows are independent of the MinHash
+    # permutation family.
+    out, s = [], 0xC2B2AE3D27D4EB4F
+    for _ in range(n):
+        trip = []
+        for _ in range(3):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            trip.append((s >> 22) & _CMS_MASK30)
+        out.append((trip[0] | 1, trip[1] | 1, trip[2]))
+    return out
+
+
+CMS_COEFFS = _cms_coeffs(8)
+
+
+def _cms_col(i: int, h: str, w: int, engine: str) -> str:
+    """Column index of row i for a BIGINT hash expression — 2-universal
+    affine map mod M61, then mod w.  Identical integer ops in both
+    engines; only the shift spelling differs (shiftright vs >>).
+    All operands < 2^30, so each product < 2^60 and the sum < 2^62 —
+    signed-64 safe in both engines."""
+    a, b, c = CMS_COEFFS[i]
+    sh = f"shiftright({h}, 30)" if engine == "spark" else f"({h} >> 30)"
+    return f"((({a} * ({h} & {_CMS_MASK30}) + {b} * {sh} + {c}) % {_CMS_P}) % {w})"
+
+
+def cms_sketch(
+    df: DataFrame, group_cols: list[str], value: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """→ (group..., r, c, cnt): the count-min counter grid.  One explode
+    to d rows per input, one groupBy-sum — partial aggregation bounds
+    the shuffle at d·w rows per map partition per group."""
+    if not 1 <= d <= len(CMS_COEFFS):
+        raise ValueError(f"d must be in [1, {len(CMS_COEFFS)}], got {d}")
+    h = df.select(*group_cols, F.expr(T.hash60(value)).alias("h")).where(
+        F.col("h").isNotNull()
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.expr(_cms_col(i, "h", w, "spark")).cast("int").alias("c"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        h.select(*group_cols, F.explode(cells).alias("cell"))
+        .select(*group_cols, F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .groupBy(*group_cols, "r", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Counter grids (same d, w!) merge by plain sum."""
+    return sketches.groupBy(*group_cols, "r", "c").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(probe rows) → (value, cms_est): min over the d counters each
+    probe hashes to; cells the sketch never saw count 0.  The sketch
+    side of the join is at most d·w rows — broadcastable."""
+    ph = probes.select(value, F.expr(T.hash60(value)).alias("h")).where(
+        F.col("h").isNotNull()
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.expr(_cms_col(i, "h", w, "spark")).cast("int").alias("c"),
+            )
+            for i in range(d)
+        ]
+    )
+    pc = ph.select(value, F.explode(cells).alias("cell")).select(
+        value, F.col("cell.r").alias("r"), F.col("cell.c").alias("c")
+    )
+    return (
+        pc.join(F.broadcast(sketch.select("r", "c", "cnt")), on=["r", "c"], how="left")
+        .groupBy(value)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_est"))
+    )
+
+
+def d_cms_cells(h: str, d: int, w: int) -> str:
+    """DuckDB: LIST of [r, c] pairs for a hash expression (used via
+    unnest)."""
+    parts = ", ".join(f"[{i}, {_cms_col(i, h, w, 'duck')}]" for i in range(d))
+    return f"[{parts}]"

@@ -455,3 +455,61 @@ def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = sketches.kmv_sketch(sh, ["source"], "shingle", k=256)
     return sketches.kmv_jaccard_pairs(sk, "source", k=256)
+
+
+def _cms_oracle() -> str:
+    from ..operators import sketches as SK
+
+    d, w, topn = SK.CMS_D, SK.CMS_W, 20
+    return f"""
+WITH tok AS (SELECT unnest({T.d_tokens('text')}) AS token FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM tok GROUP BY token),
+top AS (SELECT token, exact_cnt FROM (
+          SELECT token, exact_cnt,
+                 row_number() OVER (ORDER BY exact_cnt DESC, token) AS rn
+          FROM cnt) WHERE rn <= {topn}),
+th AS (SELECT {T.d_hash60('token')} AS h FROM tok),
+cells AS (SELECT unnest({SK.d_cms_cells('h', d, w)}) AS rc FROM th),
+grid AS (SELECT rc[1] AS r, rc[2] AS c, CAST(count(*) AS BIGINT) AS cnt
+         FROM cells GROUP BY rc[1], rc[2]),
+pt AS (SELECT token, {T.d_hash60('token')} AS h FROM top),
+pc AS (SELECT token, unnest({SK.d_cms_cells('h', d, w)}) AS rc FROM pt),
+est AS (SELECT token, CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS cms_est
+        FROM pc LEFT JOIN grid g ON g.r = rc[1] AND g.c = rc[2]
+        GROUP BY token)
+SELECT t.token, t.exact_cnt, e.cms_est,
+       CAST(e.cms_est - t.exact_cnt AS BIGINT) AS overcount
+FROM top t JOIN est e USING (token)
+"""
+
+
+@register("cms_token_freq", _cms_oracle())
+def cms_token_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (beyond-reference §2.8) — the
+    frequency member of the sketch trio (HLL = cardinality, KMV =
+    overlap, CMS = how often): build the d×w counter grid over corpus
+    tokens, then grade it against the exact counts of the top-20 tokens
+    — (token, exact_cnt, cms_est, overcount), all BIGINT; count-min
+    never underestimates, so overcount ≥ 0 with E[overcount] ≤ e/w · N.
+    At 100 TB the grid is the artifact: d·w counters per shard, merged
+    by plain sum; the probe-side join broadcasts the grid."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as SK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.explode(F.expr(T.tokens("text"))).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
+    # Deterministic global top-20 via sort+limit, NOT a row_number window:
+    # Spark plans this as TakeOrderedAndProject (per-partition heaps, no
+    # single-partition WindowExec sort of the whole vocabulary).
+    top = cnt.orderBy(F.col("exact_cnt").desc(), F.col("token").asc()).limit(20)
+    grid = SK.cms_sketch(tok, [], "token")
+    est = SK.cms_estimate(grid, top.select("token"), "token")
+    return top.join(est, on="token").select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )

@@ -278,6 +278,9 @@ _DEMOTED = [
                              # intersection question HLL can't answer):
                              # out-of-window, window pinned; output is
                              # pure integers end-to-end
+    "cms_token_freq",        # NEW r6 (count-min frequency sketch graded
+                             # against exact heavy hitters): same
+                             # rationale; pure-integer output
 ]
 
 # Promoted to the head of the registration order so they land inside the

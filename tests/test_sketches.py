@@ -187,3 +187,81 @@ class TestKMV:
             )
         )
         assert one == many
+
+
+class TestCMS:
+    def _tok(self, spark, counts):
+        """counts: {value: n occurrences}."""
+        dfs = [
+            spark.range(n).select(F.lit(v).alias("v")) for v, n in counts.items()
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def test_never_underestimates_and_tight_when_sparse(self, spark):
+        counts = {f"t{i}": (i + 1) * 3 for i in range(50)}
+        df = self._tok(spark, counts)
+        grid = sketches.cms_sketch(df, [], "v")
+        probes = df.select("v").distinct()
+        est = {
+            r["v"]: r["cms_est"]
+            for r in sketches.cms_estimate(grid, probes, "v").collect()
+        }
+        for v, n in counts.items():
+            assert est[v] >= n  # count-min never underestimates
+            # 50 items in a 4x2048 grid: collisions are rare -> exact
+        exact_hits = sum(est[v] == n for v, n in counts.items())
+        assert exact_hits >= 45
+
+    def test_merge_is_sum(self, spark):
+        a = self._tok(spark, {"x": 10, "y": 5})
+        b = self._tok(spark, {"x": 7, "z": 2})
+        direct = sketches.cms_sketch(a.unionByName(b), [], "v")
+        merged = sketches.cms_merge(
+            sketches.cms_sketch(a, [], "v").unionByName(
+                sketches.cms_sketch(b, [], "v")
+            ),
+            [],
+        )
+        d = {(r["r"], r["c"]): r["cnt"] for r in direct.collect()}
+        m = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
+        assert d == m
+
+    def test_unseen_probe_estimates_zero(self, spark):
+        grid = sketches.cms_sketch(self._tok(spark, {"x": 10}), [], "v")
+        probes = spark.range(1).select(F.lit("never-seen-value-12345").alias("v"))
+        est = sketches.cms_estimate(grid, probes, "v").collect()[0]["cms_est"]
+        # 4 independent cells must ALL collide with x's cells to misreport
+        assert est == 0
+
+    def test_grid_bounded(self, spark):
+        df = self._tok(spark, {f"u{i}": 2 for i in range(3000)})
+        n = sketches.cms_sketch(df, [], "v").count()
+        assert n <= sketches.CMS_D * sketches.CMS_W
+
+    def test_partitioning_invariant(self, spark):
+        df = self._tok(spark, {f"u{i}": i % 5 + 1 for i in range(200)})
+        probes = df.select("v").distinct()
+        one = sorted(
+            map(
+                tuple,
+                sketches.cms_estimate(
+                    sketches.cms_sketch(df.coalesce(1), [], "v"), probes, "v"
+                ).collect(),
+            )
+        )
+        many = sorted(
+            map(
+                tuple,
+                sketches.cms_estimate(
+                    sketches.cms_sketch(df.repartition(16), [], "v"), probes, "v"
+                ).collect(),
+            )
+        )
+        assert one == many
+
+    def test_bad_d_raises(self, spark):
+        with pytest.raises(ValueError):
+            sketches.cms_sketch(self._tok(spark, {"x": 1}), [], "v", d=99)
