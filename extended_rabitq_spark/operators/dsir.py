@@ -24,6 +24,19 @@ Spark-first, cross-engine-exact shape:
   ``g = −ln(−ln(u))`` — deterministic per doc, also micro-nat fixed
   point.  Selection key = weight + gumbel (both BIGINT).
 
+RESIDUAL LIBM RISK (unlike the repo's libm-free hashable rows —
+token_pmi/BM25 use ratio forms, nDCG uses the pre-computed
+``dcg_discounts`` table): the LLR table and the Gumbel key evaluate
+``ln()`` in BOTH engines before the micro-nat rounding.  JVM
+``Math.log`` and DuckDB's libm ``log`` are each ≤1 ulp but not
+guaranteed identical; a divergence landing exactly on a ×1e6 rounding
+boundary would flip a BIGINT by 1 and break cross-engine parity.  Not
+eliminable here without collecting data-dependent aggregates to the
+driver (the LLR inputs are corpus counts, so a pre-computed literal
+table can't be embedded in a scale-independent oracle string).
+Empirically bitwise at sf0.001/0.01/0.1 on the gate host; the same
+exposure applies to ``sampling.weighted_sample_aes`` (−ln(u)/w keys).
+
 At 100 TB: one tokenize pass over the pool (map-only), two B-row
 aggregates, one broadcast join, one top-N — no shuffle carries more
 than B rows per partial aggregate, and N is user-bounded.  The target

@@ -345,8 +345,12 @@ def sampled_kmeans_centroids(
         # of a K-pass boolean scan (O(N log N + N·D) vs O(K·N)) — at the
         # soak operating point (K=4096, 160k samples) the per-cluster
         # loop dominated training.  Stable sort keeps within-cluster
-        # summation in row order, so means are bit-identical to the
-        # X[m].mean(axis=0) form this replaces.
+        # summation in row order, so the update is DETERMINISTIC for a
+        # fixed seed — but reduceat sums sequentially while np.mean uses
+        # pairwise summation, so centroids may differ from the older
+        # X[m].mean(axis=0) form in the last ulp (artifacts built before
+        # this change can drift by 1 ulp; no registered oracle depends
+        # on sampled-kmeans centroid bit values).
         order = np.argsort(a, kind="stable")
         sa = a[order]
         starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])

@@ -202,7 +202,11 @@ def weighted_sample_aes(
 
     Cross-engine exactness: u comes from the portable ``hash60`` bucket
     (md5-based), the key is micro-scaled and rounded to BIGINT once per
-    row, ties break by id.  The top-k compiles to TakeOrderedAndProject
+    row, ties break by id.  Residual libm caveat: the ``−ln(u)`` runs in
+    both engines before the rounding (JVM Math.log vs DuckDB libm log,
+    each ≤1 ulp but not guaranteed identical) — a divergence landing on
+    a micro-scale rounding boundary would flip the BIGINT key by 1; see
+    operators/dsir.py's module docstring for the full analysis.  The top-k compiles to TakeOrderedAndProject
     (per-partition local top-k, no global sort) — ONE pass at any
     corpus size, the property A-ES was designed for.
 

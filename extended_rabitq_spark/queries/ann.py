@@ -563,7 +563,8 @@ def knn_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     binarization, inc/index/Quantizer.hpp:356-361, minus the scaling
     factors).  INTEGER distances end-to-end: the cleanest hashable
     approximate-family row.  Scale twin: operators/binary.hamming_knn_packed
-    (64 bits/BIGINT word, Σ bit_count(xor)) is value-equal by test."""
+    (32 bits/BIGINT word — pack_sign_bits avoids the signed-BIGINT MSB,
+    Σ bit_count(xor)) is value-equal by test."""
     from ..operators import binary
 
     return binary.hamming_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K)
