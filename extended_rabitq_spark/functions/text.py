@@ -30,6 +30,17 @@ def hash60(expr: str) -> str:
     return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def xxh60(expr: str) -> str:
+    """PRODUCTION 60-bit hash: Spark's JVM-side ``xxhash64`` (no md5
+    string round-trip — measured ~5-10× cheaper per value), top 60 bits
+    via unsigned shift so the result is a non-negative BIGINT with the
+    same domain as :func:`hash60`.  NOT cross-engine portable (DuckDB
+    has no bit-compatible xxhash64) — oracle-twin queries must keep
+    ``hash60``; everything statistical (sketch accuracy, merge laws,
+    partitioning invariance) is hash-agnostic."""
+    return f"CAST(shiftrightunsigned(xxhash64({expr}), 4) AS BIGINT)"
+
+
 def shingles3(toks: str) -> str:
     """Distinct word 3-shingles (0-based Spark subscripts)."""
     return (

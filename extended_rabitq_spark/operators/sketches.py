@@ -20,8 +20,12 @@ register harmonic mean.  Two properties make it the scale path:
 Everything up to the final estimate is EXACT integer arithmetic so the
 DuckDB oracle is bitwise:
 
-* the value hash is the repo's portable 60-bit md5 hash
-  (``functions.text.hash60`` — identical in both engines);
+* the value hash is 60-bit.  Two interchangeable families behind the
+  ``hash_fn`` knob: ``"xxh64"`` (PRODUCTION default — Spark's JVM
+  xxhash64, top 60 bits; md5 was the measured per-value hot loop) and
+  ``"hash60"`` (the repo's portable md5 hash, identical in both
+  engines — required for the DuckDB oracle twins, which pass it
+  explicitly);
 * register index ``j = h % m`` and suffix ``w = h div m`` are integer;
 * ``rho`` (leading-zero run length + 1 within the ``L = 60 - p`` bit
   suffix) is ``L - bit_length(w) + 1`` via ``length(bin(w))`` — string
@@ -54,6 +58,25 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
+# Production/oracle hash dispatch (VERDICT r6 item 3).  ``hash60`` (the
+# portable md5-based 60-bit hash) is what makes sketch rows hashable
+# CROSS-ENGINE — and it is also the per-value hot loop: the r6 bench
+# measured hll_distinct_shingles compute-bound at 13s on md5 alone.
+# ``xxh64`` (Spark's JVM xxhash64, top 60 bits) is the production
+# default: same domain, no md5 cost, but no DuckDB twin — so the
+# registered oracle queries pass hash_fn="hash60" explicitly and
+# everything else gets the fast path.
+_HASH_FNS = {"hash60": T.hash60, "xxh64": T.xxh60}
+
+
+def _hash_expr(hash_fn: str, col: str) -> str:
+    try:
+        return _HASH_FNS[hash_fn](col)
+    except KeyError:
+        raise ValueError(
+            f"hash_fn must be one of {sorted(_HASH_FNS)}, got {hash_fn!r}"
+        ) from None
+
 def _fp_exp(p: int) -> int:
     """Fixed-point exponent: each register contributes 2^(FP - M_j).
     FP = L + 1 = 61 - p is the MAX possible rho, so the smallest term
@@ -78,7 +101,11 @@ def _check_p(p: int) -> int:
 
 
 def hll_sketch(
-    df: DataFrame, group_cols: list[str], value: str, p: int = 8
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    p: int = 8,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """→ (group..., j, m_j): the HLL register table for ``value`` within
     each group — ``m_j`` = max leading-zero-run rank among hashed values
@@ -89,9 +116,12 @@ def hll_sketch(
     One ``groupBy`` with map-side partial max — shuffle volume is
     O(groups · 2^p) regardless of input rows."""
     m = _check_p(p)
-    L = 60 - p  # suffix width of the portable 60-bit hash
-    h = df.select(*group_cols, F.expr(T.hash60(value)).alias("h")).where(
-        F.col("h").isNotNull()  # NULL values carry no cardinality signal
+    L = 60 - p  # suffix width of the 60-bit hash (either hash_fn)
+    # NULL values carry no cardinality signal — filter BEFORE hashing:
+    # xxhash64(NULL) returns the seed constant (not NULL), so a post-hash
+    # null filter would silently admit a phantom distinct value.
+    h = df.where(F.col(value).isNotNull()).select(
+        *group_cols, F.expr(_hash_expr(hash_fn, value)).alias("h")
     )
     w = f"(h div {m})"
     # rho = leading zeros + 1 = L - bit_length(w) + 1; bit_length via
@@ -158,10 +188,18 @@ def hll_estimate(sketch: DataFrame, group_cols: list[str], p: int = 8) -> DataFr
 
 
 def hll_distinct(
-    df: DataFrame, group_cols: list[str], value: str, p: int = 8
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    p: int = 8,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
-    """One-call sketch + estimate (the registered-query form)."""
-    return hll_estimate(hll_sketch(df, group_cols, value, p), group_cols, p)
+    """One-call sketch + estimate.  The registered oracle query passes
+    ``hash_fn="hash60"`` (portable twin); default is the production
+    xxh64 path."""
+    return hll_estimate(
+        hll_sketch(df, group_cols, value, p, hash_fn=hash_fn), group_cols, p
+    )
 
 
 # -- DuckDB twin ------------------------------------------------------------
@@ -217,7 +255,11 @@ KMV_K = 256
 
 
 def kmv_sketch(
-    df: DataFrame, group_cols: list[str], value: str, k: int = KMV_K
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    k: int = KMV_K,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """→ (group..., h): the ≤ k smallest DISTINCT portable hashes of
     ``value`` per group — the mergeable sketch table.  The min-k cut is
@@ -226,8 +268,9 @@ def kmv_sketch(
     O(partitions · groups · k))."""
     from pyspark.sql import Window
 
-    h = df.select(*group_cols, F.expr(T.hash60(value)).alias("h")).where(
-        F.col("h").isNotNull()
+    # null filter BEFORE hashing (xxhash64(NULL) = seed constant, not NULL)
+    h = df.where(F.col(value).isNotNull()).select(
+        *group_cols, F.expr(_hash_expr(hash_fn, value)).alias("h")
     )
     # dense_rank (not row_number over a pre-distinct) keeps the partial
     # WindowGroupLimit pre-cut on the RAW rows: each map task cuts to
@@ -245,19 +288,32 @@ def kmv_sketch(
 
 
 def kmv_jaccard_pairs(
-    sketches: DataFrame, group_col: str, k: int = KMV_K
+    sketches: DataFrame, group_col: str, k: int = KMV_K, max_groups: int = 1024
 ) -> DataFrame:
     """Sketch table → (g_a, g_b, k_used, n_shared, jaccard_fix) for every
     unordered group pair: take the k smallest values of the UNION of the
     two groups' sketches (a uniform hash-sample of the union), count how
     many live in BOTH sketches, and scale — ``jaccard_fix = (1e6 ·
-    n_shared) div k_used``.  Group list is assumed small (sources,
-    shards, days — the monitoring use case); the per-pair explode is
-    O(pairs · k) rows, independent of corpus size."""
+    n_shared) div k_used``.
+
+    The pair cross-join is QUADRATIC IN GROUP COUNT (pairs · k rows,
+    independent of corpus size) — the contract is a small group list
+    (sources, shards, days: the monitoring use case).  ``max_groups``
+    (default 1024 → ≤ ~524k pairs) enforces that contract with a typed
+    error rather than a silent G²·k blow-up; raise it deliberately if
+    you really want a bigger pair matrix."""
     from pyspark.sql import Window
 
     sk = sketches.select(F.col(group_col).alias("g"), "h")
     groups = sk.select("g").distinct()
+    n_groups = groups.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"kmv_jaccard_pairs: {n_groups} groups > max_groups={max_groups}; "
+            "the pair join is quadratic in group count — pre-filter the "
+            "sketch table to the groups you want compared, or pass a "
+            "larger max_groups deliberately"
+        )
     pairs = (
         groups.select(F.col("g").alias("g_a"))
         .join(groups.select(F.col("g").alias("g_b")))
@@ -385,15 +441,21 @@ def _cms_col(i: int, h: str, w: int, engine: str) -> str:
 
 
 def cms_sketch(
-    df: DataFrame, group_cols: list[str], value: str, d: int = CMS_D, w: int = CMS_W
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """→ (group..., r, c, cnt): the count-min counter grid.  One explode
     to d rows per input, one groupBy-sum — partial aggregation bounds
     the shuffle at d·w rows per map partition per group."""
     if not 1 <= d <= len(CMS_COEFFS):
         raise ValueError(f"d must be in [1, {len(CMS_COEFFS)}], got {d}")
-    h = df.select(*group_cols, F.expr(T.hash60(value)).alias("h")).where(
-        F.col("h").isNotNull()
+    # null filter BEFORE hashing (xxhash64(NULL) = seed constant, not NULL)
+    h = df.where(F.col(value).isNotNull()).select(
+        *group_cols, F.expr(_hash_expr(hash_fn, value)).alias("h")
     )
     cells = F.array(
         *[
@@ -425,12 +487,28 @@ def cms_estimate(
     value: str,
     d: int = CMS_D,
     w: int = CMS_W,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """(probe rows) → (value, cms_est): min over the d counters each
     probe hashes to; cells the sketch never saw count 0.  The sketch
-    side of the join is at most d·w rows — broadcastable."""
-    ph = probes.select(value, F.expr(T.hash60(value)).alias("h")).where(
-        F.col("h").isNotNull()
+    side of the join is at most d·w rows — broadcastable.
+
+    ``sketch`` must be a SINGLE grid — exactly the columns (r, c, cnt).
+    A grid built with non-empty ``group_cols`` has one row per group per
+    cell; joining on (r, c) alone would silently take min() across
+    groups and underestimate, so extra columns raise.  Estimate per
+    group by filtering to one group first, or merge groups deliberately
+    with ``cms_merge(sketches, [])``."""
+    extra = [c for c in sketch.columns if c not in ("r", "c", "cnt")]
+    if extra:
+        raise ValueError(
+            f"cms_estimate: sketch has extra columns {extra}; pass a single "
+            "(r, c, cnt) grid — filter to one group or cms_merge(..., []) first"
+        )
+    # hash_fn MUST match the one the grid was built with; null probes
+    # filtered BEFORE hashing (xxhash64(NULL) = seed constant, not NULL)
+    ph = probes.where(F.col(value).isNotNull()).select(
+        value, F.expr(_hash_expr(hash_fn, value)).alias("h")
     )
     cells = F.array(
         *[

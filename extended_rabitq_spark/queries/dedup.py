@@ -59,7 +59,13 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard_r FROM j WHERE jac >= 0.5
 @register("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-shingle Jaccard near-dup pairs (shingle equi-join, no O(N²))."""
-    return dedup.ngram_jaccard_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    from ..tables import spread_small_scan
+
+    return dedup.ngram_jaccard_pairs(
+        spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        )
+    )
 
 
 def _d_sig_cols() -> str:
@@ -109,7 +115,15 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard_r FROM j WHERE jac >= 0.4
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands) near-dup with exact-Jaccard verification."""
-    return dedup.minhash_lsh_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    from ..tables import spread_small_scan
+
+    # shingle+minhash map stage is CPU-bound — spread a tiny scan across
+    # cores (no-op at scale; see tables.spread_small_scan)
+    return dedup.minhash_lsh_pairs(
+        spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        )
+    )
 
 
 def _simhash_oracle(max_hamming: int) -> str:

@@ -414,12 +414,42 @@ def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import sketches
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..tables import spread_small_scan
+
+    # the shingle explode is the CPU hot loop — spread a small scan
+    # across cores (no-op at scale; r7 profile: 12.2s -> 2.4s local)
+    docs = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+    )
     sh = docs.select(
         "source",
         F.explode(F.expr(T.shingles3(T.tokens("text")))).alias("shingle"),
     )
-    return sketches.hll_distinct(sh, ["source"], "shingle", p=8)
+    return sketches.hll_distinct(sh, ["source"], "shingle", p=8, hash_fn="hash60")
+
+
+def hll_distinct_shingles_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of ``hll_distinct_shingles``: identical plan,
+    xxh64 value hash instead of the portable md5 ``hash60`` (VERDICT r6
+    item 3 — md5 was the measured per-shingle hot loop).  Not registered
+    (no DuckDB twin for xxhash64); benched side-by-side with the oracle
+    row as ``hll_shingles_xxh64_sec``.  Estimates differ only as any two
+    independent HLL hash families do (same ±1.04/√m error envelope —
+    asserted in tests/test_sketches.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches
+
+    from ..tables import spread_small_scan
+
+    docs = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+    )
+    sh = docs.select(
+        "source",
+        F.explode(F.expr(T.shingles3(T.tokens("text")))).alias("shingle"),
+    )
+    return sketches.hll_distinct(sh, ["source"], "shingle", p=8, hash_fn="xxh64")
 
 
 def _kmv_oracle() -> str:
@@ -448,12 +478,16 @@ def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import sketches
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..tables import spread_small_scan
+
+    docs = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+    )
     sh = docs.select(
         "source",
         F.explode(F.expr(T.shingles3(T.tokens("text")))).alias("shingle"),
     )
-    sk = sketches.kmv_sketch(sh, ["source"], "shingle", k=256)
+    sk = sketches.kmv_sketch(sh, ["source"], "shingle", k=256, hash_fn="hash60")
     return sketches.kmv_jaccard_pairs(sk, "source", k=256)
 
 
@@ -505,8 +539,8 @@ def cms_token_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark plans this as TakeOrderedAndProject (per-partition heaps, no
     # single-partition WindowExec sort of the whole vocabulary).
     top = cnt.orderBy(F.col("exact_cnt").desc(), F.col("token").asc()).limit(20)
-    grid = SK.cms_sketch(tok, [], "token")
-    est = SK.cms_estimate(grid, top.select("token"), "token")
+    grid = SK.cms_sketch(tok, [], "token", hash_fn="hash60")
+    est = SK.cms_estimate(grid, top.select("token"), "token", hash_fn="hash60")
     return top.join(est, on="token").select(
         "token",
         "exact_cnt",

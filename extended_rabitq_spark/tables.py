@@ -35,6 +35,27 @@ TABLE_NAMES = [
 NQ = 10
 
 
+def spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin a NARROW scan across the cluster's cores when the
+    source yields fewer partitions than ``defaultParallelism``.
+
+    Why: the local fixture tables are single parquet files with one row
+    group, so every CPU-heavy map stage downstream (shingling, regex
+    tokenization, hashing) runs on ONE core — the r6 bench's 13s
+    ``hll_distinct_shingles`` was ~5× pure partition starvation, not
+    hash cost (r7 profile: shingle explode 12.2s on 1 partition, 2.4s
+    on 8).  At 100 TB the scan already has thousands of splits and this
+    is a NO-OP — the condition makes the repartition (a full shuffle of
+    the raw rows — never acceptable at scale) strictly a small-input
+    rescue.  Results are unaffected: callers are order-insensitive
+    aggregates over hash/shingle streams (partitioning invariance is
+    pinned per-operator in tests)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)

@@ -137,7 +137,12 @@ class TestKMV:
         from pyspark.sql import functions as F2
 
         df = self._sh(spark, {"a": (2000, 0)})
-        sk = {r["h"] for r in sketches.kmv_sketch(df, ["grp"], "v", k=64).collect()}
+        sk = {
+            r["h"]
+            for r in sketches.kmv_sketch(
+                df, ["grp"], "v", k=64, hash_fn="hash60"
+            ).collect()
+        }
         from extended_rabitq_spark.functions import text as T
 
         all_h = sorted(
@@ -167,6 +172,20 @@ class TestKMV:
         assert rows[("a", "b")] == 0  # disjoint
         assert rows[("a", "c")] == 1_000_000  # identical sets
         assert rows[("b", "c")] == 0
+
+    def test_max_groups_guard_raises(self, spark):
+        # The pair join is quadratic in group count; the documented
+        # small-groups contract is enforced with a typed error (VERDICT
+        # r6 item 6).
+        df = self._sh(spark, {f"g{i}": (3, i * 10) for i in range(9)})
+        sk = sketches.kmv_sketch(df, ["grp"], "v", k=16)
+        with pytest.raises(ValueError, match="max_groups"):
+            sketches.kmv_jaccard_pairs(sk, "grp", k=16, max_groups=8)
+        # at the bound it runs: 9 groups -> 36 pairs
+        assert (
+            sketches.kmv_jaccard_pairs(sk, "grp", k=16, max_groups=9).count()
+            == 36
+        )
 
     def test_partitioning_invariant(self, spark):
         df = self._sh(spark, {"a": (2000, 0), "b": (2000, 1500)})
@@ -265,3 +284,90 @@ class TestCMS:
     def test_bad_d_raises(self, spark):
         with pytest.raises(ValueError):
             sketches.cms_sketch(self._tok(spark, {"x": 1}), [], "v", d=99)
+
+    def test_grouped_sketch_rejected_by_estimate(self, spark):
+        # A grid built with group_cols has one row per group per cell;
+        # joining on (r, c) alone would min() across groups and silently
+        # underestimate — cms_estimate must refuse it (ADVICE r6).
+        df = self._tok(spark, {"x": 10, "y": 5}).withColumn(
+            "grp", F.lit("a")
+        )
+        grouped = sketches.cms_sketch(df, ["grp"], "v")
+        probes = df.select("v").distinct()
+        with pytest.raises(ValueError, match="extra columns"):
+            sketches.cms_estimate(grouped, probes, "v")
+
+
+class TestHashFnKnob:
+    """The production xxh64 / oracle hash60 dispatch (VERDICT r6 item 3):
+    statistical guarantees are hash-agnostic, so the accuracy envelope
+    must hold on BOTH families; the knob itself is typed-checked."""
+
+    def test_unknown_hash_fn_raises(self, spark):
+        df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+        with pytest.raises(ValueError, match="hash_fn"):
+            sketches.hll_sketch(df, [], "v", hash_fn="md5")
+
+    @pytest.mark.parametrize("hash_fn", ["hash60", "xxh64"])
+    def test_hll_accuracy_both_hashes(self, spark, hash_fn):
+        n = 20000
+        df = spark.range(n).select(
+            F.concat(F.lit("v-"), F.col("id").cast("string")).alias("v")
+        )
+        est = sketches.hll_distinct(df, [], "v", p=8, hash_fn=hash_fn).collect()[0][
+            "n_est"
+        ]
+        # sigma = 1.04/sqrt(256) ~ 6.5%; 5 sigma
+        assert abs(est - n) < 0.325 * n, (hash_fn, est)
+
+    @pytest.mark.parametrize("hash_fn", ["hash60", "xxh64"])
+    def test_kmv_jaccard_both_hashes(self, spark, hash_fn):
+        # A = 0..2999, B = 2000..4999 -> J = 0.2 (same as the main test)
+        dfs = [
+            spark.range(3000).select(
+                F.lit("a").alias("grp"),
+                F.concat(F.lit("val-"), F.col("id").cast("string")).alias("v"),
+            ),
+            spark.range(3000).select(
+                F.lit("b").alias("grp"),
+                F.concat(F.lit("val-"), (F.col("id") + 2000).cast("string")).alias(
+                    "v"
+                ),
+            ),
+        ]
+        df = dfs[0].unionByName(dfs[1])
+        sk = sketches.kmv_sketch(df, ["grp"], "v", k=256, hash_fn=hash_fn)
+        row = sketches.kmv_jaccard_pairs(sk, "grp", k=256).collect()[0]
+        assert abs(row["jaccard_fix"] / 1e6 - 0.2) < 0.125, (hash_fn, row)
+
+    @pytest.mark.parametrize("hash_fn", ["hash60", "xxh64"])
+    def test_cms_never_underestimates_both_hashes(self, spark, hash_fn):
+        counts = {f"t{i}": (i + 1) * 3 for i in range(30)}
+        dfs = [
+            spark.range(n).select(F.lit(v).alias("v")) for v, n in counts.items()
+        ]
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
+        grid = sketches.cms_sketch(df, [], "v", hash_fn=hash_fn)
+        probes = df.select("v").distinct()
+        est = {
+            r["v"]: r["cms_est"]
+            for r in sketches.cms_estimate(
+                grid, probes, "v", hash_fn=hash_fn
+            ).collect()
+        }
+        for v, n in counts.items():
+            assert est[v] >= n, (hash_fn, v)
+
+    def test_xxh60_domain_is_60_bit_nonnegative(self, spark):
+        from extended_rabitq_spark.functions import text as T
+
+        rows = (
+            spark.range(5000)
+            .select(F.expr(T.xxh60("CAST(id AS STRING)")).alias("h"))
+            .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+            .collect()[0]
+        )
+        assert rows["lo"] >= 0
+        assert rows["hi"] < 1 << 60
