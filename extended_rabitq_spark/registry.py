@@ -97,7 +97,6 @@ _DEMOTED = [
     "gopher_quality_filter",
     # (dedup_spans and training_shard_export left this list in the r5
     # rotation — they are now _PROMOTED for first-time driver checks)
-    "tfidf_top_terms",
     "source_divergence",
     "quality_classifier_score",  # rows-only (r5: learned LR weights are
                                  # not SQL-expressible; planted-corpus
@@ -109,20 +108,12 @@ _DEMOTED = [
     "dedup_cluster_sizes",   # curation report over dedup_components'
                              # labels (that query stays checked); two
                              # extra partial-agg shuffles only
-    "events_rate_anomaly",   # robust-baseline spike detection — the
-                             # framed-window family is checked via
-                             # events_moving_avg's ROWS-frame shape
-                             # (events_lead_lag inside the window)
     "knn_cosine_rabitq",     # accelerated twin sharing knn_cosine's
                              # oracle (lossless at full probes + exact
                              # rerank on the cosine-metric index)
     "knn_ip_rabitq",         # accelerated twin sharing knn_ip's oracle
                              # (MIPS-reduction index, same lossless
                              # full-probe + rerank argument)
-    "maxsim_label_topk",     # multi-vector late-interaction scoring —
-                             # the similarity-search family already has
-                             # three checked reps (knn_exact/knn_cosine/
-                             # doc_similarity); cap-free replica covers it
     "split_train_val",       # hash-fraction sampling family keeps its
                              # checked rep via stratified_sample (the
                              # per-stratum generalization of the same
@@ -202,11 +193,6 @@ _DEMOTED = [
                              # FAISS IndexPQ family): same rationale;
                              # label-mean codebooks = deterministic
                              # oracle twin of per-subspace k-means
-    "knn_hamming",           # NEW r6 (1-bit sign Hamming top-k — the
-                             # B=1 end of the RaBitQ spectrum, integer
-                             # distances end-to-end): out-of-window,
-                             # window pinned; parity replica + packed-
-                             # twin equivalence tests
     "knn_binary_rerank",     # NEW r6 (Hamming estimate → exact fp32
                              # rerank, the E1→E3 shape over 1-bit
                              # codes): same rationale
@@ -214,23 +200,10 @@ _DEMOTED = [
                              # probes, the FAISS IndexIVFPQ family):
                              # same rationale; octant-mean residual
                              # codebooks = deterministic oracle twin
-    "dsir_select",           # NEW r6 (DSIR importance resampling —
-                             # Gumbel-top-N over fixed-point micro-nat
-                             # importance weights): out-of-window,
-                             # window pinned; sampling family keeps
-                             # stratified_sample/corpus_mixture_sample
-    "semdedup",              # NEW r6 (cluster-scoped semantic dedup,
-                             # Abbas et al. 2023): same rationale; the
-                             # embedding-dedup family keeps
-                             # dedup_embedding_ann checked
     "knn_opq_adc",           # NEW r6 (OPQ learned rotation + PQ ADC):
                              # rows-only by nature (numpy Procrustes
                              # training); would burn a checked slot on
                              # a guaranteed no_oracle row
-    "retrieval_eval_hamming",  # NEW r6 (hit/MRR/nDCG ranker grading in
-                             # fixed point): out-of-window, window
-                             # pinned; metric-join family keeps
-                             # ivf_recall checked
     "weighted_sample_aes",   # NEW r6 (Efraimidis-Spirakis one-pass
                              # weighted sampling w/o replacement):
                              # out-of-window, window pinned; sampling
@@ -281,6 +254,32 @@ _DEMOTED = [
     "cms_token_freq",        # NEW r6 (count-min frequency sketch graded
                              # against exact heavy hitters): same
                              # rationale; pure-integer output
+    # --- round-7 window ROTATION (VERDICT r6 item 1: widen to 10 swaps) --
+    # Same mechanism as r5/r6: each rotated-out entry has >=3 green
+    # driver rounds, keeps a checked family representative in-window,
+    # and stays verified by the cap-free parity replica.  All ten
+    # rotated-IN entries (see _PROMOTED) were pre-verified bit-exact
+    # through the pandas canonicalization path at flip time
+    # (COVERAGE.md "Checked-window manifest (round 7)").
+    "events_windowed",       # green r1,r3-r6; events family keeps
+                             # asof_state/lead_lag/attribution/
+                             # salted_cohort + incoming rate_anomaly
+    "events_sessions",       # green r3-r6; same family reps
+    "events_funnel",         # green r2-r6; same family reps
+    "events_json_props",     # green r3-r6; JSON-extraction shape also
+                             # exercised inside events_attribution's
+                             # props parsing
+    "events_pivot",          # green r3-r6; grouped-pivot family keeps
+                             # events_attribution (same agg-matrix shape)
+    "multimodal_meta",       # green r1-r6; multimodal_frames stays
+    "ivf_probes",            # green r1-r6; knn_ivf composes the same
+                             # select_probes (W1) and stays, ivf_recall
+                             # keeps the metric join
+    "ivf_assign",            # green r1-r6; J2 family rep stays via
+                             # ivf_centroids + knn_ivf's probe-assign
+    "dedup_exact",           # green r1-r6; five dedup reps remain
+    "knn_cosine",            # green r1-r6; similarity family keeps
+                             # knn_exact + incoming maxsim/knn_hamming
 ]
 
 # Promoted to the head of the registration order so they land inside the
@@ -312,6 +311,21 @@ _PROMOTED = [
                              # integer GT hit counts at the pinned
                              # (B=4, nprobe, k, seed) operating point
                              # vs a committed expected table
+    # round-7 rotation: ten first-time driver checks (VERDICT r6 item 1 —
+    # r7 manifest + r8 pool, all pre-verified bit-exact through the
+    # pandas canonicalization path at flip time, COVERAGE.md).
+    "tpch_q10",              # returned-item star join
+    "tpch_q2",               # correlated-min subquery over 5-table join
+    "tpch_q22",              # anti-join + scalar-avg subquery
+    "maxsim_label_topk",     # ColBERT-style multi-vector late interaction
+    "tfidf_top_terms",       # per-group tf-idf relevance
+    "events_rate_anomaly",   # trailing-median spike detection
+    "knn_hamming",           # integer Hamming top-k (B=1 end of the
+                             # RaBitQ spectrum — most hash-robust
+                             # approximate row)
+    "retrieval_eval_hamming",  # fixed-point hit/MRR/nDCG ranker grading
+    "dsir_select",           # Gumbel-top-N fixed-point selection
+    "semdedup",              # cluster-scoped semantic dedup (Abbas 2023)
 ]
 
 

@@ -16,13 +16,14 @@ CHECK_WINDOW = 50
 # ivf_recall).
 MUST_BE_CHECKED = [
     "knn_exact",            # J1/P8 exact KNN
-    "knn_ivf",              # J3 probe join
-    "ivf_centroids",        # A2
-    "ivf_probes",           # W1
+    "knn_ivf",              # J3 probe join (composes the W1
+                            # select_probes that ivf_probes directly
+                            # checked r1-r6, rotated out r7)
+    "ivf_centroids",        # A2 (J2 assign family rep after ivf_assign
+                            # rotated out r7)
     "ivf_recall",           # J4 (+ metric-join family rep after r5
                             # rotated ivf_ratio out)
     "query_quantize_uniform",  # P6
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
     "dedup_ngram_jaccard",
@@ -39,15 +40,9 @@ MUST_BE_CHECKED = [
     "text_fingerprint",
     "corpus_stats_cube",     # grouping sets (strict superset of
                              # corpus_stats, rotated out r5)
-    "multimodal_meta",
     "multimodal_frames",
-    "events_windowed",
-    "events_sessions",
     "events_asof_state",
     "events_attribution",
-    "events_funnel",
-    "events_pivot",
-    "events_json_props",
     "events_lead_lag",
     "pipeline_clean_corpus",
     "tpch_q1",               # relational OLAP / DECIMAL-internal agg
@@ -75,6 +70,21 @@ MUST_BE_CHECKED = [
     # doc_similarity rotated out in exchange (green r1-r5, similarity
     # family keeps knn_exact/knn_cosine in-window).
     "rabitq_recall_counts",
+    # r7 rotation (VERDICT r6 item 1: 10 swaps — r7 manifest + r8 pool).
+    # Rotated out in exchange (each >=3 green driver rounds, family rep
+    # retained above): events_windowed, events_sessions, events_funnel,
+    # events_json_props, events_pivot, multimodal_meta, ivf_probes,
+    # ivf_assign, dedup_exact, knn_cosine.
+    "tpch_q10",
+    "tpch_q2",
+    "tpch_q22",
+    "maxsim_label_topk",
+    "tfidf_top_terms",
+    "events_rate_anomaly",
+    "knn_hamming",
+    "retrieval_eval_hamming",
+    "dsir_select",
+    "semdedup",
 ]
 
 
