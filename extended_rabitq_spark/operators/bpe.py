@@ -50,6 +50,56 @@ def word_frequencies(docs: DataFrame, text: str = "text", top_words: int = 50_00
     return {r.w: r.c for r in wc.collect()}
 
 
+def word_frequencies_two_stage(
+    docs: DataFrame,
+    text: str = "text",
+    top_words: int = 50_000,
+    n_buckets: int = 64,
+):
+    """EXACT top-``top_words`` word frequencies without a single global
+    ``orderBy().limit()`` over all distinct words (VERDICT r6 item 7).
+
+    The single-stage form compiles to TakeOrderedAndProject — per-
+    partition top-K heaps merged AT THE DRIVER, so the driver merge
+    volume is shuffle_partitions × top_words rows.  Fine at 32
+    partitions; at a 10k-partition 100 TB vocabulary pass that is
+    500M rows through one process.  Two-stage fix:
+
+    1. exact word counts (same partial-agg groupBy);
+    2. DISTRIBUTED pre-cut: hash words into ``n_buckets`` salt buckets
+       and keep each bucket's local top-``top_words`` via a rank window
+       (partial WindowGroupLimit — map-side pre-cut before the bucket
+       shuffle).  **Superset theorem**: any word in the GLOBAL top-K
+       ranks ≤ K inside its own bucket (ranks only shrink when
+       restricted to a subset), so the candidate table — at most
+       n_buckets · top_words rows — provably contains the global top-K;
+    3. the final orderBy+limit runs over the bounded candidate table,
+       so the driver merge is ≤ partitions · K over a tiny input.
+
+    Same deterministic (count DESC, word ASC) order everywhere ⇒ the
+    result dict is IDENTICAL to ``word_frequencies`` (asserted in
+    tests/test_bpe.py), not merely a superset."""
+    from pyspark.sql import Window
+
+    wc = (
+        docs.select(F.explode(F.expr(T.tokens(text))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    # xxhash64 (JVM, cheap) is fine here: bucketing only balances the
+    # pre-cut, it never affects WHICH words win — no portability need.
+    bucketed = wc.withColumn("b", F.pmod(F.xxhash64("w"), F.lit(n_buckets)))
+    win = Window.partitionBy("b").orderBy(F.col("c").desc(), F.col("w").asc())
+    cand = (
+        bucketed.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= top_words)
+        .select("w", "c")
+    )
+    top = cand.orderBy(F.col("c").desc(), F.col("w").asc()).limit(top_words)
+    return {r.w: r.c for r in top.collect()}
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int,
