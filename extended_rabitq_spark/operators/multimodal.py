@@ -61,9 +61,10 @@ register_decoder("fake", _fake_decode)
 # Real pure-stdlib codecs (round 5): PNG/PPM/PGM/BMP images and PCM WAV
 # audio decode with zlib/struct only — no PIL/ffmpeg needed — so these
 # kinds run the full surface (extract_features, perceptual_hash,
-# phash_pairs, decode_frames) un-stubbed.  Baseline JPEG joined in r6
-# (decode_jpeg); progressive JPEG and video still raise through the
-# seam.
+# phash_pairs, decode_frames) un-stubbed.  Baseline JPEG joined in r6,
+# progressive JPEG (spectral selection + successive approximation) in
+# r7 (decode_jpeg); arithmetic-coded JPEG and video still raise through
+# the seam.
 from ..sources import codecs as _codecs  # noqa: E402  (registry wiring)
 
 register_decoder("png", _codecs.decode_png)

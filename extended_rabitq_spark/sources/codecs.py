@@ -19,19 +19,21 @@ perceptual_hash, phash_pairs, decode_frames) un-stubbed end-to-end:
   any channel count; samples rescaled to [0, 256) so the downstream
   histogram features (range=(0, 256)) bin identically to pixels.
 - **JPEG** (``decode_jpeg``): baseline/extended sequential DCT
-  (SOF0/SOF1), 8-bit, Huffman-coded, any integer-ratio subsampling
-  (4:4:4 / 4:2:0 / 4:2:2 / grayscale), restart markers — the dominant
-  real-world corpus image format.  Marker parse + entropy decode in
-  Python, dequantize/iDCT/color as numpy matmuls.
+  (SOF0/SOF1) AND progressive DCT (SOF2, full spectral selection +
+  successive approximation with EOB-run coding), 8-bit, Huffman-coded,
+  any integer-ratio subsampling (4:4:4 / 4:2:0 / 4:2:2 / grayscale),
+  restart markers — the dominant real-world corpus image format.
+  Marker parse + entropy decode in Python into a per-component
+  coefficient store; dequantize/iDCT/color as batched numpy einsums.
 
 Every decoder returns a numpy array with values in [0, 256): images
 as (H, W) grayscale or (H, W, C), audio as (n_samples,) mono or
 (n_samples, n_channels) — the shapes ``extract_features`` (ravel +
 histogram) and ``perceptual_hash`` (block-average to 8×8) accept.
 
-Progressive/arithmetic JPEG and video containers still raise through
-the registry seam; the registry call shape is identical when a codec
-for those becomes available.
+Arithmetic-coded/lossless/hierarchical JPEG and video containers
+still raise through the registry seam; the registry call shape is
+identical when a codec for those becomes available.
 
 These run INSIDE Arrow ``mapInPandas`` batches — per-blob decode is
 plain numpy, no Spark objects — so the same function serves any
@@ -249,9 +251,11 @@ def decode_wav(data: bytes) -> np.ndarray:
 # marker parse, DQT/DHT tables, Huffman entropy decode (bit-serial over
 # un-stuffed segments), dequantize, 8x8 iDCT as two numpy matmuls,
 # chroma upsample, YCbCr->RGB.  Covers SOF0/SOF1 (baseline/extended
-# sequential, 8-bit) with any integer-ratio subsampling (4:4:4, 4:2:0,
-# 4:2:2, grayscale) and restart markers.  Progressive (SOF2), arithmetic
-# coding, 12-bit, and CMYK raise honestly through the seam.
+# sequential, 8-bit) AND SOF2 (progressive: spectral selection +
+# successive approximation, T.81 Annex G) with any integer-ratio
+# subsampling (4:4:4, 4:2:0, 4:2:2, grayscale) and restart markers.
+# Arithmetic coding, lossless/hierarchical modes, 12-bit, and CMYK
+# raise honestly through the seam.
 # ---------------------------------------------------------------------------
 
 def _jpeg_zigzag() -> np.ndarray:
@@ -361,24 +365,36 @@ def _jpeg_unstuff_scan(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0/SOF1) JPEG → (H, W) gray or (H, W, 3) RGB
-    uint8.  Progressive / arithmetic / 12-bit / CMYK raise ValueError."""
+    """Decode a Huffman-coded 8-bit JPEG → (H, W) gray or (H, W, 3) RGB
+    uint8.
+
+    Covers baseline/extended sequential (SOF0/SOF1) AND progressive
+    (SOF2) with full spectral selection + successive approximation
+    (T.81 Annex G): every scan entropy-decodes into a per-component
+    zigzag coefficient store; reconstruction (dequantize, batched iDCT,
+    upsample, color) runs ONCE after the last scan.  Arithmetic coding
+    (SOF9-SOF11/SOF13-SOF15), lossless (SOF3/SOF7), hierarchical
+    (SOF5/SOF6/SOF14), 12-bit, and CMYK still raise ValueError through
+    the seam."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("decode_jpeg: bad SOI marker")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    store: dict[int, np.ndarray] = {}  # cid -> (nby, nbx, 64) zigzag coefs
+    eobrun_box = [0]
+    saw_scan = False
     i = 2
     n = len(data)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if data[i] != 0xFF:
             raise ValueError(f"decode_jpeg: marker desync at {i}")
         m = data[i + 1]
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
-        if m == 0xD9:  # EOI before SOS
+        if m == 0xD9:  # EOI
             break
         (seg_len,) = struct.unpack_from(">H", data, i + 2)
         seg = data[i + 4 : i + 2 + seg_len]
@@ -404,7 +420,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = seg[p + 17 : p + 17 + nv]
                 huff[(tc, th)] = _jpeg_huff_table(counts, vals)
                 p += 17 + nv
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1: baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"decode_jpeg: only 8-bit precision (got {prec})")
@@ -412,16 +428,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (h, w, comps, m == 0xC2)
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"decode_jpeg: {nc}-component images unsupported (1 or 3)"
+                )
+            hmax = max(hc for _, hc, _, _ in comps)
+            vmax = max(vc for _, _, vc, _ in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hc, vc, _tq in comps:
+                store[cid] = np.zeros((mcuy * vc, mcux * hc, 64), dtype=np.int32)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"decode_jpeg: unsupported SOF marker FF{m:02X} "
-                "(only baseline/extended sequential Huffman; progressive "
-                "and arithmetic-coded JPEGs are outside the seam)"
+                "(baseline/extended sequential and progressive Huffman "
+                "only; arithmetic-coded, lossless, and hierarchical "
+                "JPEGs are outside the seam)"
             )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif m == 0xDA:  # SOS — entropy-coded data follows
+        elif m == 0xDA:  # SOS — one entropy-coded scan follows
             if frame is None:
                 raise ValueError("decode_jpeg: SOS before SOF")
             ns = seg[0]
@@ -429,83 +456,229 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_spec.append((cs, tt >> 4, tt & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
             segs, i = _jpeg_unstuff_scan(data, i)
-            return _jpeg_decode_scan(frame, scan_spec, qt, huff, segs,
-                                     restart_interval)
+            _jpeg_scan_pass(
+                store, frame, scan_spec, ss, se, ah, al, huff, segs,
+                restart_interval,
+            )
+            saw_scan = True
         # else: APPn/COM — skipped
-    raise ValueError("decode_jpeg: no SOS marker found")
+    if not saw_scan:
+        raise ValueError("decode_jpeg: no SOS marker found")
+    return _jpeg_reconstruct(frame, store, qt)
 
 
-def _jpeg_decode_scan(frame, scan_spec, qt, huff, segs, restart_interval):
-    h, w, comps = frame
-    if len(comps) not in (1, 3):
-        raise ValueError(
-            f"decode_jpeg: {len(comps)}-component images unsupported (1 or 3)"
-        )
+def _jpeg_scan_pass(
+    store, frame, scan_spec, ss, se, ah, al, huff, segs, restart_interval
+):
+    """Entropy-decode ONE scan into the zigzag coefficient store.
+
+    Sequential frames arrive as one (Ss=0, Se=63, Ah=Al=0) scan per SOS;
+    progressive frames split the spectrum (Ss..Se) and the bit-depth
+    (Ah..Al) across many scans — DC first/refine may be interleaved,
+    AC scans are single-component by spec (T.81 G.1.1.1)."""
+    h, w, comps, progressive = frame
     by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
     hmax = max(hc for _, hc, _, _ in comps)
     vmax = max(vc for _, _, vc, _ in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = {}
-    order = []  # (cid, hc, vc, qtab, dc_table, ac_table)
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+
+    # resolve tables per scan component (only the tables the scan uses)
+    order = []  # (cid, hc, vc, dc_table|None, ac_table|None)
     for cs, td, ta in scan_spec:
         if cs not in by_id:
             raise ValueError(f"decode_jpeg: scan references unknown component {cs}")
-        hc, vc, tq = by_id[cs]
-        if tq not in qt or (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("decode_jpeg: missing quantization/Huffman table")
-        planes[cs] = np.zeros((mcuy * vc * 8, mcux * hc * 8), dtype=np.float64)
-        # dequant table in RASTER order, pre-permuted from zigzag
-        qraster = np.empty(64, dtype=np.float64)
-        qraster[_JPEG_ZZ] = qt[tq]
-        order.append((cs, hc, vc, qraster.reshape(8, 8), huff[(0, td)], huff[(1, ta)]))
+        hc, vc, _tq = by_id[cs]
+        dct = act = None
+        if ss == 0:
+            if ah == 0 and (0, td) not in huff:
+                raise ValueError("decode_jpeg: missing DC Huffman table")
+            dct = huff.get((0, td))
+        if se > 0:
+            if (1, ta) not in huff:
+                raise ValueError("decode_jpeg: missing AC Huffman table")
+            act = huff[(1, ta)]
+        order.append((cs, hc, vc, dct, act))
 
-    mcus_total = mcux * mcuy
-    per_seg = restart_interval if restart_interval else mcus_total
-    mcu = 0
+    interleaved = len(order) > 1
+    if progressive and ss > 0 and interleaved:
+        raise ValueError("decode_jpeg: progressive AC scan must be single-component")
+    if progressive and ss == 0 and se != 0:
+        # T.81 G.1.1.1: progressive DC and AC never share a scan — a
+        # (0, 63) band under SOF2 is a corrupt/relabeled stream
+        raise ValueError("decode_jpeg: invalid progressive scan band (Ss=0, Se!=0)")
+
+    # walk units: MCUs when interleaved, the component's own block grid
+    # when single-component (T.81 A.2.2: non-interleaved order)
+    if interleaved:
+        units_total = mcux * mcuy
+    else:
+        cs, hc, vc, _dct, _act = order[0]
+        cw = -(-w * hc // hmax)
+        ch = -(-h * vc // vmax)
+        nbx_c = -(-cw // 8)
+        nby_c = -(-ch // 8)
+        units_total = nbx_c * nby_c
+
+    per_seg = restart_interval if restart_interval else units_total
+    unit = 0
     for seg in segs:
-        if mcu >= mcus_total:
+        if unit >= units_total:
             break
         bits = _JpegBits(seg)
         dc_pred = {cs: 0 for cs, *_ in order}
-        for _ in range(min(per_seg, mcus_total - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for cs, hc, vc, qtab, dct, act in order:
-                plane = planes[cs]
-                for by in range(vc):
-                    for bx in range(hc):
-                        coef = np.zeros(64, dtype=np.float64)
-                        s = _jpeg_huff_decode(bits, dct)
-                        diff = _jpeg_extend(bits.read(s), s)
-                        dc_pred[cs] += diff
-                        coef[0] = dc_pred[cs]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huff_decode(bits, act)
-                            r, sz = rs >> 4, rs & 15
-                            if sz == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "decode_jpeg: coefficient index overrun"
-                                )
-                            coef[_JPEG_ZZ[k]] = _jpeg_extend(bits.read(sz), sz)
-                            k += 1
-                        block = coef.reshape(8, 8) * qtab
-                        px = _DCT_A.T @ block @ _DCT_A + 128.0
-                        y0 = (my * vc + by) * 8
-                        x0 = (mx * hc + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu += 1
+        eobrun = 0
+        for _ in range(min(per_seg, units_total - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for cs, hc, vc, dct, act in order:
+                    plane = store[cs]
+                    for by in range(vc):
+                        for bx in range(hc):
+                            blk = plane[my * vc + by, mx * hc + bx]
+                            eobrun = _jpeg_block_pass(
+                                bits, blk, ss, se, ah, al, dct, act,
+                                dc_pred, cs, eobrun, progressive,
+                            )
+            else:
+                cs, hc, vc, dct, act = order[0]
+                by, bx = divmod(unit, nbx_c)
+                blk = store[cs][by, bx]
+                eobrun = _jpeg_block_pass(
+                    bits, blk, ss, se, ah, al, dct, act,
+                    dc_pred, cs, eobrun, progressive,
+                )
+            unit += 1
 
+
+def _jpeg_block_pass(
+    bits, blk, ss, se, ah, al, dct, act, dc_pred, cs, eobrun, progressive
+):
+    """Decode one 8×8 block's slice of the current scan into ``blk``
+    (zigzag-order int32 view).  Returns the updated EOB run counter."""
+    if not progressive:
+        # sequential: DC diff + full AC run-length, one pass
+        s = _jpeg_huff_decode(bits, dct)
+        dc_pred[cs] += _jpeg_extend(bits.read(s), s)
+        blk[0] = dc_pred[cs]
+        k = 1
+        while k < 64:
+            rs = _jpeg_huff_decode(bits, act)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("decode_jpeg: coefficient index overrun")
+            blk[k] = _jpeg_extend(bits.read(sz), sz)
+            k += 1
+        return 0
+
+    if ss == 0:  # DC scan (Se must be 0)
+        if ah == 0:  # first pass: diff-coded, shifted by Al
+            s = _jpeg_huff_decode(bits, dct)
+            dc_pred[cs] += _jpeg_extend(bits.read(s), s)
+            blk[0] = dc_pred[cs] << al
+        else:  # refinement: one raw bit appends precision
+            if bits.read(1):
+                blk[0] = int(blk[0]) | (1 << al)
+        return 0
+
+    if ah == 0:  # AC first pass for this band: run-length + EOBRUN
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _jpeg_huff_decode(bits, act)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # this block included
+                if r:
+                    eobrun += bits.read(r)
+                return eobrun
+            k += r
+            if k > se:
+                raise ValueError("decode_jpeg: AC band index overrun")
+            blk[k] = _jpeg_extend(bits.read(sz), sz) << al
+            k += 1
+        return 0
+
+    # AC refinement (T.81 G.1.2.3 / the libjpeg decode_mcu_AC_refine
+    # structure): each history coefficient gets a correction bit; new
+    # coefficients arrive as ±1<<Al after their zero-history run.
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(bits, act)
+            r, sz = rs >> 4, rs & 15
+            val = 0
+            if sz:
+                # spec: size must be 1 in a refinement scan
+                val = p1 if bits.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r  # this block's tail included below
+                if r:
+                    eobrun += bits.read(r)
+                break
+            # advance over r zero-history coefficients, applying
+            # correction bits to nonzero-history ones along the way
+            while k <= se:
+                c = int(blk[k])
+                if c:
+                    if bits.read(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c:
+                if bits.read(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_reconstruct(frame, store, qt):
+    """Coefficient store → pixels: dequantize + batched iDCT (one einsum
+    per component, no per-block Python loop), crop, nearest-upsample,
+    YCbCr→RGB."""
+    h, w, comps, _progressive = frame
+    hmax = max(hc for _, hc, _, _ in comps)
+    vmax = max(vc for _, _, vc, _ in comps)
     out_planes = []
-    for cid, hc, vc, _tq in comps:
-        p = planes[cid]
+    for cid, hc, vc, tq in comps:
+        if tq not in qt:
+            raise ValueError("decode_jpeg: missing quantization table")
+        zz = store[cid]  # (nby, nbx, 64) zigzag order
+        nby, nbx = zz.shape[:2]
+        deq = zz.astype(np.float64) * qt[tq].astype(np.float64)[None, None, :]
+        rast = np.zeros_like(deq)
+        rast[..., _JPEG_ZZ] = deq
+        blocks = rast.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _DCT_A.T, blocks, _DCT_A) + 128.0
+        p = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         # crop to the component's true resolution, then nearest upsample
         ch = -(-h * vc // vmax) if vc != vmax else h
         cw = -(-w * hc // hmax) if hc != hmax else w
