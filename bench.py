@@ -67,10 +67,98 @@ EXTRA_QUERIES = [
 ]
 
 
+# Extras promoted onto the FINAL parseable JSON line (VERDICT r6 item 2b):
+# the driver's tail capture keeps ~2 KB, and r6 lost the QPS/recall/build
+# headline extras when the fat extras line overflowed at the head.  These
+# ride inside the final line's "extras" dict; everything else (warm/cold
+# tails, per-query extras) spills to earlier lines.
+HEADLINE_EXTRAS = [
+    "index_build_sec",
+    "rabitq_qps_np3",
+    "rabitq_qps_np6",
+    "rabitq_recall_np3",
+    "rabitq_recall_np6",
+    "rabitq_qps_np6_fullbatch_warm",
+    "rabitq_fullbatch_nq",
+    "sweep_np3_np6_sec",
+    "tpch_suite_sec",
+    "tpch_suite_n",
+]
+
+
+def tpch_suite_child() -> None:
+    """Run ONLY the 22-query TPC-H suite and print one JSON line.
+
+    Invoked by main() as ``python bench.py --tpch-suite-only`` in a fresh
+    OS process: ``recycle_session()`` restarts the SparkSession but the
+    py4j JVM survives within the Python process, so its heap/GC history
+    accumulates — r6's driver artifact showed tpch_suite at 26.2s in the
+    accumulated JVM vs 16.8s isolated (VERDICT r6 watch item 1).  A child
+    process is the only way to a genuinely cold JVM."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+
+    from extended_rabitq_spark.session import get_spark
+
+    spark = get_spark("exrabitq-bench-tpch", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    # Cache the five dimension tables once for the suite (VERDICT r4
+    # item 5): Catalyst's CacheManager substitutes the InMemoryRelation
+    # into each query's identical scan — the "dims live in cluster
+    # memory" warehouse posture.  Fact tables are NOT cached: at 100 TB
+    # they never fit, and caching them fakes the scan cost measured.
+    dims = [
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").cache()
+        for t in ("region", "nation", "customer", "supplier", "part")
+    ]
+    for d in dims:
+        d.count()
+    names = sorted(n for n in qmap if n.startswith("tpch_q"))
+    t0 = time.perf_counter()
+    ok = 0
+    for name in names:
+        try:
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ok += 1
+        except Exception as exc:  # pragma: no cover - bench resilience
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+    wall = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"tpch_suite_sec": wall, "tpch_suite_n": ok}))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # ---- extras: the full relational catalogue (all 22 TPC-H shapes),
+    # in a FRESH OS PROCESS and FIRST (VERDICT r6 item 2a): a genuinely
+    # cold JVM, before this process accumulates any heap history, so the
+    # number is comparable round-over-round and to isolated runs.
+    extras: dict[str, float] = {}
+    import subprocess
+
+    try:
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tpch-suite-only"],
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_TPCH_TIMEOUT", "900")),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(child.stderr[-2000:])
+        parsed = json.loads(child.stdout.strip().splitlines()[-1])
+        extras["tpch_suite_sec"] = parsed["tpch_suite_sec"]
+        extras["tpch_suite_n"] = parsed["tpch_suite_n"]
+    except Exception as exc:
+        print(f"bench: tpch suite child failed: {exc}", file=sys.stderr)
+        extras["tpch_suite_sec"] = -1.0
+        extras["tpch_suite_n"] = 0
 
     from pyspark.sql import functions as F
 
@@ -85,7 +173,6 @@ def main() -> None:
     from extended_rabitq_spark.tables import NQ
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
     total = 0.0
 
     def run_full(df) -> None:
@@ -358,6 +445,41 @@ def main() -> None:
                 extras[f"{name}_warm_sec"] = -1.0
                 ensure_alive()
 
+    # Production-hash HLL (xxh64) vs the md5-based oracle row timed in
+    # EXTRA_QUERIES above — same plan, same input, different value hash
+    # (VERDICT r6 item 3: md5 was the measured per-shingle hot loop).
+    try:
+        from extended_rabitq_spark.queries.text import (
+            hll_distinct_shingles_production,
+        )
+
+        t0 = time.perf_counter()
+        run_full(hll_distinct_shingles_production(spark, sf_dir))
+        extras["hll_shingles_xxh64_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        print(f"bench: hll xxh64 failed: {exc}", file=sys.stderr)
+        extras["hll_shingles_xxh64_sec"] = -1.0
+        ensure_alive()
+
+    # BPE apply throughput (VERDICT r6 item 7): train once (untimed, the
+    # bounded-collect protocol), then time the broadcast-ranks Arrow
+    # tokenize pass — the map-only stage that scales with corpus size.
+    try:
+        from extended_rabitq_spark.operators import bpe as bpe_ops
+
+        docs_bpe = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges = bpe_ops.train_bpe(docs_bpe, n_merges=200)
+        t0 = time.perf_counter()
+        tokenized = bpe_ops.bpe_tokenize(docs_bpe, merges).select("doc_id", "n_tokens")
+        n_tok = tokenized.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        dt = time.perf_counter() - t0
+        extras["bpe_tokenize_sec"] = round(dt, 3)
+        extras["bpe_tokens_per_sec"] = round(n_tok / dt, 1)
+    except Exception as exc:
+        print(f"bench: bpe tokenize failed: {exc}", file=sys.stderr)
+        extras["bpe_tokenize_sec"] = -1.0
+        ensure_alive()
+
     # Production-mode ANN dedup (nprobe-limited, the 100 TB configuration)
     # alongside the lossless full-probe spec point timed above.
     try:
@@ -371,40 +493,6 @@ def main() -> None:
         print(f"bench: ann np4 failed: {exc}", file=sys.stderr)
         extras["dedup_embedding_ann_np4_sec"] = -1.0
         ensure_alive()
-
-    # ---- extras: the full relational catalogue (all 22 TPC-H shapes) ----
-    recycle_session()  # fresh JVM for the suite (same isolation rationale)
-    # Cache the five dimension tables once for the suite (VERDICT r4
-    # item 5): every query re-reads its dims from parquet otherwise.
-    # Catalyst's CacheManager substitutes the cached InMemoryRelation
-    # into each query's identical scan plan, so the query code stays
-    # unchanged — this is the same "dims live in cluster memory" posture
-    # a 1000-executor warehouse would run with.  The fact tables
-    # (lineitem, orders) are NOT cached: at 100 TB they never fit, and
-    # caching them here would fake the scan cost the suite is measuring.
-    dim_cache = [
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").cache()
-        for t in ("region", "nation", "customer", "supplier", "part")
-    ]
-    for d in dim_cache:
-        d.count()
-    tpch_names = sorted(n for n in qmap if n.startswith("tpch_q"))
-    t0 = time.perf_counter()
-    tpch_ok = 0
-    for name in tpch_names:
-        try:
-            run_full(qmap[name](spark, sf_dir))
-            tpch_ok += 1
-        except Exception as exc:
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            ensure_alive()
-    extras["tpch_suite_sec"] = round(time.perf_counter() - t0, 3)
-    extras["tpch_suite_n"] = tpch_ok
-    for d in dim_cache:
-        try:  # ensure_alive may have replaced the session mid-suite;
-            d.unpersist()  # these handles then belong to a stopped context
-        except Exception:
-            pass
 
     # The production (scale=True) composition: stage-3 near-dup prune via
     # the distributed ANN self-join instead of the all-pairs oracle twin.
@@ -485,20 +573,34 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # the ~10 headline extras (QPS/recall/build/tpch) ride ON the
+        # final parseable line (VERDICT r6 item 2b) — r6 lost them when
+        # the long extras line overflowed the driver's tail capture
+        "extras": {k: extras[k] for k in HEADLINE_EXTRAS if k in extras},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver keeps only the LAST ~2 KB of stdout; r5's single fat
     # line got its head truncated there (BENCH_r05 "parsed": null).
-    # Emit extras on their own earlier line and keep the final line —
-    # the one the driver json-parses — compact (VERDICT r5 item 4).
+    # Emit the long extras tail on its own earlier line and keep the
+    # final line — the one the driver json-parses — compact.
     print(json.dumps({f"extra_{k}": v for k, v in extras.items()}))
+    # Full untruncated result on its own earlier line too (ADVICE r6):
+    # if the tail-capture guard below drops query timings from the final
+    # line, nothing is silently lost — this line has them all.
+    print("BENCH_FULL " + json.dumps(out))
     final_line = json.dumps(out)
+    dropped = 0
     while len(final_line) > 1800 and out["queries"]:  # tail-capture guard
         out["queries"].popitem()
+        dropped += 1
+        out["truncated_queries"] = dropped  # consumers can tell it's partial
         final_line = json.dumps(out)
     print(final_line)
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--tpch-suite-only" in sys.argv:
+        tpch_suite_child()
+    else:
+        main()

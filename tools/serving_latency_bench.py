@@ -63,34 +63,52 @@ def main() -> int:
         rabitq.save_index(index_df, cents, meta, a.index)
         print(f"built serving index -> {a.index}")
 
+    # Three serving configurations (VERDICT r6 item 8): the baseline
+    # two-jobs-per-batch loop, the single-job fold (query count folded
+    # into the search-result aggregation), and single-job with AQE off
+    # (no runtime re-planning barriers for tiny fixed micro-batches).
+    # The p50 gap between configs measures the job floor directly.
+    configs = [
+        ("baseline", dict(single_job=False, conf=None)),
+        ("single_job", dict(single_job=True, conf=None)),
+        ("single_job_aqe_off",
+         dict(single_job=True,
+              conf={"spark.sql.adaptive.enabled": "false"})),
+    ]
     rows = []
-    for rate in [int(r) for r in a.rates.split(",")]:
-        stats = serve_latency_benchmark(
-            spark, a.index, rows_per_batch=rate,
-            n_batches=a.warmup + a.batches, nprobe=a.nprobe, k=a.k,
-            timeout_sec=600.0,
-        )
-        measured = stats[a.warmup:]
-        if not measured:
-            print(f"rate={rate}: no measured batches (warmup never "
-                  "completed)", file=sys.stderr)
-            continue
-        lats = sorted(s["latency_sec"] for s in measured)
-        p50 = lats[len(lats) // 2]
-        p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
-        total_q = sum(s["n_queries"] for s in measured)
-        total_t = sum(s["latency_sec"] for s in measured)
-        qps = total_q / total_t
-        rows.append((rate, len(measured), p50, p99, qps))
-        print(f"rate={rate}/batch: n={len(measured)} p50={p50:.3f}s "
-              f"p99={p99:.3f}s throughput={qps:.1f} qps")
+    for cfg_name, kw in configs:
+        for rate in [int(r) for r in a.rates.split(",")]:
+            stats = serve_latency_benchmark(
+                spark, a.index, rows_per_batch=rate,
+                n_batches=a.warmup + a.batches, nprobe=a.nprobe, k=a.k,
+                timeout_sec=600.0, **kw,
+            )
+            measured = stats[a.warmup:]
+            if not measured:
+                print(f"config={cfg_name} rate={rate}: no measured "
+                      "batches (warmup never completed)", file=sys.stderr)
+                continue
+            lats = sorted(s["latency_sec"] for s in measured)
+            p50 = lats[len(lats) // 2]
+            p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+            total_q = sum(s["n_queries"] for s in measured)
+            total_t = sum(s["latency_sec"] for s in measured)
+            qps = total_q / total_t
+            rows.append((cfg_name, rate, len(measured), p50, p99, qps))
+            print(f"config={cfg_name} rate={rate}/batch: "
+                  f"n={len(measured)} p50={p50:.3f}s "
+                  f"p99={p99:.3f}s throughput={qps:.1f} qps")
 
     os.makedirs(a.results_dir, exist_ok=True)
     out = f"{a.results_dir}/serving_latency.csv"
     with open(out, "w") as fh:
-        fh.write("rows_per_batch,n_batches,p50_sec,p99_sec,throughput_qps\n")
-        for rate, nb, p50, p99, qps in rows:
-            fh.write(f"{rate},{nb},{p50:.4f},{p99:.4f},{qps:.2f}\n")
+        fh.write(
+            "config,rows_per_batch,n_batches,p50_sec,p99_sec,"
+            "throughput_qps\n"
+        )
+        for cfg_name, rate, nb, p50, p99, qps in rows:
+            fh.write(f"{cfg_name},{rate},{nb},{p50:.4f},{p99:.4f},"
+                     f"{qps:.2f}\n")
     print(f"wrote {out}")
     spark.stop()
     return 0
