@@ -8,10 +8,10 @@ PPM / WAV columns runs the full multimodal surface (extract_features,
 perceptual_hash, phash_pairs, decode_frames) un-stubbed end-to-end:
 
 - **PNG** (``decode_png``): 8-bit depth, color types 0 (gray),
-  2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
-  the overwhelming majority of real PNGs.  zlib inflate + the five
-  scanline filters (None/Sub/Up/Average/Paeth) unfiltered row-by-row
-  in numpy.
+  2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced AND
+  Adam7-interlaced.  zlib inflate + the five scanline filters
+  (None/Sub/Up/Average/Paeth) unfiltered row-by-row in numpy; Adam7
+  unfilters each of the 7 passes as its own sub-image and scatters.
 - **PPM/PGM** (``decode_pnm``): binary P5/P6, 8-bit maxval.
 - **BMP** (``decode_bmp``): uncompressed (BI_RGB) 24/32-bit,
   bottom-up or top-down.
@@ -90,24 +90,62 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("decode_png: missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"decode_png: unsupported PNG (depth={depth}, compression={comp}, "
-            f"filter={filt}, interlace={interlace}); only 8-bit non-interlaced"
+            f"filter={filt}, interlace={interlace}); only 8-bit, interlace 0/1"
         )
     if color not in _PNG_CHANNELS:
         raise ValueError(f"decode_png: unsupported color type {color}")
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        sub = _png_unfilter(raw, 0, h, w, ch)
+        if sub is None or len(raw) != h * (w * ch + 1):
+            raise ValueError("decode_png: decompressed size mismatch")
+        img = sub.reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = _png_unfilter(raw, off, ph, pw, ch)
+            if sub is None:
+                raise ValueError("decode_png: truncated interlaced data")
+            off += ph * (pw * ch + 1)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError("decode_png: decompressed size mismatch")
+    if color == 3:
+        if palette is None:
+            raise ValueError("decode_png: palette image without PLTE")
+        img = palette[img[:, :, 0]]
+    return img[:, :, 0] if img.shape[2] == 1 else img
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, w: int, ch: int):
+    """Unfilter ``h`` scanlines of a (sub-)image starting at ``off`` in
+    the inflated stream; returns (h, w*ch) uint8 or None if truncated."""
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("decode_png: decompressed size mismatch")
+    if off + h * (stride + 1) > len(raw):
+        return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
+        base = off + y * (stride + 1)
+        ftype = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).copy()
         if ftype == 0:  # None
             cur = line
@@ -133,12 +171,7 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"decode_png: bad filter type {ftype} on row {y}")
         out[y] = cur
         prev = cur
-    img = out.reshape(h, w, ch)
-    if color == 3:
-        if palette is None:
-            raise ValueError("decode_png: palette image without PLTE")
-        img = palette[img[:, :, 0]]
-    return img[:, :, 0] if img.shape[2] == 1 else img
+    return out
 
 
 def _pnm_tokens(data: bytes, n: int) -> tuple[list[int], int]:

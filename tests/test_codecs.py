@@ -76,6 +76,42 @@ def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
     )
 
 
+def encode_png_adam7(img: np.ndarray) -> bytes:
+    """Independent Adam7-interlaced PNG writer: each pass extracted and
+    filtered on its own (mixed filter types), IHDR interlace=1."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(codecs._ADAM7):
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prev = np.zeros(pw * ch, dtype=np.uint8)
+        for y in range(ph):
+            line = sub[y].ravel().astype(np.uint8)
+            f = (pi + y) % 3  # cycle None/Sub/Up filters across rows
+            raw.append(f)
+            if f == 0:
+                enc = line
+            elif f == 1:
+                enc = line.copy()
+                enc[ch:] = line[ch:] - line[:-ch]
+            else:
+                enc = line - prev
+            raw.extend(enc.tobytes())
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
+        codecs._PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_bmp(img: np.ndarray) -> bytes:
     """Minimal 24-bit bottom-up BMP writer."""
     h, w, _ = img.shape
@@ -133,6 +169,33 @@ class TestDecoders:
             + _png_chunk(b"IEND", b"")
         )
         np.testing.assert_array_equal(codecs.decode_png(data), pal[idx])
+
+    @pytest.mark.parametrize("ch", [1, 3, 4])
+    def test_png_adam7_interlaced_roundtrip(self, ch):
+        # non-multiples of 8 in both dims: passes with ragged sub-image
+        # sizes, including empty columns/rows in late passes
+        img = RNG.integers(0, 256, size=(13, 11, ch), dtype=np.uint8).squeeze()
+        got = codecs.decode_png(encode_png_adam7(img))
+        np.testing.assert_array_equal(got, img)
+
+    def test_png_adam7_tiny_images(self):
+        # 1x1 .. 4x4: most Adam7 passes are EMPTY — the scatter must
+        # skip them and sizes must still reconcile exactly
+        for h, w in [(1, 1), (1, 5), (5, 1), (2, 2), (4, 4), (3, 7)]:
+            img = RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            got = codecs.decode_png(encode_png_adam7(img))
+            np.testing.assert_array_equal(got, img)
+
+    def test_png_adam7_palette(self):
+        pal = RNG.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = RNG.integers(0, 16, size=(9, 10), dtype=np.uint8)
+        data = bytearray(encode_png_adam7(idx[:, :, None]))
+        # rewrite color type 0 -> 3 and splice a PLTE chunk in
+        ihdr = struct.pack(">IIBBBBB", 10, 9, 8, 3, 0, 0, 1)
+        out = (codecs._PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", pal.tobytes())
+               + bytes(data[len(codecs._PNG_SIG) + 25:]))
+        np.testing.assert_array_equal(codecs.decode_png(out), pal[idx])
 
     def test_png_rejects_16bit(self):
         ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
