@@ -429,6 +429,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         if m == 0xD9:  # EOI
             break
+        if i + 4 > n:
+            raise ValueError("decode_jpeg: truncated marker segment")
         (seg_len,) = struct.unpack_from(">H", data, i + 2)
         seg = data[i + 4 : i + 2 + seg_len]
         i += 2 + seg_len
