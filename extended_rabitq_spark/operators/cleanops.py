@@ -665,3 +665,123 @@ SELECT grp AS {group},
              / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_c AS DOUBLE)), 6) AS tv_r
 FROM pr
 """
+
+
+# ---------------------------------------------------------------------------
+# N-gram decontamination with SPAN REMOVAL — the GPT-3 appendix-C /
+# PaLM protocol (Brown et al. 2020; Chowdhery et al. 2022): instead of
+# only FLAGGING eval-overlapping documents (contamination_check), find
+# every n-gram collision with the benchmark set and surgically remove
+# the colliding span plus a safety margin, keeping the rest of the
+# document.  Flag-and-drop wastes whole documents over one quoted
+# sentence; span removal keeps the clean 99%.
+# ---------------------------------------------------------------------------
+
+DECON_N = 13          # GPT-3 used 13-gram collisions
+DECON_MARGIN = 20     # tokens removed on each side of a collision
+
+
+def decontaminate_ngrams(
+    docs: DataFrame,
+    benchmark_ids: DataFrame,
+    n: int = DECON_N,
+    margin: int = DECON_MARGIN,
+    id_: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_tokens, n_removed, clean_text) for every
+    NON-benchmark doc: tokens covered by any benchmark n-gram collision
+    (± ``margin`` tokens) are removed; ``clean_text`` is the surviving
+    tokens re-joined (== the normalized text when nothing collides).
+
+    Scale shape: benchmark n-gram hashes are DISTINCT windows of a
+    small doc set → broadcast; the corpus pays one stride-1 window
+    explode (O(tokens)) + one broadcast semi-join; collision positions
+    expand to covered token indexes via ``sequence`` explode — O(hits ×
+    window) rows through a plain (doc_id, i) equi-join, never a range
+    join; reconstruction is one per-doc sort-merge.  Everything is
+    deterministic integer/string work — bitwise cross-engine."""
+    toks = T.tokens(text)
+    wins = (
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) END"
+    )
+    bench = benchmark_ids.select(F.col(id_).alias("doc_id"))
+    w_tab = docs.select(
+        F.col(id_).alias("doc_id"),
+        F.posexplode(F.expr(wins)).alias("i", "win"),
+    ).withColumn("win_h", F.expr(T.hash60("win")))
+    bench_w = (
+        w_tab.join(F.broadcast(bench), on="doc_id", how="left_semi")
+        .select("win_h")
+        .distinct()
+    )
+    corpus_w = w_tab.join(F.broadcast(bench), on="doc_id", how="left_anti")
+    hits = corpus_w.join(F.broadcast(bench_w), on="win_h", how="left_semi")
+    covered = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(greatest(i - {margin}, 0), i + {n - 1 + margin})")
+            ).alias("i"),
+        )
+        .distinct()
+    )
+    tk = (
+        docs.select(F.col(id_).alias("doc_id"), F.col(text))
+        .join(F.broadcast(bench), on="doc_id", how="left_anti")
+        .select("doc_id", F.posexplode(F.expr(toks)).alias("i", "tok"))
+    )
+    tot = tk.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tokens"))
+    kept = tk.join(covered, on=["doc_id", "i"], how="left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(i, tok))), x -> x.tok), ' ')"
+        ).alias("clean_text"),
+    )
+    return (
+        tot.join(clean, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def d_decontaminate_ngrams(
+    bench_pred: str, n: int = DECON_N, margin: int = DECON_MARGIN
+) -> str:
+    """DuckDB oracle for :func:`decontaminate_ngrams` over ``documents``;
+    ``bench_pred`` selects the benchmark rows (e.g. ``doc_id < 5``)."""
+    toks = T.d_tokens("text")
+    return f"""
+WITH tkk AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             array_to_string(toks[u.i + 1 : u.i + {n}], ' ') AS win
+      FROM tkk, unnest(range(0, greatest(len(toks) - {n} + 1, 0))) AS u(i)),
+wh AS (SELECT doc_id, i, {T.d_hash60('win')} AS win_h FROM w),
+bw AS (SELECT DISTINCT win_h FROM wh WHERE {bench_pred}),
+hits AS (SELECT doc_id, i FROM wh
+         WHERE NOT ({bench_pred}) AND win_h IN (SELECT win_h FROM bw)),
+cov AS (SELECT DISTINCT doc_id, CAST(u.i AS BIGINT) AS i
+        FROM hits, unnest(range(greatest(i - {margin}, 0), i + {n + margin})) AS u(i)),
+tk AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, toks[u.i + 1] AS tok
+       FROM tkk, unnest(range(0, len(toks))) AS u(i)
+       WHERE NOT ({bench_pred})),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY doc_id),
+kept AS (SELECT tk.doc_id, tk.i, tk.tok FROM tk
+         ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.i = cov.i),
+cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(tok, ' ' ORDER BY i) AS clean_text
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       CAST(t.n_tokens - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(c.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN cl c USING (doc_id)
+"""

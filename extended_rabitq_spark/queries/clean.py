@@ -91,3 +91,24 @@ def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored, _model = quality_model.self_train_and_score(_docs(spark, sf_dir))
     return scored
+
+
+N_BENCH_DECON = 20  # same fixture benchmark set as contamination_check
+
+
+@register(
+    "decontaminate_ngrams",
+    cleanops.d_decontaminate_ngrams(f"doc_id < {N_BENCH_DECON}"),
+)
+def decontaminate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/PaLM n-gram decontamination with span REMOVAL (n=13,
+    margin=20): contamination_check FLAGS eval overlap; this op CLEANS
+    it — tokens covered by any benchmark 13-gram collision (± margin)
+    are removed and the surviving text re-joined, so one quoted eval
+    sentence no longer costs the whole document.  → (doc_id, n_tokens,
+    n_removed, clean_text) for every non-benchmark doc."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    bench_ids = docs.select("doc_id").where(F.col("doc_id") < N_BENCH_DECON)
+    return cleanops.decontaminate_ngrams(docs, bench_ids)

@@ -254,6 +254,12 @@ _DEMOTED = [
     "cms_token_freq",        # NEW r6 (count-min frequency sketch graded
                              # against exact heavy hitters): same
                              # rationale; pure-integer output
+    "decontaminate_ngrams",  # NEW r7 (GPT-3/PaLM 13-gram span-removal
+                             # decontamination): out-of-window at
+                             # registration — the contamination family
+                             # keeps contamination_check checked;
+                             # bitwise parity at registration, r8/r9
+                             # rotation candidate
     # --- round-7 window ROTATION (VERDICT r6 item 1: widen to 10 swaps) --
     # Same mechanism as r5/r6: each rotated-out entry has >=3 green
     # driver rounds, keeps a checked family representative in-window,

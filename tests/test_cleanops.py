@@ -266,3 +266,73 @@ class TestLmTypicality:
                for r in lm_quality.lm_typicality(docs).collect()}
         assert got[1] == (0, 0) and got[2] == (0, 0)
         assert got[3][0] == 2
+
+
+class TestDecontaminateNgrams:
+    """GPT-3/PaLM-style span-removal decontamination (n-gram collision
+    + margin window)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_clean_doc_passes_through_normalized(self, spark):
+        bench_text = " ".join(f"eval{i}" for i in range(20))
+        doc_text = " ".join(f"word{i}" for i in range(30))
+        df = self._df(spark, [(0, bench_text), (10, "  " + doc_text + "  ")])
+        bench = df.select("doc_id").where("doc_id < 5")
+        (row,) = cleanops.decontaminate_ngrams(df, bench, n=13, margin=2).collect()
+        assert row["doc_id"] == 10
+        assert row["n_tokens"] == 30 and row["n_removed"] == 0
+        assert row["clean_text"] == doc_text  # == normalized input
+
+    def test_collision_removes_span_plus_margin_only(self, spark):
+        # doc = 10 clean + 13 quoted-eval + 10 clean tokens; margin=2
+        # must remove tokens [8, 24] (13-gram at i=10, +-2), keeping
+        # 8 + 8 = 16 tokens
+        quoted = " ".join(f"eval{i}" for i in range(13))
+        pre = " ".join(f"pre{i}" for i in range(10))
+        post = " ".join(f"post{i}" for i in range(10))
+        df = self._df(
+            spark,
+            [(0, "header " + quoted + " footer"), (10, f"{pre} {quoted} {post}")],
+        )
+        bench = df.select("doc_id").where("doc_id < 5")
+        (row,) = cleanops.decontaminate_ngrams(df, bench, n=13, margin=2).collect()
+        assert row["n_tokens"] == 33
+        assert row["n_removed"] == 17  # 13 quoted + 2 margin each side
+        kept = row["clean_text"].split(" ")
+        assert kept == [f"pre{i}" for i in range(8)] + [f"post{i}" for i in range(2, 10)]
+
+    def test_fully_contaminated_doc_empties(self, spark):
+        quoted = " ".join(f"eval{i}" for i in range(15))
+        df = self._df(spark, [(0, quoted), (10, quoted)])
+        bench = df.select("doc_id").where("doc_id < 5")
+        (row,) = cleanops.decontaminate_ngrams(df, bench, n=13, margin=2).collect()
+        assert row["n_removed"] == row["n_tokens"] == 15
+        assert row["clean_text"] == ""
+
+    def test_short_docs_never_collide(self, spark):
+        # fewer than n tokens -> no n-grams -> untouched even if the
+        # text is a verbatim benchmark substring
+        df = self._df(
+            spark,
+            [(0, " ".join(f"eval{i}" for i in range(20))),
+             (10, " ".join(f"eval{i}" for i in range(5)))],
+        )
+        bench = df.select("doc_id").where("doc_id < 5")
+        (row,) = cleanops.decontaminate_ngrams(df, bench, n=13, margin=2).collect()
+        assert row["n_removed"] == 0 and row["n_tokens"] == 5
+
+    def test_partitioning_invariant(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bench = docs.select("doc_id").where("doc_id < 20")
+        a = sorted(
+            map(tuple, cleanops.decontaminate_ngrams(docs.coalesce(1), bench).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                cleanops.decontaminate_ngrams(docs.repartition(16), bench).collect(),
+            )
+        )
+        assert a == b
