@@ -22,7 +22,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style duplicated-segment removal (10-token segments; a
     segment occurring in ≥ 2 distinct docs is dropped everywhere)."""
-    return cleanops.segment_dedup(_docs(spark, sf_dir))
+    from ..tables import spread_small_scan
+
+    return cleanops.segment_dedup(spread_small_scan(_docs(spark, sf_dir), spark))
 
 
 @register("doc_chunks", cleanops.d_doc_chunks())

@@ -184,7 +184,15 @@ FROM w
 @register("text_fingerprint", _FP_ORACLE)
 def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS-style) document fingerprint summaries."""
-    return textops.doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    from ..tables import spread_small_scan
+
+    # k-gram hash windows are the CPU hot loop (r7 profile: 1.74s -> 
+    # 0.57s warm on 8 cores); no-op at scale
+    return textops.doc_fingerprint(
+        spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        )
+    )
 
 
 _VOCAB_ORACLE = f"""
@@ -231,7 +239,13 @@ FROM w LEFT JOIN b ON w.doc_id = b.doc_id
 @register("text_repetition", _REPETITION_ORACLE)
 def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-frequent word / bigram share per doc (repetition flags)."""
-    return textops.repetition_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    from ..tables import spread_small_scan
+
+    return textops.repetition_stats(
+        spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        )
+    )
 
 
 _CUBE_ORACLE = """

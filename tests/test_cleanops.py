@@ -336,3 +336,19 @@ class TestDecontaminateNgrams:
             )
         )
         assert a == b
+
+    def test_plan_is_broadcast_only_jvm_only(self, spark):
+        # benchmark hash set + covered-index list must broadcast (no
+        # sort-merge shuffle at fixture scale) and the whole pipeline
+        # stays JVM-side (no Python eval nodes)
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bench = docs.select("doc_id").where("doc_id < 20")
+        plan = (
+            cleanops.decontaminate_ngrams(docs, bench)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
