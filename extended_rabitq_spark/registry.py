@@ -177,10 +177,6 @@ _DEMOTED = [
                              # quality_classifier_score reps; parity
                              # replica + planted-garbage separation
                              # tests cover it
-    "bm25_topk",             # NEW r6 (sparse retrieval): out-of-window
-                             # (window pinned this round); fixed-point
-                             # BM25 — integer-typed end-to-end; parity
-                             # replica + tests/test_retrieval.py
     "hybrid_search_rrf",     # NEW r6 (BM25+cosine RRF fusion): same
                              # rationale; pure-integer rank fusion
     "knn_mrl_prefix",        # NEW r6 (Matryoshka two-phase KNN): same
@@ -189,41 +185,23 @@ _DEMOTED = [
     "knn_int8_rerank",       # NEW r6 (SQ estimate→rerank over the int8
                              # storage codec): same rationale; oracle =
                              # same two-phase plan in SQL
-    "knn_pq_adc",            # NEW r6 (product-quantization ADC, the
-                             # FAISS IndexPQ family): same rationale;
-                             # label-mean codebooks = deterministic
-                             # oracle twin of per-subspace k-means
     "knn_binary_rerank",     # NEW r6 (Hamming estimate → exact fp32
                              # rerank, the E1→E3 shape over 1-bit
-                             # codes): same rationale
-    "knn_ivfpq",             # NEW r6 (IVF-PQ: residual PQ inside IVF
-                             # probes, the FAISS IndexIVFPQ family):
-                             # same rationale; octant-mean residual
-                             # codebooks = deterministic oracle twin
+                             # codes): same rationale; r9 rotation
+                             # candidate (knn_hamming + knn_pq_adc
+                             # carry the binary/PQ families r8)
     "knn_opq_adc",           # NEW r6 (OPQ learned rotation + PQ ADC):
                              # rows-only by nature (numpy Procrustes
                              # training); would burn a checked slot on
                              # a guaranteed no_oracle row
-    "weighted_sample_aes",   # NEW r6 (Efraimidis-Spirakis one-pass
-                             # weighted sampling w/o replacement):
-                             # out-of-window, window pinned; sampling
-                             # family keeps stratified_sample checked
-    "events_zorder_layout",  # NEW r6 (Morton-interleave layout keys —
-                             # the OPTIMIZE ZORDER BY primitive): out-
-                             # of-window, window pinned; pure integer
-                             # bit arithmetic, bitwise cross-engine
-    "events_scd2_intervals", # NEW r6 (SCD Type-2 validity intervals):
-                             # out-of-window, window pinned; the keyed-
-                             # compaction family keeps
-                             # events_latest_state's green history
     "bpe_token_stats",       # NEW r6 (learned BPE tokenizer counts):
                              # rows-only by nature (sequential merge
                              # training loop); would burn a checked
                              # slot on a guaranteed no_oracle row
-    "fuzzy_name_match",      # NEW r6 (trigram-blocked fuzzy join /
-                             # entity resolution): out-of-window,
-                             # window pinned; integer Jaccard cut,
-                             # oracle applies identical blocking
+    "fuzzy_name_match",      # NEW r6 (trigram-blocked fuzzy join):
+                             # entity_resolution (r8 in-window) is its
+                             # strict superset — blocking + components
+                             # + canonicalization over the same join
     "split_by_component",    # NEW r6 (leakage-safe split: hash-split
                              # on the near-dup component, not the
                              # doc): out-of-window, window pinned;
@@ -233,33 +211,10 @@ _DEMOTED = [
                              # nearest non-near-dup docs): same
                              # rationale; similarity family keeps
                              # knn_exact/knn_cosine checked
-    "hll_distinct_shingles", # NEW r6 (mergeable HyperLogLog distinct
-                             # sketch, exact fixed-point registers):
-                             # out-of-window, window pinned; corpus-
-                             # stat family keeps corpus_stats_cube +
-                             # vocab_stats checked
-    "pagerank_event_types",  # NEW r6 (fixed-point weighted PageRank —
-                             # iterative graph centrality): out-of-
-                             # window, window pinned; graph family
-                             # keeps dedup_components checked
-    "entity_resolution",     # NEW r6 (fuzzy self-join -> components ->
-                             # canonical entity): out-of-window,
-                             # window pinned; composes the checked
-                             # dedup_components machinery with the
-                             # fuzzy_name_match blocking
-    "kmv_source_overlap",    # NEW r6 (KMV set-overlap sketch — the
-                             # intersection question HLL can't answer):
-                             # out-of-window, window pinned; output is
-                             # pure integers end-to-end
     "cms_token_freq",        # NEW r6 (count-min frequency sketch graded
-                             # against exact heavy hitters): same
-                             # rationale; pure-integer output
-    "decontaminate_ngrams",  # NEW r7 (GPT-3/PaLM 13-gram span-removal
-                             # decontamination): out-of-window at
-                             # registration — the contamination family
-                             # keeps contamination_check checked;
-                             # bitwise parity at registration, r8/r9
-                             # rotation candidate
+                             # against exact heavy hitters): sketch
+                             # family keeps hll/kmv (r8 in-window);
+                             # pure-integer output, parity replica
     # --- round-7 window ROTATION (VERDICT r6 item 1: widen to 10 swaps) --
     # Same mechanism as r5/r6: each rotated-out entry has >=3 green
     # driver rounds, keeps a checked family representative in-window,
@@ -286,6 +241,40 @@ _DEMOTED = [
     "dedup_exact",           # green r1-r6; five dedup reps remain
     "knn_cosine",            # green r1-r6; similarity family keeps
                              # knn_exact + incoming maxsim/knn_hamming
+    # --- round-8 window ROTATION (VERDICT r7 items 1+5) ------------------
+    # Fourteen swaps: the eleven pre-verified r8-pool candidates plus
+    # three TPC-H (q4/q7/q12, VERDICT r7 item 5).  Each rotated-out
+    # entry has >=3 green driver rounds, keeps a checked family
+    # representative in-window, and stays verified by the cap-free
+    # parity replica.  All fourteen rotated-IN entries re-verified
+    # bit-exact through the pandas canonicalization path at flip time
+    # (tests/test_oracle_parity.py subset; COVERAGE.md round-8 manifest).
+    "tpch_q1",               # green r5-r7; TPC-H keeps q10/q2/q22 +
+                             # incoming q4/q7/q12
+    "tpch_q21",              # green r4-r7; same reps
+    "tpch_q3",               # green r5-r7; same reps
+    "tpch_q6",               # green r5-r7; same reps
+    "tpch_q13",              # green r5-r7; same reps
+    "corpus_stats_cube",     # green r4-r7; corpus-stat family keeps
+                             # vocab_stats + incoming hll/kmv sketches
+    "text_fingerprint",      # green r1,r4-r7; text family keeps
+                             # text_repetition/text_pii_scrub/text_quality
+    "events_asof_state",     # green r2-r7; events family keeps
+                             # salted_cohort + rate_anomaly + incoming
+                             # zorder/scd2
+    "events_attribution",    # green r3-r7; same reps
+    "events_lead_lag",       # green r3-r7; same reps
+    "contamination_check",   # green r2-r7; contamination family rep is
+                             # the incoming decontaminate_ngrams (its
+                             # span-removal superset)
+    "dedup_components",      # green r2-r7; seven dedup reps remain;
+                             # graph-family rep is the incoming
+                             # pagerank_event_types + entity_resolution
+                             # (which composes the same components op)
+    "dedup_incremental",     # green r2-r7; same dedup reps
+    "stratified_sample",     # green r2-r7; sampling family keeps
+                             # corpus_mixture_sample + dsir_select +
+                             # incoming weighted_sample_aes
 ]
 
 # Promoted to the head of the registration order so they land inside the
@@ -293,19 +282,13 @@ _DEMOTED = [
 # family (TPC-H DECIMAL aggregation, correlated EXISTS/NOT EXISTS,
 # CUBE grouping sets, winnowing document fingerprint).
 _PROMOTED = [
-    "tpch_q1",
-    "tpch_q21",
-    "corpus_stats_cube",
-    "text_fingerprint",
     # round-5 rotation: first-time driver checks for distinct shapes.
-    "tpch_q3",               # ordered-limit star join (DOUBLE finals, r5)
-    "tpch_q6",               # pure filter-aggregate scan pushdown
-    "tpch_q13",              # LEFT-join distribution (two-level agg)
     "vocab_stats",           # exact count-distinct over exploded tokens
     "dedup_spans",           # stride-1 window-hash span dedup (CCNet-style)
     "training_shard_export", # salted-hash shard ranks (map-only export)
     # round-6 rotation: first-time driver checks (pre-verified bit-exact
-    # through the pandas canonicalization path at end of r5).
+    # through the pandas canonicalization path at end of r5).  (These
+    # have 3 greens r6-r7-r8 pending; r9 rotation-out candidates.)
     "tpch_q5",               # full 6-table star join, broadcast dims
     "tpch_q18",              # HAVING-subquery as broadcast key join
     "tpch_q15",              # decimal-equality scalar max (revenue view)
@@ -332,6 +315,27 @@ _PROMOTED = [
     "retrieval_eval_hamming",  # fixed-point hit/MRR/nDCG ranker grading
     "dsir_select",           # Gumbel-top-N fixed-point selection
     "semdedup",              # cluster-scoped semantic dedup (Abbas 2023)
+    # round-8 rotation: fourteen first-time driver checks (VERDICT r7
+    # items 1 + 5 — the eleven pre-verified pool candidates plus three
+    # TPC-H; all re-verified bit-exact through the pandas
+    # canonicalization path at flip time, COVERAGE.md round-8 manifest).
+    "tpch_q4",               # EXISTS semi-join (order priority count)
+    "tpch_q7",               # volume shipping: 2-nation cross filter
+    "tpch_q12",              # shipmode CASE aggregation
+    "knn_ivfpq",             # IVF-PQ residual ADC (FAISS IndexIVFPQ
+                             # family) — first PQ-family driver row
+    "knn_pq_adc",            # flat PQ asymmetric distance (IndexPQ)
+    "bm25_topk",             # fixed-point BM25 sparse retrieval
+    "hll_distinct_shingles", # mergeable HyperLogLog registers — first
+                             # sketch-family driver row
+    "kmv_source_overlap",    # KMV intersection sketch
+    "pagerank_event_types",  # fixed-point weighted PageRank — first
+                             # iterative-graph driver row
+    "entity_resolution",     # trigram blocking → components → canonical
+    "events_zorder_layout",  # Morton Z-order layout keys
+    "events_scd2_intervals", # SCD Type-2 validity intervals
+    "weighted_sample_aes",   # Efraimidis-Spirakis weighted sampling
+    "decontaminate_ngrams",  # GPT-3/PaLM 13-gram span-removal decon
 ]
 
 

@@ -28,30 +28,14 @@ MUST_BE_CHECKED = [
     "dedup_simhash_banded",
     "dedup_ngram_jaccard",
     "dedup_embedding_ann",
-    "dedup_components",
-    "dedup_incremental",
-    "contamination_check",
     "corpus_mixture_sample",
-    "stratified_sample",    # sampling family rep (quota_sample r5,
-                            # pack_sequences r6 rotated out)
     "events_salted_cohort_join",  # skew tooling
     "text_quality",          # text family rep (text_lang_id rotated r6)
     "text_pii_scrub",
-    "text_fingerprint",
-    "corpus_stats_cube",     # grouping sets (strict superset of
-                             # corpus_stats, rotated out r5)
     "multimodal_frames",
-    "events_asof_state",
-    "events_attribution",
-    "events_lead_lag",
     "pipeline_clean_corpus",
-    "tpch_q1",               # relational OLAP / DECIMAL-internal agg
-    "tpch_q21",              # correlated EXISTS / NOT EXISTS
     # r5 first-time rotation entries — pinned so the rotation actually
     # lands in the driver's sample this round.
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q13",
     "vocab_stats",
     "dedup_spans",
     "training_shard_export",
@@ -85,6 +69,27 @@ MUST_BE_CHECKED = [
     "retrieval_eval_hamming",
     "dsir_select",
     "semdedup",
+    # r8 rotation (VERDICT r7 items 1+5: 14 swaps — the eleven
+    # pre-verified pool candidates + tpch_q4/q7/q12).  Rotated out in
+    # exchange (each >=3 green driver rounds, family rep retained in
+    # the window): tpch_q1, tpch_q21, tpch_q3, tpch_q6, tpch_q13,
+    # corpus_stats_cube, text_fingerprint, events_asof_state,
+    # events_attribution, events_lead_lag, contamination_check,
+    # dedup_components, dedup_incremental, stratified_sample.
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q12",
+    "knn_ivfpq",
+    "knn_pq_adc",
+    "bm25_topk",
+    "hll_distinct_shingles",
+    "kmv_source_overlap",
+    "pagerank_event_types",
+    "entity_resolution",
+    "events_zorder_layout",
+    "events_scd2_intervals",
+    "weighted_sample_aes",
+    "decontaminate_ngrams",
 ]
 
 
