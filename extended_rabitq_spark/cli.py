@@ -175,7 +175,8 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
             queries, base, centroids, k=a.k, grid=grid, mode="rabitq",
             index_df=codes, centroids_full=cents_full, meta=meta,
             rounds=a.rounds, probes_factory=probes_factory, metric=metric,
-            amortized=a.amortized,
+            amortized=a.amortized, rerank=a.rerank, warmup=a.warmup,
+            refine=a.refine if a.refine > 0 else None,
         )
     print("nprobe,QPS,recall,ratio")
     for r in rows:
@@ -454,6 +455,23 @@ def build_parser() -> argparse.ArgumentParser:
              "every sweep point from it (probe-rank tagging; results "
              "identical, per-point QPS becomes an amortization "
              "schedule) — incompatible with --use-graph",
+    )
+    s.add_argument(
+        "--refine", type=int, default=4,
+        help="E2 shortlist budget γ: keep the γ·k best error-bound "
+             "lower bounds per query before phase-2 (0 disables the cut)",
+    )
+    s.add_argument(
+        "--rerank", action="store_true",
+        help="E4 exact re-rank: final ranks from true distances of the "
+             "γ·k shortlist joined against --base (broadcast shortlist; "
+             "the base table is never shuffled)",
+    )
+    s.add_argument(
+        "--warmup", action="store_true",
+        help="one untimed extra round of the first grid point before "
+             "timing (absorbs JVM first-touch and the --amortized pool "
+             "scoring, so QPS reports steady-state per-point throughput)",
     )
     s.add_argument("--results-dir", default=None)
     s.add_argument("--dataset", default="dataset")

@@ -9,6 +9,7 @@ reference's main() — the per-setting work is fully distributed.
 
 from __future__ import annotations
 
+import statistics
 import time
 from dataclasses import dataclass
 
@@ -51,6 +52,9 @@ def nprobe_sweep(
     recall_stop: float = RECALL_SATURATION,
     metric: str = "l2",
     amortized: bool = False,
+    refine: int | None = 4,
+    rerank: bool = False,
+    warmup: bool = False,
 ) -> list[SweepRow]:
     """Sweep the nprobe grid ascending; stop at recall saturation or
     plateau.  mode='ivf' scans exact distances over probed clusters;
@@ -77,6 +81,24 @@ def nprobe_sweep(
     standalone per-np throughput.  Best when the sweep will traverse
     most of the grid (recall-target tuning); a sweep that stops at the
     first point has over-scored by max(grid)/grid[0].
+
+    ``refine`` (mode='rabitq'): the E2 shortlist budget γ — keep the
+    γ·k best error-bound lower bounds per query before phase-2 (the
+    reference's sequential distk threshold is the adaptive analog;
+    rank-cut γ≥1 is a superset at equal budget).  ``rerank=True`` adds
+    the E4 exact re-rank: final ranks come from true distances of the
+    γ·k shortlist joined against ``base`` (broadcast shortlist — the
+    base table is scanned in place, never shuffled), instead of the
+    B-bit estimate.
+
+    ``warmup=True`` runs ONE untimed extra round of the first grid
+    point (full pipeline, incl. the E4 ratio recompute) before any
+    timing: it absorbs JVM/codegen first-touch and — in amortized mode
+    — the shared pool scoring, so the QPS column reports steady-state
+    per-point throughput instead of a warm-up-ordering artifact (the
+    reference averages 3 rounds for the same reason,
+    src/test_search.cpp:97-134; VERDICT r7 item 3).  The per-point wall
+    is the MEDIAN of rounds (noise-robust for rounds≥3).
     """
     grid = grid or DEFAULT_GRID
     if metric != "l2" and mode == "ivf":
@@ -103,14 +125,19 @@ def nprobe_sweep(
             )
         sweep_pool, sweep_scored = rabitq_ops.rabitq_search_sweep(
             queries, index_df, centroids_full, meta,
-            nprobes=list(grid), k=k, estimator=estimator,
+            nprobes=list(grid), k=k, estimator=estimator, refine=refine,
+            rerank_base=base if rerank else None,
         )
     out: list[SweepRow] = []
     prev_recall = -1.0
     try:
         for nprobe in grid:
             walls = []
-            for _r in range(rounds):
+            # warm-up: one untimed extra round of the FIRST grid point
+            # (absorbs JVM first-touch + the amortized pool scoring)
+            extra = 1 if warmup and nprobe == grid[0] else 0
+            for _r in range(rounds + extra):
+                timed = _r >= extra
                 t0 = time.perf_counter()
                 if mode == "ivf":
                     res = ivf_ops.ivf_search(queries, indexed, centroids, nprobe, k)
@@ -119,7 +146,8 @@ def nprobe_sweep(
                 else:
                     res = rabitq_ops.rabitq_search(
                         queries, index_df, centroids_full, meta, nprobe=nprobe, k=k,
-                        estimator=estimator,
+                        estimator=estimator, refine=refine,
+                        rerank_base=base if rerank else None,
                         probes=None if probes_factory is None else probes_factory(nprobe),
                     )
                 if "est_dist" in res.columns:
@@ -138,8 +166,9 @@ def nprobe_sweep(
                         )
                     )
                 res.persist().count()
-                walls.append(time.perf_counter() - t0)
-                if _r < rounds - 1:
+                if timed:
+                    walls.append(time.perf_counter() - t0)
+                if _r < rounds + extra - 1:
                     # drop the result cache between rounds — in amortized
                     # mode `res` is ONE DataFrame per grid point, and in
                     # per-point mode identical plans can still hit the
@@ -191,7 +220,7 @@ def nprobe_sweep(
                 metrics.ratio_per_query(res_r, gt_r, k).agg(F.avg("ratio").alias("x")).first()
             )
             rat = rat_row["x"] if rat_row["x"] is not None else float("nan")
-            wall = sum(walls) / len(walls)
+            wall = statistics.median(walls)
             out.append(SweepRow(nprobe, float(rec), float(rat), nq / wall, wall))
             res.unpersist()
             if rec > recall_stop or abs(rec - prev_recall) < PLATEAU_EPS:

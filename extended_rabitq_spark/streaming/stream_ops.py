@@ -212,6 +212,12 @@ def serve_latency_benchmark(
     codes, centroids, meta = load_index(spark, index_path)
     codes = codes.persist()
     codes.count()
+    # probe artifact persisted across batches (VERDICT r7 item 7): the
+    # broadcast scorer collects centroids per batch for driver-side
+    # probe selection — without this, every micro-batch re-reads the
+    # centroid parquet; with it, the per-batch collect is a memory scan
+    centroids = centroids.persist()
+    centroids.count()
     dim = meta["dim"]
     stream = synthetic_query_stream(spark, rows_per_batch, dim)
     stats: list[dict] = []

@@ -74,6 +74,15 @@ def main() -> int:
         ("single_job_aqe_off",
          dict(single_job=True,
               conf={"spark.sql.adaptive.enabled": "false"})),
+        # r8 (VERDICT r7 item 7): tiny fixed micro-batches don't need 32
+        # shuffle partitions for the per-query top-k window — 4 tasks
+        # cover a 200-row batch and cut per-batch task-launch overhead
+        # 8×; centroids are persisted across batches (stream_ops change)
+        # so per-batch probe selection reads memory, not parquet.
+        ("single_job_tuned",
+         dict(single_job=True,
+              conf={"spark.sql.adaptive.enabled": "false",
+                    "spark.sql.shuffle.partitions": "4"})),
     ]
     rows = []
     for cfg_name, kw in configs:
