@@ -534,3 +534,142 @@ def d_cms_cells(h: str, d: int, w: int) -> str:
     unnest)."""
     parts = ", ".join(f"[{i}, {_cms_col(i, h, w, 'duck')}]" for i in range(d))
     return f"[{parts}]"
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch (NEW r8): the fourth member of the mergeable
+# sketch family — HLL answers distinct-count, KMV answers set overlap,
+# CMS answers frequency, this answers QUANTILES.  The sketch is the
+# classic bottom-k hash sample: the k rows whose sampling-key hash is
+# smallest form a uniform ~k/N sample of the population, and the sample
+# is MERGEABLE (bottom-k of a union = re-cut of the union of bottom-ks
+# — same law as KMV, so shard sketches combine associatively with no
+# second corpus pass).  Quantile estimates are the ORDER STATISTICS of
+# the sample: est(q) = sorted_sample[floor((ns-1)·q/100)] — integer in,
+# integer out, no interpolation, so the estimate is bit-identical
+# cross-engine and driver-hashable (unlike t-digest/KLL, whose
+# sequential compactions are engine-order-dependent).  Standard error
+# is O(sqrt(q(1-q)/k)) in rank space — k=256 bounds rank error ~3%.
+
+QSK_K = 256
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    key: str,
+    k: int = QSK_K,
+    hash_fn: str = "xxh64",
+) -> DataFrame:
+    """→ (group..., h, v): the ≤ k rows with the smallest portable hash
+    of ``key`` per group, carrying their ``value`` — the mergeable
+    bottom-k quantile sketch.  The min-k cut is a rank window per group
+    (partial WindowGroupLimit: each map task pre-cuts to k before the
+    shuffle, so shuffle volume is O(partitions · groups · k) no matter
+    the corpus size).  ``key`` must be group-unique (a doc/row id);
+    hash ties are broken by the key itself so the sample is a function
+    of the DATA, not the partitioning."""
+    from pyspark.sql import Window
+
+    h = df.where(F.col(key).isNotNull()).select(
+        *group_cols,
+        F.expr(_hash_expr(hash_fn, f"CAST({key} AS STRING)")).alias("h"),
+        F.col(key).cast("long").alias("kk"),
+        F.col(value).cast("long").alias("v"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc(), F.col("kk").asc())
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(*group_cols, "h", "v")
+    )
+
+
+def quantile_sketch_merge(
+    sketches: DataFrame, group_cols: list[str], k: int = QSK_K
+) -> DataFrame:
+    """Union of shard sketches → one sketch per group: re-cut to the k
+    smallest hashes (the KMV merge law applied to the carried values).
+    NOTE: valid only when every input sketch was built with the same
+    ``hash_fn`` and a group-unique key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        sketches.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame, group_cols: list[str], quantiles: list[int]
+) -> DataFrame:
+    """Sketch → (group..., q_pct, qsk_est): per requested percentile
+    (integer 0-100), the sample order statistic at index
+    floor((ns-1)·q/100) of the VALUES sorted ascending (ns = sample
+    rows in the group).  Deterministic: value ties contribute the same
+    value whichever tied row lands at the index."""
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy(*group_cols).orderBy(F.col("v").asc())
+    ranked = sketch.withColumn("vr", F.row_number().over(wv)).withColumn(
+        "ns", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    qcol = F.explode(F.array(*[F.lit(int(q)) for q in quantiles])).alias("q_pct")
+    want = ranked.select(*group_cols, "v", "vr", "ns", qcol).where(
+        F.col("vr") == F.floor((F.col("ns") - 1) * F.col("q_pct") / 100) + 1
+    )
+    return want.select(*group_cols, "q_pct", F.col("v").alias("qsk_est"))
+
+
+def quantile_sketch_vs_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    key: str,
+    quantiles: list[int],
+    k: int = QSK_K,
+    hash_fn: str = "xxh64",
+) -> DataFrame:
+    """Grading join (the cms_token_freq pattern: sketch graded against
+    the exact answer it approximates) → (group..., q_pct, qsk_est,
+    exact_v, abs_err), all BIGINT.  The exact side picks the SAME order
+    statistic over the full group — so at k ≥ group size the sketch is
+    the population and abs_err is identically 0 (asserted in tests)."""
+    from pyspark.sql import Window
+
+    est = quantile_estimate(
+        quantile_sketch(df, group_cols, value, key, k, hash_fn),
+        group_cols,
+        quantiles,
+    )
+    wv = Window.partitionBy(*group_cols).orderBy(F.col("v").asc())
+    full = df.select(
+        *group_cols, F.col(value).cast("long").alias("v")
+    ).withColumn("vr", F.row_number().over(wv)).withColumn(
+        "ns", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    qcol = F.explode(F.array(*[F.lit(int(q)) for q in quantiles])).alias("q_pct")
+    exact = (
+        full.select(*group_cols, "v", "vr", "ns", qcol)
+        .where(F.col("vr") == F.floor((F.col("ns") - 1) * F.col("q_pct") / 100) + 1)
+        .select(*group_cols, "q_pct", F.col("v").alias("exact_v"))
+    )
+    return (
+        est.join(exact, on=[*group_cols, "q_pct"])
+        .select(
+            *group_cols,
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.col("qsk_est").cast("long").alias("qsk_est"),
+            F.col("exact_v").cast("long").alias("exact_v"),
+            F.abs(F.col("qsk_est") - F.col("exact_v")).cast("long").alias("abs_err"),
+        )
+    )
+
+
+# grading-query constants (shared by the Spark query and its DuckDB
+# oracle so the two sides can never drift)
+QSK_GRADE_K = 64
+QSK_GRADE_Q = (10, 25, 50, 75, 90, 99)

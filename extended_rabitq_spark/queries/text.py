@@ -561,3 +561,61 @@ def cms_token_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )
+
+
+def _qsk_oracle() -> str:
+    from ..operators.sketches import QSK_GRADE_K, QSK_GRADE_Q
+
+    qlist = ", ".join(str(q) for q in QSK_GRADE_Q)
+    h = T.d_hash60("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+hs AS (SELECT source, {h} AS h, doc_id AS kk, n_chars AS v FROM d),
+sk AS (SELECT source, h, v,
+              row_number() OVER (PARTITION BY source ORDER BY h ASC, kk ASC) AS rn
+       FROM hs QUALIFY rn <= {QSK_GRADE_K}),
+sr AS (SELECT source, v,
+              row_number() OVER (PARTITION BY source ORDER BY v ASC) AS vr,
+              count(*) OVER (PARTITION BY source) AS ns
+       FROM sk),
+q AS (SELECT unnest([{qlist}]) AS q_pct),
+est AS (SELECT source, q_pct, v AS qsk_est FROM sr CROSS JOIN q
+        WHERE vr = floor((ns - 1) * q_pct / 100) + 1),
+fr AS (SELECT source, v,
+              row_number() OVER (PARTITION BY source ORDER BY v ASC) AS vr,
+              count(*) OVER (PARTITION BY source) AS ns
+       FROM (SELECT source, n_chars AS v FROM d)),
+ex AS (SELECT source, q_pct, v AS exact_v FROM fr CROSS JOIN q
+       WHERE vr = floor((ns - 1) * q_pct / 100) + 1)
+SELECT e.source, CAST(e.q_pct AS BIGINT) AS q_pct,
+       CAST(e.qsk_est AS BIGINT) AS qsk_est,
+       CAST(x.exact_v AS BIGINT) AS exact_v,
+       CAST(abs(e.qsk_est - x.exact_v) AS BIGINT) AS abs_err
+FROM est e JOIN ex x ON x.source = e.source AND x.q_pct = e.q_pct
+"""
+
+
+@register("sketch_length_quantiles", _qsk_oracle())
+def sketch_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch (NEW r8, beyond-reference §2.8) — the
+    QUANTILE member of the mergeable sketch family (HLL = cardinality,
+    KMV = overlap, CMS = frequency): a bottom-k hash sample of doc ids
+    per source carries n_chars, quantile estimates are integer order
+    statistics of the sample, graded against the same order statistic
+    over the full group → (source, q_pct, qsk_est, exact_v, abs_err),
+    all BIGINT.  Mergeable by the KMV law (re-cut of the union), so
+    100 TB shards sketch independently and combine with no second
+    corpus pass; shuffle volume is O(partitions · groups · k) via the
+    partial WindowGroupLimit pre-cut.  hash60 here for the cross-engine
+    oracle; production default is xxh64 (sketches._HASH_FNS)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as SK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id", "n_chars"
+    )
+    return SK.quantile_sketch_vs_exact(
+        docs, ["source"], "n_chars", "doc_id",
+        quantiles=list(SK.QSK_GRADE_Q), k=SK.QSK_GRADE_K, hash_fn="hash60",
+    )

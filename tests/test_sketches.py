@@ -371,3 +371,97 @@ class TestHashFnKnob:
         )
         assert rows["lo"] >= 0
         assert rows["hi"] < 1 << 60
+
+
+class TestQuantileSketch:
+    """Bottom-k quantile sketch (NEW r8): order-statistic correctness,
+    merge law, exactness at k >= n, partitioning invariance, rank-error
+    bound."""
+
+    @staticmethod
+    def _docs(spark, n, groups=("a", "b"), parts=4):
+        # value = a deterministic skewed function of the id so quantiles
+        # are nontrivial; key = unique id per group
+        return spark.range(n).repartition(parts).select(
+            F.element_at(
+                F.array(*[F.lit(g) for g in groups]),
+                (F.col("id") % len(groups) + 1).cast("int"),
+            ).alias("grp"),
+            F.col("id").alias("key"),
+            ((F.col("id") * F.col("id")) % 9973).cast("long").alias("v"),
+        )
+
+    def test_exact_when_k_covers_group(self, spark):
+        df = self._docs(spark, 100)
+        out = sketches.quantile_sketch_vs_exact(
+            df, ["grp"], "v", "key", quantiles=[10, 50, 90], k=1000
+        ).collect()
+        assert len(out) == 6  # 2 groups x 3 quantiles
+        assert all(r["abs_err"] == 0 for r in out)
+        assert all(r["qsk_est"] == r["exact_v"] for r in out)
+
+    def test_rank_error_bound(self, spark):
+        # k=256 on n=20000: rank SE ~ sqrt(q(1-q)/k) <= 3.1%; 5 sigma
+        # rank error 15.6% -> value error bounded by the value spread of
+        # that rank window.  Check the RANK of the estimate, not the
+        # value: find where the estimate falls in the exact CDF.
+        df = self._docs(spark, 20_000, groups=("a",))
+        est = {
+            r["q_pct"]: r["qsk_est"]
+            for r in sketches.quantile_estimate(
+                sketches.quantile_sketch(df, ["grp"], "v", "key", k=256),
+                ["grp"], [25, 50, 75],
+            ).collect()
+        }
+        vals = sorted(r["v"] for r in df.select("v").collect())
+        n = len(vals)
+        import bisect
+
+        for q, e in est.items():
+            rank = bisect.bisect_left(vals, e) / n
+            assert abs(rank - q / 100) < 0.16, f"q={q} est-rank={rank:.3f}"
+
+    def test_merge_law(self, spark):
+        # sketch(shard1) ∪ sketch(shard2) re-cut == sketch(full corpus)
+        df = self._docs(spark, 5_000)
+        s1 = sketches.quantile_sketch(
+            df.where(F.col("key") % 2 == 0), ["grp"], "v", "key", k=128
+        )
+        s2 = sketches.quantile_sketch(
+            df.where(F.col("key") % 2 == 1), ["grp"], "v", "key", k=128
+        )
+        merged = sketches.quantile_sketch_merge(
+            s1.unionByName(s2), ["grp"], k=128
+        )
+        full = sketches.quantile_sketch(df, ["grp"], "v", "key", k=128)
+        a = sorted(map(tuple, merged.collect()))
+        b = sorted(map(tuple, full.collect()))
+        assert a == b
+
+    def test_partitioning_invariance(self, spark):
+        df1 = self._docs(spark, 3_000, parts=2)
+        df17 = self._docs(spark, 3_000, parts=17)
+        q = [10, 25, 50, 75, 90, 99]
+        a = sorted(
+            map(tuple, sketches.quantile_sketch_vs_exact(
+                df1, ["grp"], "v", "key", q, k=64).collect())
+        )
+        b = sorted(
+            map(tuple, sketches.quantile_sketch_vs_exact(
+                df17, ["grp"], "v", "key", q, k=64).collect())
+        )
+        assert a == b
+
+    def test_hash_fn_knob_portable_vs_production(self, spark):
+        # both hash modes give valid samples; estimates differ (different
+        # samples) but both satisfy the rank bound; hash60 is the oracle
+        # mode (cross-engine), xxh64 the production mode
+        df = self._docs(spark, 8_000, groups=("a",))
+        for fn in ("hash60", "xxh64"):
+            out = sketches.quantile_sketch_vs_exact(
+                df, ["grp"], "v", "key", [50], k=256, hash_fn=fn
+            ).collect()
+            assert len(out) == 1
+            assert out[0]["abs_err"] <= 9973 * 0.2  # generous value bound
+        with pytest.raises(ValueError):
+            sketches.quantile_sketch(df, ["grp"], "v", "key", hash_fn="sha9")
