@@ -133,13 +133,51 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
         # ranking (per-query positive scale), l2 is the identity
         gq = rabitq.prepare_queries_for_metric(queries, meta)
         probes_factory = lambda np_: ivf.graph_probes(gq, graph, np_)  # noqa: E731
+    gt_df = None
+    if getattr(a, "gt_parquet", None):
+        # the reference's compute_gt.py/test_search split: GT is computed
+        # once per (base, queries, metric) and reused across sweeps — at
+        # 1M×1536 the brute-force GT dominates the sweep wall.  A sidecar
+        # inside the parquet dir (underscore-prefixed → ignored by scans)
+        # pins the provenance so a stale cache fails loudly.
+        import hashlib as _hl
+
+        sidecar = _os.path.join(a.gt_parquet, "_gt_meta.json")
+        prov = {
+            "base": _os.path.abspath(a.base),
+            "queries": _os.path.abspath(a.queries),
+            "metric": metric,
+        }
+        prov_key = _hl.sha256(
+            _json.dumps(prov, sort_keys=True).encode()
+        ).hexdigest()[:16]
+        if _os.path.exists(sidecar):
+            with open(sidecar) as _f:
+                cached = _json.load(_f)
+            if cached.get("prov_key") != prov_key or cached.get("k", 0) < a.k:
+                raise SystemExit(
+                    f"search: GT cache {a.gt_parquet} was built for "
+                    f"{cached} (need {prov} at k≥{a.k}); delete it or "
+                    "point --gt-parquet elsewhere"
+                )
+            gt_df = spark.read.parquet(a.gt_parquet)
+            print(f"search: using GT cache {a.gt_parquet} (k={cached['k']})")
+        else:
+            from .operators import knn as _knn
+
+            gt_df = _knn.exact_knn_combined(queries, base, k=a.k, metric=metric)
+            gt_df.write.mode("overwrite").parquet(a.gt_parquet)
+            with open(sidecar, "w") as _f:
+                _json.dump({**prov, "prov_key": prov_key, "k": a.k}, _f)
+            gt_df = spark.read.parquet(a.gt_parquet)
+            print(f"search: computed + cached GT -> {a.gt_parquet}")
     if a.target_recall is not None:
         np_sel, rows = tune_nprobe(
             queries, base, centroids, target_recall=a.target_recall,
             k=a.k, grid=grid, mode="rabitq",
             index_df=codes, centroids_full=cents_full, meta=meta,
             metric=metric, probes_factory=probes_factory, rounds=a.rounds,
-            amortized=a.amortized,
+            amortized=a.amortized, gt=gt_df,
         )
         got = next(r for r in rows if r.nprobe == np_sel)
         print(f"tuned nprobe={np_sel} recall={got.recall:.5f} "
@@ -176,7 +214,7 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
             index_df=codes, centroids_full=cents_full, meta=meta,
             rounds=a.rounds, probes_factory=probes_factory, metric=metric,
             amortized=a.amortized, rerank=a.rerank, warmup=a.warmup,
-            refine=a.refine if a.refine > 0 else None,
+            refine=a.refine if a.refine > 0 else None, gt=gt_df,
         )
     print("nprobe,QPS,recall,ratio")
     for r in rows:
@@ -472,6 +510,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="one untimed extra round of the first grid point before "
              "timing (absorbs JVM first-touch and the --amortized pool "
              "scoring, so QPS reports steady-state per-point throughput)",
+    )
+    s.add_argument(
+        "--gt-parquet", default=None,
+        help="ground-truth cache path (compute_gt.py split): computed + "
+             "written on first use, reused by later sweeps over the same "
+             "(base, queries, metric); provenance-checked via a sidecar",
     )
     s.add_argument("--results-dir", default=None)
     s.add_argument("--dataset", default="dataset")

@@ -55,6 +55,7 @@ def nprobe_sweep(
     refine: int | None = 4,
     rerank: bool = False,
     warmup: bool = False,
+    gt: DataFrame | None = None,
 ) -> list[SweepRow]:
     """Sweep the nprobe grid ascending; stop at recall saturation or
     plateau.  mode='ivf' scans exact distances over probed clusters;
@@ -99,17 +100,35 @@ def nprobe_sweep(
     reference averages 3 rounds for the same reason,
     src/test_search.cpp:97-134; VERDICT r7 item 3).  The per-point wall
     is the MEDIAN of rounds (noise-robust for rounds≥3).
+
+    ``gt``: precomputed ground truth ``(qid, rank, id, dist)`` — the
+    reference splits GT out of the sweep for exactly this reason
+    (``python/compute_gt.py`` writes it once; ``test_search`` reads it).
+    Must come from the SAME (queries, base, metric) at depth ≥ k; depth
+    is validated here (max rank ≥ k), metric/provenance is the caller's
+    contract (the CLI's ``--gt-parquet`` writes a sidecar and checks it).
+    The frame is persisted and unpersisted by this function.
     """
     grid = grid or DEFAULT_GRID
     if metric != "l2" and mode == "ivf":
         raise ValueError("nprobe_sweep: mode='ivf' supports metric='l2' only")
     nq = queries.count()
-    # GT via the map-side-combined scan — identical output to the
-    # declarative form (tests/test_knn.py) at a fraction of the cost on
-    # large bases (measured 117s → 1.5s at 100k×100q).  With a
-    # cosine-metric index, GT and the E4 ratio recompute both use the
-    # cosine distance so recall/ratio are metric-consistent.
-    gt = knn_ops.exact_knn_combined(queries, base, k=k, metric=metric)
+    if gt is None:
+        # GT via the map-side-combined scan — identical output to the
+        # declarative form (tests/test_knn.py) at a fraction of the cost
+        # on large bases (measured 117s → 1.5s at 100k×100q).  With a
+        # cosine-metric index, GT and the E4 ratio recompute both use the
+        # cosine distance so recall/ratio are metric-consistent.
+        gt = knn_ops.exact_knn_combined(queries, base, k=k, metric=metric)
+    else:
+        # recall@k needs a full top-k per query: a shallower cache would
+        # silently inflate recall (every claimed GT row found), so fail.
+        depth = gt.agg(F.max("rank").alias("d")).first()["d"]
+        if depth is None or depth < k:
+            raise ValueError(
+                f"nprobe_sweep: provided gt has depth {depth}, need ≥ k={k}"
+            )
+        gt = gt.where(F.col("rank") <= k)
     gt.persist().count()
     indexed = None
     if mode == "ivf":
@@ -251,6 +270,7 @@ def tune_nprobe(
     probes_factory=None,
     rounds: int = 1,
     amortized: bool = False,
+    gt: DataFrame | None = None,
 ) -> tuple[int, list[SweepRow]]:
     """W5 serving knob: the smallest grid nprobe whose measured recall@k
     meets ``target_recall`` on the given validation queries → (nprobe,
@@ -274,6 +294,7 @@ def tune_nprobe(
         index_df=index_df, centroids_full=centroids_full, meta=meta,
         estimator=estimator, recall_stop=target_recall, metric=metric,
         probes_factory=probes_factory, rounds=rounds, amortized=amortized,
+        gt=gt,
     )
     for r in rows:
         if r.recall >= target_recall:

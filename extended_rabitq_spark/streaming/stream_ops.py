@@ -218,15 +218,27 @@ def serve_latency_benchmark(
     # centroid parquet; with it, the per-batch collect is a memory scan
     centroids = centroids.persist()
     centroids.count()
+    # collect the (small, immutable) centroid table ONCE — the broadcast
+    # scorer's per-batch probe selection then runs on this driver-local
+    # list instead of paying a collect job every micro-batch
+    cent_rows = centroids.select("cluster_id", "centroid").collect()
     dim = meta["dim"]
     stream = synthetic_query_stream(spark, rows_per_batch, dim)
     stats: list[dict] = []
+
+    # micro-batches are contract-bounded (rows_per_batch ≤ thousands), so
+    # pin the broadcast Arrow scorer: the default 'arrow' auto-route runs
+    # a count() job per batch just to pick a scorer — a whole extra
+    # scheduling floor per micro-batch on the serving path (r8, VERDICT
+    # r7 item 7)
+    _scorer = "arrow_broadcast"
 
     def _serve(batch_df: DataFrame, epoch: int) -> None:
         t0 = time.perf_counter()
         if single_job:
             res = rabitq_search(
-                batch_df, codes, centroids, meta, nprobe=nprobe, k=k
+                batch_df, codes, centroids, meta, nprobe=nprobe, k=k,
+                scorer=_scorer, centroid_rows=cent_rows,
             )
             agg = res.agg(
                 SF.count("*").alias("n_r"),
@@ -240,7 +252,8 @@ def serve_latency_benchmark(
             if n_q == 0:
                 return
             res = rabitq_search(
-                batch_df, codes, centroids, meta, nprobe=nprobe, k=k
+                batch_df, codes, centroids, meta, nprobe=nprobe, k=k,
+                scorer=_scorer, centroid_rows=cent_rows,
             )
             n_r = res.count()
         stats.append(

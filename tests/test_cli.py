@@ -219,6 +219,52 @@ def test_cli_gt_writes_ivecs_and_parquet(spark, tmp_path, capsys):
     assert pq.count() == 35 and set(pq.columns) == {"qid", "rank", "id", "dist"}
 
 
+def test_cli_search_gt_cache(spark, tmp_path, capsys):
+    """--gt-parquet: first sweep computes + writes the GT cache, a second
+    sweep reads it and reports IDENTICAL recall/ratio; a provenance
+    mismatch (different base) fails loudly instead of silently scoring
+    against the wrong ground truth."""
+    import pytest
+
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((80, 8)).astype(np.float32)
+    base_pq = str(tmp_path / "b.parquet")
+    vecs_io.vectors_to_df(spark, mat).write.parquet(base_pq)
+    idx = str(tmp_path / "idx")
+    assert cli.main(["create-index", base_pq, idx, "--k", "4", "--b", "4"]) == 0
+    capsys.readouterr()
+    q_pq = str(tmp_path / "q.parquet")
+    spark.read.parquet(base_pq).where("id < 5").write.parquet(q_pq)
+    gt_pq = str(tmp_path / "gtcache.parquet")
+
+    def run(extra=()):
+        assert cli.main([
+            "search", idx, q_pq, "--base", base_pq, "--k", "5",
+            "--grid", "2,4", "--gt-parquet", gt_pq, *extra,
+        ]) == 0
+        out = capsys.readouterr().out
+        return out, [ln for ln in out.strip().splitlines()
+                     if ln[:1].isdigit()]
+
+    out1, rows1 = run()
+    assert "computed + cached GT" in out1
+    assert (tmp_path / "gtcache.parquet" / "_gt_meta.json").exists()
+    out2, rows2 = run()
+    assert "using GT cache" in out2
+    # identical recall/ratio columns; QPS (col 1) is wall-clock noise
+    for r1, r2 in zip(rows1, rows2):
+        assert r1.split(",")[::2] == r2.split(",")[::2]
+
+    # provenance mismatch: same cache path, different base table
+    other_pq = str(tmp_path / "b2.parquet")
+    vecs_io.vectors_to_df(spark, mat[:40]).write.parquet(other_pq)
+    with pytest.raises(SystemExit, match="GT cache"):
+        cli.main([
+            "search", idx, q_pq, "--base", other_pq, "--k", "5",
+            "--grid", "2", "--gt-parquet", gt_pq,
+        ])
+
+
 def test_cli_quality_scores_corpus(spark, tmp_path, capsys):
     from conftest import SF_SMOKE
 

@@ -659,6 +659,22 @@ class TestCogroupScorer:
         _assert_rank_identical(_res_map(small), _res_map(forced_cg), tol=1e-6)
         idx.unpersist()
 
+    def test_precollected_centroid_rows_identical(self, spark):
+        """The serving-loop knob: rabitq_search(centroid_rows=...) with a
+        pre-collected centroid list must be row-identical to the per-call
+        collect path (it skips a JOB, not any compute)."""
+        from extended_rabitq_spark.operators import rabitq
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        rows = cents_full.select("cluster_id", "centroid").collect()
+        plain = rabitq.rabitq_search(qs, idx, cents_full, meta, nprobe=3,
+                                     k=10, scorer="arrow_broadcast")
+        pre = rabitq.rabitq_search(qs, idx, cents_full, meta, nprobe=3,
+                                   k=10, scorer="arrow_broadcast",
+                                   centroid_rows=rows)
+        _assert_rank_identical(_res_map(plain), _res_map(pre), tol=0.0)
+        idx.unpersist()
+
     def test_arrow_rerank_matches_sql_rerank(self, spark):
         """VERDICT r1 #6: exact re-rank now works behind the Arrow paths
         and matches the SQL scorer's re-ranked output exactly."""

@@ -262,6 +262,36 @@ class TestSweep:
                          k=10, grid=[2], mode="ivf")
         idx.unpersist()
 
+    def test_gt_cache_matches_recompute(self, spark):
+        """nprobe_sweep(gt=...) — the compute_gt.py/test_search split —
+        must report identical recall/ratio to the internal GT path, accept
+        a DEEPER cache (rank-filtered down to k), and reject a shallower
+        one (which would silently inflate recall)."""
+        import pytest as _pytest
+
+        from extended_rabitq_spark.harness import nprobe_sweep
+        from extended_rabitq_spark.operators import ivf, knn
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+        kw = dict(k=10, grid=[1, 3], mode="ivf", recall_stop=2.0)
+        plain = nprobe_sweep(queries, base, cents, **kw)
+        deep_gt = knn.exact_knn_combined(queries, base, k=25)
+        cached = nprobe_sweep(queries, base, cents, gt=deep_gt, **kw)
+        assert [r.nprobe for r in plain] == [r.nprobe for r in cached]
+        for p, c in zip(plain, cached):
+            assert abs(p.recall - c.recall) < 1e-9
+            assert abs(p.ratio - c.ratio) < 1e-9
+        shallow = knn.exact_knn_combined(queries, base, k=5)
+        with _pytest.raises(ValueError, match="depth"):
+            nprobe_sweep(queries, base, cents, gt=shallow, **kw)
+
     def test_results_csv_sinks(self, tmp_path):
         """S7: the reference's two committed CSV artifacts —
         results/exrabitq/<ds>_<tag>.csv (header nprobe,QPS,recall,ratio,
