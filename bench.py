@@ -461,6 +461,23 @@ def main() -> None:
         extras["hll_shingles_xxh64_sec"] = -1.0
         ensure_alive()
 
+    # Production-hash MinHash-LSH (xxh64 shingle hash) vs the md5-based
+    # oracle headline — verified-pair equivalence pinned in
+    # tests/test_dedup_text.py (r8: the band-skew profile showed the
+    # headline is COMPUTE-bound with md5 the largest term).
+    try:
+        from extended_rabitq_spark.queries.dedup import (
+            dedup_minhash_lsh_production,
+        )
+
+        t0 = time.perf_counter()
+        run_full(dedup_minhash_lsh_production(spark, sf_dir))
+        extras["dedup_minhash_xxh64_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        print(f"bench: minhash xxh64 failed: {exc}", file=sys.stderr)
+        extras["dedup_minhash_xxh64_sec"] = -1.0
+        ensure_alive()
+
     # BPE apply throughput (VERDICT r6 item 7): train once (untimed, the
     # bounded-collect protocol), then time the broadcast-ranks Arrow
     # tokenize pass — the map-only stage that scales with corpus size.

@@ -152,19 +152,29 @@ N_MINHASH = 8
 N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 2
 
 
-def minhash_signatures(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+def minhash_signatures(docs: DataFrame, id_: str = "doc_id", text: str = "text",
+                       hash_mode: str = "md5") -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): sig_i = min over shingles of
-    perm_i(hash60(shingle)) — one md5 per shingle, cheap 2-universal
+    perm_i(hash60(shingle)) — one hash per shingle, cheap 2-universal
     permutations per seed (functions.text.MINHASH_COEFFS).  A
-    groupBy-min per seed — partial-agg friendly, one shuffle."""
-    return _signatures_from_shingles(shingle_table(docs, id_, text))
+    groupBy-min per seed — partial-agg friendly, one shuffle.
+    ``hash_mode``: see :func:`_signatures_from_shingles`."""
+    return _signatures_from_shingles(shingle_table(docs, id_, text), hash_mode)
 
 
-def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
-    # One md5 per shingle (projected once), then N cheap 2-universal
+def _signatures_from_shingles(sh: DataFrame, hash_mode: str = "md5") -> DataFrame:
+    # One hash per shingle (projected once), then N cheap 2-universal
     # permutations (functions.text.minhash_perm) — the signature pass
     # hashes the exploded shingle table ONCE instead of N_MINHASH times.
-    th = sh.select("doc_id", F.expr(T.hash60("shingle")).alias("h"))
+    # hash_mode='md5' is the cross-engine oracle hash; 'xxh64' is the
+    # JVM-native production hash (functions.text.xxh60) — candidate
+    # DISCOVERY is hash-family-dependent, but the exact-Jaccard verify
+    # step reads shingle strings, so verified pairs carry true Jaccard
+    # either way.
+    hfn = T.hash60 if hash_mode == "md5" else T.xxh60
+    if hash_mode not in ("md5", "xxh64"):
+        raise ValueError(f"hash_mode must be 'md5' or 'xxh64', got {hash_mode!r}")
+    th = sh.select("doc_id", F.expr(hfn("shingle")).alias("h"))
     aggs = [
         F.min(F.expr(T.minhash_perm(i, "h"))).alias(f"sig_{i}")
         for i in range(N_MINHASH)
@@ -198,7 +208,8 @@ def _band_keys(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.4, id_: str = "doc_id", text: str = "text"
+    docs: DataFrame, threshold: float = 0.4, id_: str = "doc_id", text: str = "text",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-dup: band-collision candidates verified with exact
     Jaccard → (doc_a, doc_b, jaccard_r).  Only collided pairs are scored.
@@ -221,7 +232,7 @@ def minhash_lsh_pairs(
     raw = raw_shingles(docs, id_, text).localCheckpoint(eager=True)
     stop = stop_shingles(docs, id_, text, shingles=raw)
     sh = raw.join(F.broadcast(stop), on="shingle", how="left_anti")
-    sigs = _signatures_from_shingles(sh)
+    sigs = _signatures_from_shingles(sh, hash_mode)
     bands = _band_keys(sigs)
     cand = (
         bands.alias("x")

@@ -126,6 +126,23 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNREGISTERED production twin of ``dedup_minhash_lsh``: xxh64
+    shingle hashing (JVM-native, no md5 string round-trip).  Candidate
+    discovery uses a different hash family, so it is bench-only — the
+    oracle row stays on the portable md5 hash; the equivalence of
+    VERIFIED pairs on the test corpora is pinned by
+    tests/test_dedup_text.py."""
+    from ..tables import spread_small_scan
+
+    return dedup.minhash_lsh_pairs(
+        spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        ),
+        hash_mode="xxh64",
+    )
+
+
 def _simhash_oracle(max_hamming: int) -> str:
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents),

@@ -42,6 +42,33 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (3, 4) not in pairs
 
 
+def test_minhash_hash_modes_same_verified_pairs(spark, docs):
+    """hash_mode='xxh64' (production, JVM-native) vs 'md5' (oracle):
+    candidate DISCOVERY uses a different hash family, but on corpora
+    whose near-dups sit well above the threshold both modes must emit
+    the same verified pairs with the same exact-Jaccard values — pinned
+    on the planted fixture AND the sf0.001 documents table."""
+    sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (docs, sf):
+        md5 = {(r.doc_a, r.doc_b): r.jaccard_r
+               for r in dedup.minhash_lsh_pairs(frame).collect()}
+        xxh = {(r.doc_a, r.doc_b): r.jaccard_r
+               for r in dedup.minhash_lsh_pairs(frame, hash_mode="xxh64").collect()}
+        assert md5  # non-vacuous: the corpus has near-dups
+        # verified values are hash-independent (exact Jaccard on shingle
+        # strings): every pair BOTH modes discover agrees exactly
+        common = md5.keys() & xxh.keys()
+        assert all(md5[p] == xxh[p] for p in common)
+        # discovery may differ only on borderline pairs — with 4 bands
+        # of 2 rows, J ≥ 0.95 collides w.p. ≥ 1-(1-0.95²)⁴ ≈ 0.99997
+        # per hash family; everything that high must be found by both
+        for p in md5.keys() ^ xxh.keys():
+            j = md5.get(p, xxh.get(p))
+            assert j < 0.95, (p, j)
+    with pytest.raises(ValueError, match="hash_mode"):
+        dedup.minhash_lsh_pairs(docs, hash_mode="sha1").collect()
+
+
 def test_simhash_near_dup(docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
     assert pairs[(0, 1)] == 0 and pairs[(0, 5)] == 0
