@@ -215,6 +215,7 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
             rounds=a.rounds, probes_factory=probes_factory, metric=metric,
             amortized=a.amortized, rerank=a.rerank, warmup=a.warmup,
             refine=a.refine if a.refine > 0 else None, gt=gt_df,
+            refine_mode=a.refine_mode,
         )
     print("nprobe,QPS,recall,ratio")
     for r in rows:
@@ -504,6 +505,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="E4 exact re-rank: final ranks from true distances of the "
              "γ·k shortlist joined against --base (broadcast shortlist; "
              "the base table is never shuffled)",
+    )
+    s.add_argument(
+        "--refine-mode", default="rank", choices=["rank", "threshold"],
+        help="E2 cut form: 'rank' = fixed γ·k budget (--refine); "
+             "'threshold' = the reference's adaptive distk analog — keep "
+             "candidates whose lower bound ≤ the query's k-th best "
+             "estimate (γ ignored)",
     )
     s.add_argument(
         "--warmup", action="store_true",

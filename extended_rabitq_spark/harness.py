@@ -56,6 +56,7 @@ def nprobe_sweep(
     rerank: bool = False,
     warmup: bool = False,
     gt: DataFrame | None = None,
+    refine_mode: str = "rank",
 ) -> list[SweepRow]:
     """Sweep the nprobe grid ascending; stop at recall saturation or
     plateau.  mode='ivf' scans exact distances over probed clusters;
@@ -145,7 +146,7 @@ def nprobe_sweep(
         sweep_pool, sweep_scored = rabitq_ops.rabitq_search_sweep(
             queries, index_df, centroids_full, meta,
             nprobes=list(grid), k=k, estimator=estimator, refine=refine,
-            rerank_base=base if rerank else None,
+            rerank_base=base if rerank else None, refine_mode=refine_mode,
         )
     out: list[SweepRow] = []
     prev_recall = -1.0
@@ -166,6 +167,7 @@ def nprobe_sweep(
                     res = rabitq_ops.rabitq_search(
                         queries, index_df, centroids_full, meta, nprobe=nprobe, k=k,
                         estimator=estimator, refine=refine,
+                        refine_mode=refine_mode,
                         rerank_base=base if rerank else None,
                         probes=None if probes_factory is None else probes_factory(nprobe),
                     )

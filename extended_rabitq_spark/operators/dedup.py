@@ -148,6 +148,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame, threshold: float = 0.5, id_: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    SSJoin/PPJoin family) → (doc_a, doc_b, jaccard_r), identical output
+    to :func:`ngram_jaccard_pairs` at the same threshold (pinned in
+    tests/test_dedup_text.py) with a provably-complete candidate set
+    that joins only PREFIX shingles instead of all shingles.
+
+    The filter law: order every doc's shingles by one global order
+    (ascending document frequency — rarest first — ties by shingle
+    string).  J(x,y) ≥ t forces |y| ≥ t·|x| (else J ≤ |y|/|x| < t) and
+    hence overlap ≥ ⌈t·|x|⌉; by pigeonhole two sets with overlap ≥ α
+    must share a token within their first |·| − α + 1 tokens of the
+    common order.  So joining prefixes of length |x| − ⌈t·|x|⌉ + 1
+    misses no qualifying pair, and the rarest-first order makes those
+    prefixes the LOWEST-df shingles — candidate buckets are small by
+    construction (vs the all-shingle join, whose biggest buckets are
+    the df-cap boundary).  A length filter (|y| ≥ t·|x|) prunes the
+    survivors before the exact verify.  ⌈·⌉ is computed on t·n − 1e-9:
+    binary-float t (e.g. 0.4) can land a hair ABOVE the exact product
+    and shrink the prefix by one — the epsilon only ever LENGTHENS a
+    prefix, which is always complete.
+
+    100-TB shape: one shingle materialization feeds ranking, sizes, and
+    verify; everything else is equi-joins + one window partitioned by
+    doc_id.  Unlike MinHash-LSH the output is exact (no hash-family
+    recall loss) — this is the right tool when the dedup policy is a
+    hard Jaccard threshold rather than a recall/cost trade."""
+    if not 0.0 < threshold <= 1.0:
+        # t ≤ 0 makes every pair qualify (the prefix bound degenerates
+        # to the whole set and the inner-join verify would still drop
+        # zero-overlap pairs — wrong output, so refuse)
+        raise ValueError(f"jaccard_prefix_pairs: threshold must be in (0, 1], got {threshold}")
+    sh = shingle_table(docs, id_, text).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, on="shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, on="doc_id")
+    )
+    prefix_len = F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh") - 1e-9) + 1
+    prefix = ranked.where(F.col("_pos") <= prefix_len).select(
+        "doc_id", "shingle", "nsh"
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), on="shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        # length filter both ways (relaxed by the same epsilon — pruning
+        # may only be LESS aggressive than exact, never more)
+        .where(
+            (F.col("y.nsh") >= threshold * F.col("x.nsh") - 1e-9)
+            & (F.col("x.nsh") >= threshold * F.col("y.nsh") - 1e-9)
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # exact verify on the SAME materialized shingles (minhash_lsh_pairs'
+    # verify shape: semi-join down to candidate docs, then count the
+    # intersection per pair)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, on="doc_a").join(sb, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jac"),
+        )
+    )
+    return j.where(F.col("jac") >= threshold).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard_r")
+    )
+
+
 N_MINHASH = 8
 N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 2
 

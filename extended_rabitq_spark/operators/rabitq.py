@@ -1383,17 +1383,47 @@ def _finalize_topk(
     rerank_base: DataFrame | None,
     qid: str,
     qvec: str,
+    refine_mode: str = "rank",
 ) -> DataFrame:
-    """Shared phase-2: est_lb rank cut (E2, §4.2.2) → optional exact
-    re-rank (E4) → final top-k (W3) → (qid, rank, id, est_dist).
+    """Shared phase-2: E2 cut → optional exact re-rank (E4) → final
+    top-k (W3) → (qid, rank, id, est_dist).
 
-    The cut keeps the γ·k best error-bound lower bounds per query — a
-    superset of the reference's sequential distk threshold at γ≥1.  With
-    ``rerank_base`` the raw vectors join ONLY the broadcast shortlist
-    (NQ·γk rows), so the 100 TB vector table is scanned in place, never
+    ``refine_mode='rank'`` (default) keeps the γ·k best error-bound
+    lower bounds per query — a superset of the reference's sequential
+    distk threshold at γ≥1.  ``refine_mode='threshold'`` is the CLOSEST
+    batch analog of that threshold itself
+    (inc/index/Searcher.hpp:217-233: prune candidates whose lower bound
+    can't beat the running k-th best): keep candidates with est_lb ≤
+    the k-th smallest B-bit estimate of their query — adaptive per
+    query (easy queries keep barely k, boundary queries keep more),
+    no γ to tune.  At least k candidates always survive (the k
+    est-smallest each have est_lb ≤ est_dist ≤ dist_k); queries with
+    < k candidates keep everything.  Both windows share one
+    hashpartitioning(qid) exchange.
+
+    With ``rerank_base`` the raw vectors join ONLY the broadcast
+    shortlist, so the 100 TB vector table is scanned in place, never
     shuffled."""
+    if refine_mode not in ("rank", "threshold"):
+        raise ValueError(
+            f"refine_mode must be 'rank' or 'threshold', got {refine_mode!r}"
+        )
     shortlist = scored
-    if refine is not None:
+    if refine_mode == "threshold":
+        w_est = Window.partitionBy("qid").orderBy(
+            F.col("est_dist").asc(), F.col("id").asc()
+        )
+        w_q = Window.partitionBy("qid")
+        shortlist = (
+            scored.withColumn("_re", F.row_number().over(w_est))
+            .withColumn(
+                "_distk",
+                F.max(F.when(F.col("_re") <= k, F.col("est_dist"))).over(w_q),
+            )
+            .where(F.col("est_lb") <= F.col("_distk"))
+            .drop("_re", "_distk")
+        )
+    elif refine is not None:
         w_lb = Window.partitionBy("qid").orderBy(F.col("est_lb").asc(), F.col("id").asc())
         shortlist = (
             scored.withColumn("_r", F.row_number().over(w_lb))
@@ -1549,6 +1579,7 @@ def rabitq_search(
     probes: DataFrame | None = None,
     full_probes: bool = False,
     centroid_rows: list | None = None,
+    refine_mode: str = "rank",
 ) -> DataFrame:
     """Full two-phase Extended-RaBitQ search → (qid, rank, id, est_dist).
 
@@ -1595,6 +1626,11 @@ def rabitq_search(
     queries, rerank_base, qid, qvec = _prepare_search_inputs(
         queries, rerank_base, meta, qid, qvec
     )
+    if refine_mode == "threshold":
+        # the adaptive distk threshold is defined over the FULL candidate
+        # pool — disable the per-cluster pre-cut so the k-th estimate and
+        # the lb filter see every probed candidate
+        refine = None
     if probes is not None and scorer in ("arrow", "arrow_broadcast"):
         # the broadcast scorer's probe prep is driver-side by design;
         # injected probe DataFrames (e.g. graph_probes, W2) route to the
@@ -1621,7 +1657,9 @@ def rabitq_search(
         )
     else:
         raise ValueError(f"rabitq_search: unknown scorer {scorer!r}")
-    return _finalize_topk(scored, queries, k, refine, rerank_base, qid, qvec)
+    return _finalize_topk(
+        scored, queries, k, refine, rerank_base, qid, qvec, refine_mode
+    )
 
 
 def rabitq_search_sweep(
@@ -1638,6 +1676,7 @@ def rabitq_search_sweep(
     scorer: str = "arrow",
     estimator: str = "searcher",
     broadcast_max_queries: int = 4096,
+    refine_mode: str = "rank",
 ) -> tuple[dict[int, DataFrame], DataFrame]:
     """Amortized nprobe sweep →
     ``({nprobe: (qid, rank, id, est_dist)}, scored_pool)``.
@@ -1668,6 +1707,8 @@ def rabitq_search_sweep(
         queries, rerank_base, meta, qid, qvec
     )
     np_max = max(nprobes)
+    if refine_mode == "threshold":
+        refine = None  # see rabitq_search: threshold is pool-wide
     cut = None if refine is None else refine * k
     if scorer == "arrow":
         nq = queries.select(qid).count()
@@ -1688,7 +1729,9 @@ def rabitq_search_sweep(
     out: dict[int, DataFrame] = {}
     for np_ in sorted(set(int(n) for n in nprobes)):
         pool = scored.where(F.col("probe_rank") <= np_).drop("probe_rank")
-        out[np_] = _finalize_topk(pool, queries, k, refine, rerank_base, qid, qvec)
+        out[np_] = _finalize_topk(
+            pool, queries, k, refine, rerank_base, qid, qvec, refine_mode
+        )
     return out, scored
 
 

@@ -42,7 +42,12 @@ sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle)
        WHERE freq.df <= {dedup.DF_CAP}),
 sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)"""
 
-_JACCARD_ORACLE = f"""
+def _jaccard_oracle(threshold: float) -> str:
+    # the all-pairs shingle equi-join form: the SPEC for both the
+    # all-shingle Spark join (dedup_ngram_jaccard) and the
+    # prefix-filtered exact join (dedup_jaccard_prefix) — two algorithms,
+    # one answer
+    return f"""
 WITH {_SHINGLE_CTES},
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -52,8 +57,11 @@ j AS (SELECT doc_a, doc_b,
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b)
-SELECT doc_a, doc_b, round(jac, 6) AS jaccard_r FROM j WHERE jac >= 0.5
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard_r FROM j WHERE jac >= {threshold}
 """
+
+
+_JACCARD_ORACLE = _jaccard_oracle(0.5)
 
 
 @register("dedup_ngram_jaccard", _JACCARD_ORACLE)
@@ -123,6 +131,23 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_small_scan(
             spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
         )
+    )
+
+
+@register("dedup_jaccard_prefix", _jaccard_oracle(0.6))
+def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold join via prefix filtering (SSJoin/PPJoin
+    family): joins only the rarest |x|−⌈t|x|⌉+1 shingles per doc — a
+    provably-complete candidate set far smaller than the all-shingle
+    join's, verified with exact Jaccard (losslessness pinned in
+    tests/test_dedup_text.py at five thresholds)."""
+    from ..tables import spread_small_scan
+
+    return dedup.jaccard_prefix_pairs(
+        spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        ),
+        threshold=0.6,
     )
 
 

@@ -42,6 +42,23 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (3, 4) not in pairs
 
 
+def test_jaccard_prefix_filter_is_lossless(spark, docs):
+    """The prefix-filtered exact join must return EXACTLY the all-shingle
+    join's output at every threshold — including t=0.4, whose binary
+    float sits above the exact value (0.4·5 → 2.0000000000000004), the
+    ceil edge the epsilon guards."""
+    sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (docs, sf):
+        for t in (0.3, 0.4, 0.5, 0.8, 1.0):
+            full = {(r.doc_a, r.doc_b): r.jaccard_r
+                    for r in dedup.ngram_jaccard_pairs(frame, threshold=t).collect()}
+            pref = {(r.doc_a, r.doc_b): r.jaccard_r
+                    for r in dedup.jaccard_prefix_pairs(frame, threshold=t).collect()}
+            assert pref == full, t
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.jaccard_prefix_pairs(docs, threshold=0.0)
+
+
 def test_minhash_hash_modes_same_verified_pairs(spark, docs):
     """hash_mode='xxh64' (production, JVM-native) vs 'md5' (oracle):
     candidate DISCOVERY uses a different hash family, but on corpora

@@ -675,6 +675,60 @@ class TestCogroupScorer:
         _assert_rank_identical(_res_map(plain), _res_map(pre), tol=0.0)
         idx.unpersist()
 
+    def test_threshold_refine_mode(self, spark):
+        """refine_mode='threshold' (the reference's adaptive distk prune,
+        Searcher.hpp:217-233, in batch form).  Theorem tested: WITHOUT
+        rerank the final ranking is by est_dist and every one of the k
+        est-smallest candidates survives the cut (est_lb ≤ est_dist ≤
+        dist_k), so the top-k is BITWISE the uncut single-phase result.
+        With rerank it must stay within the exact-over-all-candidates
+        envelope on the fixture."""
+        import pytest as _pytest
+
+        from extended_rabitq_spark.operators import rabitq
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        kw = dict(nprobe=4, k=10)
+        uncut = rabitq.rabitq_search(qs, idx, cents_full, meta,
+                                     refine=None, **kw)
+        thr = rabitq.rabitq_search(qs, idx, cents_full, meta,
+                                   refine_mode="threshold", **kw)
+        _assert_rank_identical(_res_map(uncut), _res_map(thr), tol=0.0)
+        # rerank: the threshold cut prunes on a PROBABILISTIC lower bound
+        # (exactly like the reference's error-bound prune), so a rare
+        # estimate-overshoot can drop a true neighbor — require ≥95%
+        # per-query top-k set agreement with the full-pool exact rerank
+        uncut_r = rabitq.rabitq_search(qs, idx, cents_full, meta,
+                                       refine=None, rerank_base=base, **kw)
+        thr_r = rabitq.rabitq_search(qs, idx, cents_full, meta,
+                                     refine_mode="threshold",
+                                     rerank_base=base, **kw)
+        um, tm = _res_map(uncut_r), _res_map(thr_r)
+        qids = {q for q, _ in um}
+        hits = total = 0
+        for q in qids:
+            uset = {um[(q, r)][0] for r in range(1, 11)}
+            tset = {tm[(q, r)][0] for r in range(1, 11)}
+            hits += len(uset & tset)
+            total += 10
+        assert hits / total >= 0.95, hits / total
+        with _pytest.raises(ValueError, match="refine_mode"):
+            rabitq.rabitq_search(qs, idx, cents_full, meta,
+                                 refine_mode="distk", **kw).collect()
+        # amortized sweep path: per-point results identical to standalone
+        pool, scored = rabitq.rabitq_search_sweep(
+            qs, idx, cents_full, meta, nprobes=[2, 4], k=10,
+            refine_mode="threshold",
+        )
+        standalone = rabitq.rabitq_search(qs, idx, cents_full, meta,
+                                          nprobe=2, k=10,
+                                          refine_mode="threshold")
+        # 1-ulp est drift allowed: the pool scores at max(grid), so BLAS
+        # batch shapes differ from the standalone np=2 run
+        _assert_rank_identical(_res_map(pool[2]), _res_map(standalone), tol=1e-12)
+        scored.unpersist()
+        idx.unpersist()
+
     def test_arrow_rerank_matches_sql_rerank(self, spark):
         """VERDICT r1 #6: exact re-rank now works behind the Arrow paths
         and matches the SQL scorer's re-ranked output exactly."""
