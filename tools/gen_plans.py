@@ -87,6 +87,26 @@ def main() -> None:
         "anti-joins the corpus-wide stop list.",
     )
     add(
+        "dedup_jaccard_prefix (exact prefix-filtered set-similarity join)",
+        QUERIES["dedup_jaccard_prefix"](spark, SF),
+        "One shingle materialization; document-frequency ranking window "
+        "(hashpartitioning by doc_id) selects the rarest-first prefix; "
+        "candidates come from a shingle equi-join of PREFIXES only plus "
+        "a two-sided length filter; the exact verify semi-joins the "
+        "materialized shingles down to candidate docs.  No O(N²) node "
+        "anywhere; output provably equals the all-shingle join.",
+    )
+    add(
+        "rabitq_search refine_mode='threshold' (adaptive distk prune)",
+        rabitq.rabitq_search(
+            qs, codes, cf, meta2, nprobe=3, k=10, scorer="sql",
+            refine_mode="threshold",
+        ),
+        "The two phase-2 windows (k-th best estimate, then the est_lb ≤ "
+        "dist_k filter) share ONE hashpartitioning(qid) exchange — the "
+        "adaptive cut costs no extra shuffle over the rank cut.",
+    )
+    add(
         "pipeline_clean_corpus (composed)",
         QUERIES["pipeline_clean_corpus"](spark, SF),
         "Exact dedup (hash groupBy) -> quality filter (map-only) -> "
