@@ -37,6 +37,9 @@ PIPELINE_QUERIES = [
 # end-to-end compositions.
 EXTRA_QUERIES = [
     "pipeline_clean_corpus",
+    # round-8: exact prefix-filtered Jaccard join — measured 17.1% of the
+    # all-shingle join's candidate pairs at sf0.1/t=0.6, identical output
+    "dedup_jaccard_prefix",
     "dedup_embedding_ann",
     "dedup_components",
     "contamination_check",

@@ -166,14 +166,12 @@ _RECALL_COUNTS_ORACLE = (
 )
 
 
-@register("rabitq_recall_counts", _RECALL_COUNTS_ORACLE)
-def rabitq_recall_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query GT hit counts of the quantized two-phase search at the
-    pinned operating point (B=4, nprobe=NPROBE, k=K, DEFAULT_SEED) —
-    integer-exact, hash-stable attestation of the approximate path."""
+def _recall_counts(spark: SparkSession, sf_dir: str, **search_kw) -> DataFrame:
     base, index_df, cents, meta = _build(spark, sf_dir)
     qs = _queries_df(spark, sf_dir)
-    res = rabitq.rabitq_search(qs, index_df, cents, meta, nprobe=NPROBE, k=K)
+    res = rabitq.rabitq_search(
+        qs, index_df, cents, meta, nprobe=NPROBE, k=K, **search_kw
+    )
     gt = knn.exact_knn(qs, base, k=K)
     hits = (
         res.where(F.col("rank") <= K).select("qid", "id")
@@ -185,3 +183,39 @@ def rabitq_recall_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs.select("qid").join(hits, on="qid", how="left")
         .select("qid", F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"))
     )
+
+
+@register("rabitq_recall_counts", _RECALL_COUNTS_ORACLE)
+def rabitq_recall_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query GT hit counts of the quantized two-phase search at the
+    pinned operating point (B=4, nprobe=NPROBE, k=K, DEFAULT_SEED) —
+    integer-exact, hash-stable attestation of the approximate path."""
+    return _recall_counts(spark, sf_dir)
+
+
+# Same attestation mechanism for the adaptive distk prune
+# (refine_mode='threshold', inc/index/Searcher.hpp:217-233 analog):
+# without rerank the cut provably keeps the k est-smallest candidates,
+# so these counts equal the refine=None single phase — at the gate
+# scale (~30 candidates/query < γ·k=40) the rank cut is inactive too,
+# so the tables coincide; the row still attests the DISTINCT threshold
+# plan (double qid window, no per-cluster pre-cut).  Pinned for sf0.01
+# by tools/gen_recall_counts_expected.py.
+_RECALL_COUNTS_ADAPTIVE_EXPECTED = [
+    (0, 6), (1, 3), (2, 7), (3, 5), (4, 4),
+    (5, 5), (6, 7), (7, 1), (8, 5), (9, 5),
+]
+
+_RECALL_COUNTS_ADAPTIVE_ORACLE = (
+    "SELECT CAST(qid AS BIGINT) AS qid, CAST(hits AS BIGINT) AS hits FROM (VALUES "
+    + ", ".join(f"({q}, {h})" for q, h in _RECALL_COUNTS_ADAPTIVE_EXPECTED)
+    + ") AS t(qid, hits)"
+)
+
+
+@register("rabitq_recall_counts_adaptive", _RECALL_COUNTS_ADAPTIVE_ORACLE)
+def rabitq_recall_counts_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit counts of the ADAPTIVE-prune search (refine_mode='threshold')
+    at the same pinned operating point — driver attestation for the
+    distk-analog cut."""
+    return _recall_counts(spark, sf_dir, refine_mode="threshold")

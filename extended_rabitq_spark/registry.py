@@ -338,6 +338,17 @@ _PROMOTED = [
     "decontaminate_ngrams",  # GPT-3/PaLM 13-gram span-removal decon
 ]
 
+# Registered THIS round (tri-scale-verified at registration time) but
+# deliberately queued BEHIND the checked window until a future rotation
+# promotes them — new registrations must never displace in-window
+# entries mid-round (the window composition is fixed when the round's
+# rotation is committed; tests/test_registry.py guards the family
+# representatives).  Ordering: _PROMOTED, unlisted, _QUEUED, _DEMOTED.
+_QUEUED = [
+    "dedup_jaccard_prefix",          # r8: exact prefix-filtered Jaccard join
+    "rabitq_recall_counts_adaptive", # r8: adaptive distk prune attestation
+]
+
 
 def _check_ordered(mapping: dict) -> dict:
     """A copy of ``mapping`` with demoted entries moved to the tail.
@@ -348,15 +359,24 @@ def _check_ordered(mapping: dict) -> dict:
     directly (the submodule's own registrations haven't run yet when
     the registry module body reaches the reorder — a circular-import
     hazard the import-time version tripped in tests)."""
-    missing = [n for n in _DEMOTED + _PROMOTED if n not in QUERIES]
+    missing = [n for n in _DEMOTED + _PROMOTED + _QUEUED if n not in QUERIES]
     if missing:  # not an assert: must also fire under python -O
-        raise ValueError(f"_DEMOTED/_PROMOTED names not registered: {missing}")
-    overlap = set(_DEMOTED) & set(_PROMOTED)
-    if overlap:
-        raise ValueError(f"names both demoted and promoted: {sorted(overlap)}")
+        raise ValueError(
+            f"_DEMOTED/_PROMOTED/_QUEUED names not registered: {missing}"
+        )
+    for (na, la), (nb, lb) in (
+        (("demoted", _DEMOTED), ("promoted", _PROMOTED)),
+        (("demoted", _DEMOTED), ("queued", _QUEUED)),
+        (("promoted", _PROMOTED), ("queued", _QUEUED)),
+    ):
+        overlap = set(la) & set(lb)
+        if overlap:
+            raise ValueError(f"names both {na} and {nb}: {sorted(overlap)}")
+    listed = set(_DEMOTED) | set(_PROMOTED) | set(_QUEUED)
     ordered = (
         [n for n in _PROMOTED if n in mapping]
-        + [n for n in mapping if n not in _DEMOTED and n not in _PROMOTED]
+        + [n for n in mapping if n not in listed]
+        + [n for n in mapping if n in _QUEUED]
         + [n for n in mapping if n in _DEMOTED]
     )
     return {n: mapping[n] for n in ordered}

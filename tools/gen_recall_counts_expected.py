@@ -30,13 +30,19 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    from extended_rabitq_spark.queries.rabitq import rabitq_recall_counts
+    from extended_rabitq_spark.queries.rabitq import _recall_counts
 
-    rows = sorted((r.qid, r.hits) for r in rabitq_recall_counts(spark, sf_dir).collect())
-    print("_RECALL_COUNTS_EXPECTED = [")
-    for q, h in rows:
-        print(f"    ({q}, {h}),")
-    print("]")
+    for name, kw in (
+        ("_RECALL_COUNTS_EXPECTED", {}),
+        ("_RECALL_COUNTS_ADAPTIVE_EXPECTED", {"refine_mode": "threshold"}),
+    ):
+        rows = sorted(
+            (r.qid, r.hits) for r in _recall_counts(spark, sf_dir, **kw).collect()
+        )
+        print(f"{name} = [")
+        for q, h in rows:
+            print(f"    ({q}, {h}),")
+        print("]")
     spark.stop()
     return 0
 
