@@ -53,9 +53,12 @@ def exact_dedup(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> Dat
     )
 
 
-def shingle_table(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+def shingle_table(docs: DataFrame, id_: str = "doc_id", text: str = "text",
+                  keep_df: bool = False) -> DataFrame:
     """(doc_id, shingle) distinct word-3-shingles, stop-shingles (df >
-    DF_CAP) removed."""
+    DF_CAP) removed.  ``keep_df=True`` retains the ``_df`` document
+    frequency the cap window already computed — consumers that need df
+    (the prefix-filter ranking) then skip a whole groupBy+join pass."""
     # Materialize tokens before shingling (a lambda body re-evaluates any
     # embedded subexpression per element — inlining split() would
     # re-tokenize the whole document per shingle index), but FUSE the
@@ -70,11 +73,8 @@ def shingle_table(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> D
     # anyway, so skew exposure is identical and AQE covers it; measured
     # 4.2s → 2.4s on the sf0.1 shingle table, values unchanged).
     w = Window.partitionBy("shingle")
-    return (
-        sh.withColumn("_df", F.count("*").over(w))
-        .where(F.col("_df") <= DF_CAP)
-        .select("doc_id", "shingle")
-    )
+    capped = sh.withColumn("_df", F.count("*").over(w)).where(F.col("_df") <= DF_CAP)
+    return capped if keep_df else capped.select("doc_id", "shingle")
 
 
 def raw_shingles(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
@@ -182,13 +182,15 @@ def jaccard_prefix_pairs(
         # to the whole set and the inner-join verify would still drop
         # zero-overlap pairs — wrong output, so refuse)
         raise ValueError(f"jaccard_prefix_pairs: threshold must be in (0, 1], got {threshold}")
-    sh = shingle_table(docs, id_, text).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # keep_df: the cap window inside shingle_table already counted each
+    # shingle's document frequency — reusing it saves the groupBy+join
+    # re-derivation (one full shuffle of the shingle table)
+    sh_df = shingle_table(docs, id_, text, keep_df=True).localCheckpoint(eager=True)
+    sh = sh_df.select("doc_id", "shingle")
+    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
     ranked = (
-        sh.join(dfreq, on="shingle")
-        .withColumn("_pos", F.row_number().over(w))
+        sh_df.withColumn("_pos", F.row_number().over(w))
         .join(sizes, on="doc_id")
     )
     prefix_len = F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh") - 1e-9) + 1
