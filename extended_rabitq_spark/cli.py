@@ -178,6 +178,11 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
             index_df=codes, centroids_full=cents_full, meta=meta,
             metric=metric, probes_factory=probes_factory, rounds=a.rounds,
             amortized=a.amortized, gt=gt_df,
+            # the tuned nprobe must be measured under the SAME phase-2
+            # config it will serve with — a γ/rerank mismatch would pick
+            # an nprobe whose recorded recall the serving path can't hit
+            refine=a.refine if a.refine > 0 else None,
+            rerank=a.rerank, refine_mode=a.refine_mode,
         )
         got = next(r for r in rows if r.nprobe == np_sel)
         print(f"tuned nprobe={np_sel} recall={got.recall:.5f} "
@@ -198,6 +203,11 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
             m["tuned_recall"] = round(float(got.recall), 6)
             m["tuned_target"] = float(a.target_recall)
             m["tuned_target_met"] = bool(met)
+            # the phase-2 config the tuning ran under — serving must
+            # reproduce it for tuned_recall to transfer
+            m["tuned_refine"] = int(a.refine) if a.refine > 0 else None
+            m["tuned_rerank"] = bool(a.rerank)
+            m["tuned_refine_mode"] = a.refine_mode
             with open(f"{a.index}/meta.json", "w") as fh:
                 json.dump(m, fh)
             if met:

@@ -273,6 +273,9 @@ def tune_nprobe(
     rounds: int = 1,
     amortized: bool = False,
     gt: DataFrame | None = None,
+    refine: int | None = 4,
+    rerank: bool = False,
+    refine_mode: str = "rank",
 ) -> tuple[int, list[SweepRow]]:
     """W5 serving knob: the smallest grid nprobe whose measured recall@k
     meets ``target_recall`` on the given validation queries → (nprobe,
@@ -296,7 +299,7 @@ def tune_nprobe(
         index_df=index_df, centroids_full=centroids_full, meta=meta,
         estimator=estimator, recall_stop=target_recall, metric=metric,
         probes_factory=probes_factory, rounds=rounds, amortized=amortized,
-        gt=gt,
+        gt=gt, refine=refine, rerank=rerank, refine_mode=refine_mode,
     )
     for r in rows:
         if r.recall >= target_recall:

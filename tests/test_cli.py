@@ -118,6 +118,21 @@ def test_cli_search_target_recall(spark, tmp_path, capsys):
     meta = json.load(open(f"{idx}/meta.json"))
     assert meta["tuned_nprobe"] in (1, 2, 4)
     assert meta["tuned_recall"] >= 0.6 and meta["tuned_target"] == 0.6
+    # the phase-2 config the tuner measured under is recorded so serving
+    # can reproduce tuned_recall (defaults here: rank cut γ=4, no rerank)
+    assert meta["tuned_refine"] == 4
+    assert meta["tuned_rerank"] is False
+    assert meta["tuned_refine_mode"] == "rank"
+    # re-tune under the adaptive prune: the recorded config must follow
+    capsys.readouterr()
+    assert cli.main([
+        "search", idx, q_pq, "--base", base_pq, "--k", "5",
+        "--grid", "1,2,4", "--target-recall", "0.6", "--save-tuned",
+        "--refine-mode", "threshold", "--rerank",
+    ]) == 0
+    meta = json.load(open(f"{idx}/meta.json"))
+    assert meta["tuned_refine_mode"] == "threshold"
+    assert meta["tuned_rerank"] is True
 
 
 def test_cli_ip_metric_index_and_search(spark, tmp_path, capsys):
