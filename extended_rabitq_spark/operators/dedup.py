@@ -195,7 +195,20 @@ def jaccard_prefix_pairs(
     )
     prefix_len = F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh") - 1e-9) + 1
     prefix = ranked.where(F.col("_pos") <= prefix_len).select(
-        "doc_id", "shingle", "nsh"
+        "doc_id", "shingle", "nsh", "_pos"
+    )
+    # positional filter (PPJoin's second filter): J ≥ t forces overlap
+    # α ≥ ⌈t/(1+t)·(|x|+|y|)⌉; for the EARLIEST shared token in the
+    # global order, every other shared token sits after it in both
+    # docs, so 1 + min(|x|−px, |y|−py) ≥ α holds for that token — a
+    # pair is kept iff ANY of its matched prefix tokens passes, which
+    # the post-filter .distinct() expresses for free.  Lossless (the
+    # earliest shared token always passes for a qualifying pair);
+    # epsilon relaxes the bound downward only.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("x.nsh") + F.col("y.nsh"))
+        - 1e-9
     )
     cand = (
         prefix.alias("x")
@@ -206,6 +219,12 @@ def jaccard_prefix_pairs(
         .where(
             (F.col("y.nsh") >= threshold * F.col("x.nsh") - 1e-9)
             & (F.col("x.nsh") >= threshold * F.col("y.nsh") - 1e-9)
+        )
+        .where(
+            1 + F.least(
+                F.col("x.nsh") - F.col("x._pos"),
+                F.col("y.nsh") - F.col("y._pos"),
+            ) >= alpha
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
