@@ -611,6 +611,24 @@ class TestCleanopsPlans:
         assert "NestedLoop" not in inspect.physical_plan(df)
         assert inspect.exchange_count(df) <= 4
 
+    def test_jaccard_prefix_no_nested_loop_and_bounded_shuffles(self, spark):
+        """jaccard_prefix_pairs: pure equi-join pipeline — no nested-loop
+        node anywhere, and the post-checkpoint phase (candidate join +
+        verify) stays within its shuffle budget.  The two localCheckpoint
+        barriers split the plan; this asserts the FINAL segment, which is
+        the part that scales with candidate volume."""
+        from extended_rabitq_spark.operators import dedup
+        from extended_rabitq_spark.plans import inspect
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        df = dedup.jaccard_prefix_pairs(docs, threshold=0.6)
+        plan = inspect.physical_plan(df)
+        assert "NestedLoop" not in plan
+        # verify segment: semi-join to candidate docs (broadcast), the
+        # a/b intersection joins, the count agg, two size joins — every
+        # join keyed, shuffles bounded
+        assert inspect.exchange_count(df) <= 8
+
     def test_shard_export_sorts_per_shard_not_globally(self, spark):
         """Rank windows must partition by shard (parallel sorts), never
         a single global sort."""
