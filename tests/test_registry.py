@@ -114,6 +114,22 @@ def test_every_family_representative_is_inside_the_window():
     assert not evicted, f"family representatives outside the checked window: {evicted}"
 
 
+def test_queued_registrations_sit_between_window_and_demoted():
+    """_QUEUED entries (same-round registrations awaiting rotation) must
+    be OUTSIDE the checked window but AHEAD of the demoted tail — new
+    registrations never displace window members mid-round, and the
+    queued block is the next rotation's candidate pool."""
+    from extended_rabitq_spark.registry import _DEMOTED, _QUEUED
+
+    e = _entry()
+    order = list(e.queries())
+    pos = {n: i for i, n in enumerate(order)}
+    first_demoted = min(pos[n] for n in _DEMOTED)
+    for n in _QUEUED:
+        assert pos[n] >= CHECK_WINDOW, f"{n} displaces a window member"
+        assert pos[n] < first_demoted, f"{n} sorted behind the demoted tail"
+
+
 def test_oracles_is_subset_of_queries_and_order_consistent():
     e = _entry()
     qs, os_ = e.queries(), e.oracle_sql()
