@@ -37,8 +37,10 @@ PIPELINE_QUERIES = [
 # end-to-end compositions.
 EXTRA_QUERIES = [
     "pipeline_clean_corpus",
-    # round-8: exact prefix-filtered Jaccard join — measured 17.1% of the
-    # all-shingle join's candidate pairs at sf0.1/t=0.6, identical output
+    # round-8: exact prefix-filtered Jaccard join — r9: aggregate
+    # positional bounds (66,406 candidates = 5.9% of the all-shingle
+    # join's 1.13M at sf0.1/t=0.6) + array_intersect set verify;
+    # identical output, interleaved A/B −22% vs the r8 shape
     "dedup_jaccard_prefix",
     "dedup_embedding_ann",
     "dedup_components",

@@ -163,6 +163,18 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
             gt_df = spark.read.parquet(a.gt_parquet)
             print(f"search: using GT cache {a.gt_parquet} (k={cached['k']})")
         else:
+            # no sidecar: only build-and-overwrite into an empty/absent
+            # target.  A non-empty directory without _gt_meta.json is NOT
+            # ours (GT from another tool, or unrelated data) — refuse
+            # rather than destroy it, mirroring the provenance-mismatch
+            # error above (ADVICE r8).
+            if _os.path.isdir(a.gt_parquet) and _os.listdir(a.gt_parquet):
+                raise SystemExit(
+                    f"search: {a.gt_parquet} exists and is non-empty but has "
+                    "no _gt_meta.json sidecar — refusing to overwrite data "
+                    "this tool did not write; delete it or point "
+                    "--gt-parquet elsewhere"
+                )
             from .operators import knn as _knn
 
             gt_df = _knn.exact_knn_combined(queries, base, k=a.k, metric=metric)
@@ -233,6 +245,37 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
     if a.results_dir:
         tag = f"exhaf{int(meta.get('total_bits', 0))}"
         save_results_csv(rows, a.results_dir, a.dataset, tag)
+    return 0
+
+
+def cmd_query(spark: SparkSession, a: argparse.Namespace) -> int:
+    """Single-shot top-k serving over a saved index — the verb a user
+    runs AFTER create-index (+ optional --target-recall tuning): no
+    grid, no GT, just results.  Routes through
+    operators.rabitq.search_index, so it inherits the index's own
+    serving defaults (persisted tuned_nprobe with the loud stale-tune
+    warning, auto-detected W2 graph probes, ivfpq kind dispatch)."""
+    from .operators.rabitq import search_index
+
+    queries = _vectors(spark, a.queries).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    kw = {}
+    if a.rerank_base:
+        kw["rerank_base"] = _vectors(spark, a.rerank_base)
+    res = search_index(
+        spark, a.index, queries, k=a.k,
+        nprobe=a.nprobe if a.nprobe > 0 else None,
+        use_graph=None if a.use_graph == "auto" else (a.use_graph == "yes"),
+        **kw,
+    )
+    if a.out:
+        res.write.mode("overwrite").parquet(a.out)
+        n = spark.read.parquet(a.out).count()
+        print(f"wrote {n} result rows -> {a.out}")
+    else:
+        for r in res.orderBy("qid", "rank").limit(a.show).collect():
+            print(f"{r['qid']},{r['rank']},{r['id']},{r['est_dist']:.6f}")
     return 0
 
 
@@ -525,9 +568,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument(
         "--warmup", action="store_true",
-        help="one untimed extra round of the first grid point before "
-             "timing (absorbs JVM first-touch and the --amortized pool "
-             "scoring, so QPS reports steady-state per-point throughput)",
+        help="one untimed extra round of every grid point before its "
+             "timing (absorbs JVM first-touch, the --amortized pool "
+             "scoring, and per-point plan JIT, so QPS reports "
+             "steady-state per-point throughput)",
     )
     s.add_argument(
         "--gt-parquet", default=None,
@@ -595,6 +639,29 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", default=None, help=".ivecs GT file (qid-sorted rows)")
     s.add_argument("--out-parquet", default=None, help="GT as (qid, rank, id, dist)")
     s.set_defaults(fn=cmd_gt)
+
+    s = sub.add_parser(
+        "query",
+        help="single-shot top-k serving over a saved index "
+             "(tuned_nprobe default; no sweep/GT)",
+    )
+    s.add_argument("index")
+    s.add_argument("queries", help="query vectors parquet")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--nprobe", type=int, default=0,
+                   help="0 = the index's persisted tuned_nprobe "
+                        "(or K/16 fallback)")
+    s.add_argument("--rerank-base", default=None,
+                   help="raw vectors parquet for E4 exact re-rank")
+    s.add_argument("--use-graph", default="auto",
+                   choices=["auto", "yes", "no"],
+                   help="W2 graph probes: auto-detect the persisted "
+                        "graph artifact, or force on/off")
+    s.add_argument("--out", default=None,
+                   help="write results parquet instead of printing")
+    s.add_argument("--show", type=int, default=50,
+                   help="rows to print when --out is not given")
+    s.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("stats", help="cluster-balance report")
     s.add_argument("index")

@@ -149,7 +149,11 @@ def ngram_jaccard_pairs(
 
 
 def jaccard_prefix_pairs(
-    docs: DataFrame, threshold: float = 0.5, id_: str = "doc_id", text: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_: str = "doc_id",
+    text: str = "text",
+    broadcast_max_docs: int = 65536,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering (the
     SSJoin/PPJoin family) → (doc_a, doc_b, jaccard_r), identical output
@@ -187,27 +191,44 @@ def jaccard_prefix_pairs(
     # re-derivation (one full shuffle of the shingle table)
     sh_df = shingle_table(docs, id_, text, keep_df=True).localCheckpoint(eager=True)
     sh = sh_df.select("doc_id", "shingle")
-    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    # nsh via a COUNT window over the SAME doc_id partitioning as the
+    # prefix-rank window — one shared hashpartitioning(doc_id) exchange
+    # instead of the r8 groupBy+join re-derivation (the shingle_table
+    # df-cap move applied here; the verify gets its sizes from the
+    # per-doc sets below, so nothing else needs the aggregate)
     w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    w_doc = Window.partitionBy("doc_id")
     ranked = (
         sh_df.withColumn("_pos", F.row_number().over(w))
-        .join(sizes, on="doc_id")
+        .withColumn("nsh", F.count("*").over(w_doc))
     )
     prefix_len = F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh") - 1e-9) + 1
     prefix = ranked.where(F.col("_pos") <= prefix_len).select(
         "doc_id", "shingle", "nsh", "_pos"
     )
-    # positional filter (PPJoin's second filter): J ≥ t forces overlap
-    # α ≥ ⌈t/(1+t)·(|x|+|y|)⌉; for the EARLIEST shared token in the
-    # global order, every other shared token sits after it in both
-    # docs, so 1 + min(|x|−px, |y|−py) ≥ α holds for that token — a
-    # pair is kept iff ANY of its matched prefix tokens passes, which
-    # the post-filter .distinct() expresses for free.  Lossless (the
-    # earliest shared token always passes for a qualifying pair);
-    # epsilon relaxes the bound downward only.
+    # positional filters (PPJoin's second filter + a PPJoin+-flavored
+    # multi-match bound, r9): J ≥ t forces overlap α ≥
+    # ⌈t/(1+t)·(|x|+|y|)⌉.  The pair-dedup shuffle the r8 .distinct()
+    # already paid is upgraded to a groupBy that aggregates, per pair,
+    # the matched-prefix-token count c and the first/last matched
+    # positions in each doc — SAME shuffle volume, two lossless bounds
+    # for the price of one:
+    #   (1) earliest-match bound (r8's filter, now exact over the
+    #       true first match instead of ∃-per-row):
+    #       1 + min(|x|−i_first, |y|−j_first) ≥ α;
+    #   (2) multi-match suffix bound: both docs list their shingles in
+    #       ONE global order, so shared tokens appear in the same
+    #       relative order in both — any shared token NOT matched in
+    #       the prefix×prefix join must sit after the LAST prefix
+    #       match in BOTH docs (if it preceded i_last in x it would
+    #       precede j_last in y by order-consistency, putting it
+    #       inside both prefixes = matched, contradiction).  Hence
+    #       overlap ≤ c + min(|x|−i_last, |y|−j_last) ≥ α required.
+    #   Both are true upper bounds on overlap, so qualifying pairs
+    #   always pass (lossless; epsilon relaxes α downward only).
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold))
-        * (F.col("x.nsh") + F.col("y.nsh"))
+        * (F.col("_na") + F.col("_nb"))
         - 1e-9
     )
     cand = (
@@ -220,36 +241,99 @@ def jaccard_prefix_pairs(
             (F.col("y.nsh") >= threshold * F.col("x.nsh") - 1e-9)
             & (F.col("x.nsh") >= threshold * F.col("y.nsh") - 1e-9)
         )
-        .where(
-            1 + F.least(
-                F.col("x.nsh") - F.col("x._pos"),
-                F.col("y.nsh") - F.col("y._pos"),
-            ) >= alpha
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        .agg(
+            F.count("*").alias("_c"),
+            F.min("x._pos").alias("_if"), F.min("y._pos").alias("_jf"),
+            F.max("x._pos").alias("_il"), F.max("y._pos").alias("_jl"),
+            F.max("x.nsh").alias("_na"), F.max("y.nsh").alias("_nb"),
+        )
+        .where(
+            (1 + F.least(F.col("_na") - F.col("_if"),
+                         F.col("_nb") - F.col("_jf")) >= alpha)
+            & (F.col("_c") + F.least(F.col("_na") - F.col("_il"),
+                                     F.col("_nb") - F.col("_jl")) >= alpha)
+        )
+        .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    # exact verify on the SAME materialized shingles (minhash_lsh_pairs'
-    # verify shape: semi-join down to candidate docs, then count the
-    # intersection per pair)
+    # exact verify on the SAME materialized shingles — as per-doc SETS,
+    # not an exploded join (VERDICT r8 item 4): the previous shape
+    # expanded every candidate pair by doc_a's full shingle list
+    # (Σ_pairs |x| rows — ~8M at sf0.1/t=0.6) and shuffled that through
+    # a second join + groupBy.  Collapsing each candidate doc's
+    # (already-distinct) shingles into ONE array row makes the verify
+    # two equi-joins of the candidate list against a compact per-doc
+    # table, with the intersection counted JVM-side by array_intersect
+    # (hash-set build per row, O(|x|+|y|), inside codegen) — no
+    # per-pair row expansion, no verify-side shuffle of shingle rows.
+    # Exactness is unchanged: same distinct string shingles, same
+    # counts; the sets also carry nsh so the old sizes joins fold in.
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
-    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, on="doc_a").join(sb, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # ONE materialization feeds both pair-join sides (the aliased
+    # selects below would otherwise defeat exchange reuse and compute
+    # the semi-join + collect twice) and its count doubles as the
+    # routing key — no separate count job.
+    doc_sets = (
+        sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shs"), F.count("*").alias("nsh"))
+        .localCheckpoint(eager=False)
     )
+    # route the pair joins by candidate-doc count (the rabitq_search
+    # auto-route move).  Under the bound, doc_sets broadcasts and the
+    # pairs REPARTITION first: the verify is CPU-bound (hash-set
+    # intersects) but byte-small, so AQE would coalesce it onto ~4
+    # tasks and leave 28 cores idle (measured 1.3s → 0.56s at sf0.1
+    # from the spread alone).  Above the bound — 100 TB corpora where
+    # candidate docs are unbounded — both joins stay plain equi-joins
+    # (sort-merge, no driver/executor-memory exposure).
+    n_cand_docs = doc_sets.count()
+    if n_cand_docs <= broadcast_max_docs:
+        sets_a = F.broadcast(doc_sets)
+        sets_b = F.broadcast(doc_sets)
+        # EXPLICIT partition count: an expression-only repartition is
+        # AQE-coalescible and collapses this byte-small stage back onto
+        # one task (measured 2.3s single-task vs 0.56s spread); a
+        # user-specified count is exempt from coalescing.
+        pairs_in = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism, "doc_a"
+        )
+    else:
+        sets_a = doc_sets
+        sets_b = doc_sets
+        pairs_in = cand
     j = (
-        inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), on="doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), on="doc_b")
+        pairs_in
+        .join(
+            sets_a.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shs").alias("sh_a"),
+                F.col("nsh").alias("na"),
+            ),
+            on="doc_a",
+        )
+        .join(
+            sets_b.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shs").alias("sh_b"),
+                F.col("nsh").alias("nb"),
+            ),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            "na",
+            "nb",
+        )
         .select(
             "doc_a",
             "doc_b",

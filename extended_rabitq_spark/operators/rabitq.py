@@ -1056,6 +1056,13 @@ _SCORED_SCHEMA = "qid long, id long, est_dist double, est_lb double"
 # probe rank so ONE scored pool serves every nprobe ≤ the scored maximum
 _SCORED_SCHEMA_PR = _SCORED_SCHEMA + ", probe_rank long"
 
+# the micro-batch contract: batches at or under this size may use the
+# driver-prepped broadcast scorer; anything larger auto-routes to the
+# cogroup scorer (no driver collect of the query side).  Exposed as a
+# module constant so callers that PIN the broadcast scorer (the serving
+# benchmark) can enforce the same bound they bypass (ADVICE r8).
+_BROADCAST_MAX_QUERIES_DEFAULT = 4096
+
 
 def _arrow_scored_broadcast(
     queries: DataFrame,
@@ -1375,6 +1382,39 @@ def rabitq_search_arrow(
     return _finalize_topk(scored, queries, k, refine, None, qid, qvec)
 
 
+def _threshold_marked(scored: DataFrame, k: int) -> DataFrame:
+    """Tag each scored candidate with the adaptive distk-analog verdict:
+    ``_keep`` ⇔ est_lb ≤ the k-th smallest est_dist of its query (the
+    batch form of the reference's sequential running-threshold prune,
+    inc/index/Searcher.hpp:217-233 / Pool.hpp:28-31).  Both windows
+    share one hashpartitioning(qid) exchange.  Shared by the search
+    path (:func:`_threshold_shortlist`) and the attestation stats
+    (:func:`rabitq_threshold_stats`) so the two can never drift."""
+    w_est = Window.partitionBy("qid").orderBy(
+        F.col("est_dist").asc(), F.col("id").asc()
+    )
+    w_q = Window.partitionBy("qid")
+    return (
+        scored.withColumn("_re", F.row_number().over(w_est))
+        .withColumn(
+            "_distk",
+            F.max(F.when(F.col("_re") <= k, F.col("est_dist"))).over(w_q),
+        )
+        .withColumn("_keep", F.col("est_lb") <= F.col("_distk"))
+    )
+
+
+def _threshold_shortlist(scored: DataFrame, k: int) -> DataFrame:
+    """E2 adaptive threshold cut: survivors of :func:`_threshold_marked`.
+    At least k candidates always survive (the k est-smallest each have
+    est_lb ≤ est_dist ≤ dist_k); queries with < k candidates keep all."""
+    return (
+        _threshold_marked(scored, k)
+        .where(F.col("_keep"))
+        .drop("_re", "_distk", "_keep")
+    )
+
+
 def _finalize_topk(
     scored: DataFrame,
     queries: DataFrame,
@@ -1410,19 +1450,7 @@ def _finalize_topk(
         )
     shortlist = scored
     if refine_mode == "threshold":
-        w_est = Window.partitionBy("qid").orderBy(
-            F.col("est_dist").asc(), F.col("id").asc()
-        )
-        w_q = Window.partitionBy("qid")
-        shortlist = (
-            scored.withColumn("_re", F.row_number().over(w_est))
-            .withColumn(
-                "_distk",
-                F.max(F.when(F.col("_re") <= k, F.col("est_dist"))).over(w_q),
-            )
-            .where(F.col("est_lb") <= F.col("_distk"))
-            .drop("_re", "_distk")
-        )
+        shortlist = _threshold_shortlist(scored, k)
     elif refine is not None:
         w_lb = Window.partitionBy("qid").orderBy(F.col("est_lb").asc(), F.col("id").asc())
         shortlist = (
@@ -1575,7 +1603,7 @@ def rabitq_search(
     qvec: str = "qvec",
     scorer: str = "arrow",
     estimator: str = "searcher",
-    broadcast_max_queries: int = 4096,
+    broadcast_max_queries: int = _BROADCAST_MAX_QUERIES_DEFAULT,
     probes: DataFrame | None = None,
     full_probes: bool = False,
     centroid_rows: list | None = None,
@@ -1631,6 +1659,34 @@ def rabitq_search(
         # pool — disable the per-cluster pre-cut so the k-th estimate and
         # the lb filter see every probed candidate
         refine = None
+    scored = _scored_candidates(
+        queries, codes, centroids, meta, nprobe, qid, qvec, scorer,
+        estimator, broadcast_max_queries, probes, full_probes,
+        centroid_rows, per_cluster_cut=None if refine is None else refine * k,
+    )
+    return _finalize_topk(
+        scored, queries, k, refine, rerank_base, qid, qvec, refine_mode
+    )
+
+
+def _scored_candidates(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    nprobe: int,
+    qid: str,
+    qvec: str,
+    scorer: str,
+    estimator: str,
+    broadcast_max_queries: int,
+    probes: DataFrame | None,
+    full_probes: bool,
+    centroid_rows: list | None,
+    per_cluster_cut: int | None,
+) -> DataFrame:
+    """Phase-1 scorer routing shared by :func:`rabitq_search` and
+    :func:`rabitq_threshold_stats` → (qid, id, est_dist, est_lb)."""
     if probes is not None and scorer in ("arrow", "arrow_broadcast"):
         # the broadcast scorer's probe prep is driver-side by design;
         # injected probe DataFrames (e.g. graph_probes, W2) route to the
@@ -1640,25 +1696,60 @@ def rabitq_search(
         nq = queries.select(qid).count()
         scorer = "arrow_broadcast" if nq <= broadcast_max_queries else "arrow_cogroup"
     if scorer == "arrow_broadcast":
-        scored = _arrow_scored_broadcast(
+        return _arrow_scored_broadcast(
             queries, codes, centroids, meta, nprobe, qid, qvec, estimator,
-            per_cluster_cut=None if refine is None else refine * k,
+            per_cluster_cut=per_cluster_cut,
             centroid_rows=centroid_rows,
         )
-    elif scorer == "arrow_cogroup":
-        scored = _arrow_scored_cogroup(
+    if scorer == "arrow_cogroup":
+        return _arrow_scored_cogroup(
             queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes,
-            per_cluster_cut=None if refine is None else refine * k,
+            per_cluster_cut=per_cluster_cut,
             full_probes=full_probes,
         )
-    elif scorer == "sql":
-        scored = _sql_scored(
+    if scorer == "sql":
+        return _sql_scored(
             queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes
         )
-    else:
-        raise ValueError(f"rabitq_search: unknown scorer {scorer!r}")
-    return _finalize_topk(
-        scored, queries, k, refine, rerank_base, qid, qvec, refine_mode
+    raise ValueError(f"rabitq_search: unknown scorer {scorer!r}")
+
+
+def rabitq_threshold_stats(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    nprobe: int,
+    k: int,
+    qid: str = "qid",
+    qvec: str = "qvec",
+    scorer: str = "arrow",
+    estimator: str = "searcher",
+    broadcast_max_queries: int = _BROADCAST_MAX_QUERIES_DEFAULT,
+) -> DataFrame:
+    """Adaptive-prune activity attestation → (qid, n_pool, n_kept):
+    per query, the scored candidate pool size and the survivors of the
+    distk-analog threshold cut (refine_mode='threshold').
+
+    ``n_kept < n_pool`` certifies the cut is ACTIVE — the prune
+    genuinely discards candidates — while the no-rerank equivalence
+    theorem (tests/test_rabitq.py) guarantees the final top-k is
+    bitwise unchanged; ``n_kept ≥ min(k, n_pool)`` always (the k
+    est-smallest survive by construction).  Integer-exact and
+    hash-stable: every (est_dist, est_lb) is an independent fixed
+    float expression of the pinned-seed build, so the comparison
+    outcomes are reproducible (same argument as rabitq_recall_counts).
+    One pass over the pool — the marking windows and the counts share
+    a single hashpartitioning(qid) exchange, no persist needed."""
+    queries, _, qid, qvec = _prepare_search_inputs(queries, None, meta, qid, qvec)
+    scored = _scored_candidates(
+        queries, codes, centroids, meta, nprobe, qid, qvec, scorer,
+        estimator, broadcast_max_queries, probes=None, full_probes=False,
+        centroid_rows=None, per_cluster_cut=None,
+    )
+    return _threshold_marked(scored, k).groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_pool"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
     )
 
 
@@ -1675,7 +1766,7 @@ def rabitq_search_sweep(
     qvec: str = "qvec",
     scorer: str = "arrow",
     estimator: str = "searcher",
-    broadcast_max_queries: int = 4096,
+    broadcast_max_queries: int = _BROADCAST_MAX_QUERIES_DEFAULT,
     refine_mode: str = "rank",
 ) -> tuple[dict[int, DataFrame], DataFrame]:
     """Amortized nprobe sweep →

@@ -569,20 +569,24 @@ def quantile_sketch(
     shuffle, so shuffle volume is O(partitions · groups · k) no matter
     the corpus size).  ``key`` must be group-unique (a doc/row id);
     hash ties are broken by the key itself so the sample is a function
-    of the DATA, not the partitioning."""
+    of the DATA, not the partitioning.  The tie-break uses the SAME
+    ``CAST(key AS STRING)`` expression the hash consumes (ADVICE r8: a
+    long cast would null out string doc ids and silently void the
+    determinism guarantee), and ``kk`` stays in the sketch schema so
+    :func:`quantile_sketch_merge` can re-cut with the identical order."""
     from pyspark.sql import Window
 
     h = df.where(F.col(key).isNotNull()).select(
         *group_cols,
         F.expr(_hash_expr(hash_fn, f"CAST({key} AS STRING)")).alias("h"),
-        F.col(key).cast("long").alias("kk"),
+        F.col(key).cast("string").alias("kk"),
         F.col(value).cast("long").alias("v"),
     )
     w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc(), F.col("kk").asc())
     return (
         h.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
-        .select(*group_cols, "h", "v")
+        .select(*group_cols, "h", "kk", "v")
     )
 
 
@@ -592,10 +596,14 @@ def quantile_sketch_merge(
     """Union of shard sketches → one sketch per group: re-cut to the k
     smallest hashes (the KMV merge law applied to the carried values).
     NOTE: valid only when every input sketch was built with the same
-    ``hash_fn`` and a group-unique key."""
+    ``hash_fn`` and a group-unique key.  The re-cut orders by (h, kk) —
+    the same window :func:`quantile_sketch` used — so an exact hash tie
+    at the k boundary merges deterministically and the merge law
+    (bottom-k of union == re-cut of union of bottom-ks) holds bitwise
+    (ADVICE r8)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc(), F.col("kk").asc())
     return (
         sketches.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)

@@ -570,7 +570,7 @@ def _qsk_oracle() -> str:
     h = T.d_hash60("CAST(doc_id AS VARCHAR)")
     return f"""
 WITH d AS (SELECT source, doc_id, n_chars FROM documents),
-hs AS (SELECT source, {h} AS h, doc_id AS kk, n_chars AS v FROM d),
+hs AS (SELECT source, {h} AS h, CAST(doc_id AS VARCHAR) AS kk, n_chars AS v FROM d),
 sk AS (SELECT source, h, v,
               row_number() OVER (PARTITION BY source ORDER BY h ASC, kk ASC) AS rn
        FROM hs QUALIFY rn <= {QSK_GRADE_K}),

@@ -182,14 +182,8 @@ _DEMOTED = [
     "knn_mrl_prefix",        # NEW r6 (Matryoshka two-phase KNN): same
                              # rationale; similarity family keeps
                              # knn_exact/knn_cosine checked
-    "knn_int8_rerank",       # NEW r6 (SQ estimate→rerank over the int8
-                             # storage codec): same rationale; oracle =
-                             # same two-phase plan in SQL
-    "knn_binary_rerank",     # NEW r6 (Hamming estimate → exact fp32
-                             # rerank, the E1→E3 shape over 1-bit
-                             # codes): same rationale; r9 rotation
-                             # candidate (knn_hamming + knn_pq_adc
-                             # carry the binary/PQ families r8)
+    # (knn_int8_rerank and knn_binary_rerank — NEW r6, estimate→rerank
+    # rows — rotated INTO the r9 window; see _PROMOTED.)
     "knn_opq_adc",           # NEW r6 (OPQ learned rotation + PQ ADC):
                              # rows-only by nature (numpy Procrustes
                              # training); would burn a checked slot on
@@ -275,6 +269,59 @@ _DEMOTED = [
     "stratified_sample",     # green r2-r7; sampling family keeps
                              # corpus_mixture_sample + dsir_select +
                              # incoming weighted_sample_aes
+    # --- round-9 window ROTATION (VERDICT r8 item 1) ----------------------
+    # Sixteen swaps: the three r8 _QUEUED registrations, the new
+    # rabitq_recall_counts_ha (VERDICT r8 item 6), the eight remaining
+    # TPC-H shapes, both estimate→rerank family rows, and the two
+    # text rows that sat just outside the window.  Each rotated-out
+    # entry below has ≥3 green driver rounds, keeps a checked family
+    # representative in-window, and stays verified by the cap-free
+    # parity replica.
+    "vocab_stats",           # green r5-r8; corpus-profile family keeps
+                             # tfidf_top_terms + incoming token_pmi
+    "dedup_spans",           # green r5-r8; dedup family keeps
+                             # minhash_lsh/embedding_ann/semdedup/
+                             # decontaminate_ngrams + incoming
+                             # jaccard_prefix
+    "training_shard_export", # green r5-r8; export/sampling family keeps
+                             # weighted_sample_aes + corpus_mixture_sample
+    "tpch_q5",               # green r6-r8; TPC-H keeps q10/q2/q22/q4/
+                             # q7/q12 + the eight incoming shapes
+    "tpch_q18",              # green r6-r8; same reps
+    "tpch_q15",              # green r6-r8; same reps
+    "token_topk",            # green r1,r6-r8; token-relevance family
+                             # keeps tfidf_top_terms + incoming token_pmi
+    "text_repetition",       # green r6-r8; text family keeps
+                             # text_quality/text_pii_scrub + incoming
+                             # text_quality_bins
+    "dedup_lines",           # green r6-r8; CCNet segment family: same
+                             # dedup reps + decontaminate_ngrams is the
+                             # span-removal superset
+    "rabitq_recall_counts",  # green r6-r8; its content is strictly
+                             # carried by the incoming _adaptive row
+                             # (hits column equal by the no-rerank
+                             # theorem, tests/test_rabitq.py) + _ha
+    "knn_exact",             # green r1-r8; J1/W4 stays exercised
+                             # in-window as the GT side of ivf_recall
+                             # and both recall_counts attestations;
+                             # similarity family keeps knn_hamming/
+                             # maxsim + incoming binary/int8 rerank
+    "vector_stats",          # green r1-r8; P5/P9 family keeps
+                             # query_quantize_uniform (P6) checked;
+                             # prop-tests cover the kernels
+    "dedup_ngram_jaccard",   # green r1-r8; the incoming
+                             # dedup_jaccard_prefix is its LOSSLESS
+                             # accelerated twin (identical output,
+                             # pinned at 5 thresholds × 2 corpora)
+    "dedup_simhash_banded",  # green r1-r8; dedup family keeps six reps
+                             # in-window; banding losslessness pinned
+                             # in tests/test_dedup.py
+    "ivf_centroids",         # green r1-r8; A2 stays composed in-window
+                             # (knn_ivf/ivf_recall build the same
+                             # centroid CTE), same argument as the r7
+                             # ivf_assign rotation
+    "events_salted_cohort_join",  # green r4-r8; events family keeps
+                             # rate_anomaly/zorder/scd2 in-window
 ]
 
 # Promoted to the head of the registration order so they land inside the
@@ -282,24 +329,8 @@ _DEMOTED = [
 # family (TPC-H DECIMAL aggregation, correlated EXISTS/NOT EXISTS,
 # CUBE grouping sets, winnowing document fingerprint).
 _PROMOTED = [
-    # round-5 rotation: first-time driver checks for distinct shapes.
-    "vocab_stats",           # exact count-distinct over exploded tokens
-    "dedup_spans",           # stride-1 window-hash span dedup (CCNet-style)
-    "training_shard_export", # salted-hash shard ranks (map-only export)
-    # round-6 rotation: first-time driver checks (pre-verified bit-exact
-    # through the pandas canonicalization path at end of r5).  (These
-    # have 3 greens r6-r7-r8 pending; r9 rotation-out candidates.)
-    "tpch_q5",               # full 6-table star join, broadcast dims
-    "tpch_q18",              # HAVING-subquery as broadcast key join
-    "tpch_q15",              # decimal-equality scalar max (revenue view)
-    "token_topk",            # per-group heavy hitters (token relevance)
-    "text_repetition",       # explode→count top word/bigram shares
-    "dedup_lines",           # CCNet-style duplicated-segment removal
-    "rabitq_recall_counts",  # first hashable driver row for the
-                             # APPROXIMATE search path (VERDICT r5 #6):
-                             # integer GT hit counts at the pinned
-                             # (B=4, nprobe, k, seed) operating point
-                             # vs a committed expected table
+    # (round-5 and round-6 rotation cohorts completed ≥3 green rounds and
+    # rotated OUT in r9 — see the round-9 block in _DEMOTED.)
     # round-7 rotation: ten first-time driver checks (VERDICT r6 item 1 —
     # r7 manifest + r8 pool, all pre-verified bit-exact through the
     # pandas canonicalization path at flip time, COVERAGE.md).
@@ -336,6 +367,36 @@ _PROMOTED = [
     "events_scd2_intervals", # SCD Type-2 validity intervals
     "weighted_sample_aes",   # Efraimidis-Spirakis weighted sampling
     "decontaminate_ngrams",  # GPT-3/PaLM 13-gram span-removal decon
+    # round-9 rotation: sixteen first-time driver checks (VERDICT r8
+    # items 1/3/6).  All sixteen re-verified bit-exact through the
+    # pandas canonicalization path at flip time (tests/
+    # test_oracle_parity.py + the cap-free replica; COVERAGE.md
+    # round-9 manifest).
+    "sketch_length_quantiles",  # mergeable bottom-k quantile sketch
+                             # (r8 _QUEUED; first quantile-sketch row)
+    "dedup_jaccard_prefix",  # exact prefix-filtered Jaccard join
+                             # (PPJoin family, r8 _QUEUED)
+    "rabitq_recall_counts_adaptive",  # adaptive distk prune, now
+                             # attesting an ACTIVE cut: pinned
+                             # (hits, n_pool, n_kept) with n_kept ≪
+                             # n_pool (VERDICT r8 item 3)
+    "rabitq_recall_counts_ha",  # HIGH_ACC estimator (published exhaf4
+                             # operating point) — first HA hash row
+                             # (VERDICT r8 item 6); table differs from
+                             # the searcher's on 2 of 10 qids
+    "tpch_q8",               # market-share CASE-in-ratio over 8 tables
+    "tpch_q9",               # product-type profit (9-way join + LIKE)
+    "tpch_q11",              # scalar-subquery HAVING threshold
+    "tpch_q14",              # promo revenue CASE ratio
+    "tpch_q16",              # anti-join + count-distinct supplier
+    "tpch_q17",              # correlated avg-quantity subquery
+    "tpch_q19",              # disjunctive multi-predicate join
+    "tpch_q20",              # nested EXISTS/IN semi-join chain
+    "knn_binary_rerank",     # Hamming estimate → exact fp32 rerank
+                             # (E1→E3 shape over 1-bit codes)
+    "knn_int8_rerank",       # SQ int8 estimate → exact rerank
+    "text_quality_bins",     # histogram of the quality score family
+    "token_pmi",             # bigram PMI token relevance
 ]
 
 # Registered THIS round (tri-scale-verified at registration time) but
@@ -344,9 +405,9 @@ _PROMOTED = [
 # entries mid-round (the window composition is fixed when the round's
 # rotation is committed; tests/test_registry.py guards the family
 # representatives).  Ordering: _PROMOTED, unlisted, _QUEUED, _DEMOTED.
-_QUEUED = [
-    "dedup_jaccard_prefix",          # r8: exact prefix-filtered Jaccard join
-    "rabitq_recall_counts_adaptive", # r8: adaptive distk prune attestation
+_QUEUED: list[str] = [
+    # (r8's queued registrations — dedup_jaccard_prefix,
+    # rabitq_recall_counts_adaptive — rotated into the r9 window.)
 ]
 
 

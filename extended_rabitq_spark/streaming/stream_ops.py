@@ -163,6 +163,22 @@ def synthetic_query_stream(
     )
 
 
+def _pick_serving_scorer(rows_per_batch: int) -> str:
+    """The serving benchmark's scorer pin (ADVICE r8): the broadcast
+    Arrow scorer is only pinned while the micro-batch size respects
+    rabitq_search's ``broadcast_max_queries`` contract — an explicit
+    scorer bypasses the auto-route, so the bound is enforced here.
+    Oversized batches keep the auto-route ('arrow': one extra count()
+    job per batch, but never a whole-batch driver collect)."""
+    from ..operators.rabitq import _BROADCAST_MAX_QUERIES_DEFAULT
+
+    return (
+        "arrow_broadcast"
+        if rows_per_batch <= _BROADCAST_MAX_QUERIES_DEFAULT
+        else "arrow"
+    )
+
+
 def serve_latency_benchmark(
     spark: SparkSession,
     index_path: str,
@@ -230,8 +246,9 @@ def serve_latency_benchmark(
     # pin the broadcast Arrow scorer: the default 'arrow' auto-route runs
     # a count() job per batch just to pick a scorer — a whole extra
     # scheduling floor per micro-batch on the serving path (r8, VERDICT
-    # r7 item 7)
-    _scorer = "arrow_broadcast"
+    # r7 item 7).  _pick_serving_scorer enforces the
+    # broadcast_max_queries contract the pin would otherwise bypass.
+    _scorer = _pick_serving_scorer(rows_per_batch)
 
     def _serve(batch_df: DataFrame, epoch: int) -> None:
         t0 = time.perf_counter()

@@ -279,6 +279,74 @@ def test_cli_search_gt_cache(spark, tmp_path, capsys):
             "--grid", "2", "--gt-parquet", gt_pq,
         ])
 
+    # sidecar-less non-empty target (ADVICE r8): --gt-parquet pointed at
+    # existing data this tool did NOT write must refuse, not overwrite
+    foreign = tmp_path / "foreign.parquet"
+    spark.read.parquet(base_pq).write.parquet(str(foreign))
+    assert not (foreign / "_gt_meta.json").exists()
+    with pytest.raises(SystemExit, match="refusing to overwrite"):
+        cli.main([
+            "search", idx, q_pq, "--base", base_pq, "--k", "5",
+            "--grid", "2", "--gt-parquet", str(foreign),
+        ])
+    # the foreign data survives untouched
+    assert spark.read.parquet(str(foreign)).count() == 80
+
+
+def test_cli_query_single_shot(spark, tmp_path, capsys):
+    """The `query` verb (r9): single-shot serving over a saved index —
+    results identical to the library search_index call, honors an
+    explicit --nprobe, falls back to the persisted tuned_nprobe, and
+    surfaces the stale-tune warning."""
+    import json
+    import warnings as _warnings
+
+    from extended_rabitq_spark.operators.rabitq import search_index
+
+    rng = np.random.default_rng(31)
+    mat = rng.standard_normal((90, 8)).astype(np.float32)
+    base_pq = str(tmp_path / "b.parquet")
+    vecs_io.vectors_to_df(spark, mat).write.parquet(base_pq)
+    idx = str(tmp_path / "idx")
+    assert cli.main(["create-index", base_pq, idx, "--k", "4", "--b", "4"]) == 0
+    q_pq = str(tmp_path / "q.parquet")
+    spark.read.parquet(base_pq).where("id < 6").write.parquet(q_pq)
+    capsys.readouterr()
+
+    # parquet output == library result at the same nprobe
+    out_pq = str(tmp_path / "res.parquet")
+    assert cli.main(["query", idx, q_pq, "--k", "5", "--nprobe", "2",
+                     "--out", out_pq]) == 0
+    got = {(r["qid"], r["rank"]): r["id"]
+           for r in spark.read.parquet(out_pq).collect()}
+    from pyspark.sql import functions as F
+
+    qdf = spark.read.parquet(q_pq).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    want = {(r["qid"], r["rank"]): r["id"]
+            for r in search_index(spark, idx, qdf, k=5, nprobe=2).collect()}
+    assert got == want and len(got) == 30
+
+    # stdout mode prints qid,rank,id,est_dist rows
+    capsys.readouterr()
+    assert cli.main(["query", idx, q_pq, "--k", "3", "--nprobe", "2",
+                     "--show", "9"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
+             if ln.count(",") == 3]
+    assert len(lines) == 9
+
+    # tuned_nprobe default + loud stale-tune warning
+    with open(f"{idx}/meta.json") as fh:
+        m = json.load(fh)
+    m.update(tuned_nprobe=2, tuned_recall=0.5, tuned_target=0.9,
+             tuned_target_met=False)
+    with open(f"{idx}/meta.json", "w") as fh:
+        json.dump(m, fh)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        assert cli.main(["query", idx, q_pq, "--k", "3", "--show", "3"]) == 0
+    assert any("missed its recall target" in str(w.message) for w in rec)
+
 
 def test_cli_quality_scores_corpus(spark, tmp_path, capsys):
     from conftest import SF_SMOKE

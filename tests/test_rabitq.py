@@ -729,6 +729,50 @@ class TestCogroupScorer:
         scored.unpersist()
         idx.unpersist()
 
+    def test_threshold_stats_attest_active_cut(self, spark):
+        """rabitq_threshold_stats (VERDICT r8 item 3): per-query pool /
+        survivor counts must agree with the ACTUAL threshold shortlist
+        (same _threshold_marked expression), show an ACTIVE cut on the
+        fixture (n_kept < n_pool), and respect the ≥ min(k, n_pool)
+        survival floor."""
+        from extended_rabitq_spark.operators import rabitq
+        from extended_rabitq_spark.operators.rabitq import (
+            _prepare_search_inputs,
+            _scored_candidates,
+            _threshold_shortlist,
+        )
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        k, nprobe = 10, 4
+        stats = {
+            r.qid: (r.n_pool, r.n_kept)
+            for r in rabitq.rabitq_threshold_stats(
+                qs, idx, cents_full, meta, nprobe=nprobe, k=k
+            ).collect()
+        }
+        # independent recount straight off the scored pool + shortlist
+        q2, _, qid, qvec = _prepare_search_inputs(qs, None, meta, "qid", "qvec")
+        scored = _scored_candidates(
+            q2, idx, cents_full, meta, nprobe, qid, qvec, "arrow",
+            "searcher", 4096, probes=None, full_probes=False,
+            centroid_rows=None, per_cluster_cut=None,
+        ).persist()
+        pool = {r.qid: r.n for r in scored.groupBy("qid").count()
+                .withColumnRenamed("count", "n").collect()}
+        kept = {r.qid: r.n for r in _threshold_shortlist(scored, k)
+                .groupBy("qid").count().withColumnRenamed("count", "n").collect()}
+        assert set(stats) == set(pool)
+        for q in stats:
+            n_pool, n_kept = stats[q]
+            assert n_pool == pool[q]
+            assert n_kept == kept.get(q, 0)
+            assert n_kept >= min(k, n_pool)  # survival floor
+            assert n_kept < n_pool, (
+                f"cut inactive for qid={q}: kept all {n_pool} candidates"
+            )
+        scored.unpersist()
+        idx.unpersist()
+
     def test_arrow_rerank_matches_sql_rerank(self, spark):
         """VERDICT r1 #6: exact re-rank now works behind the Arrow paths
         and matches the SQL scorer's re-ranked output exactly."""
@@ -1521,6 +1565,56 @@ class TestRecallCountsAttestation:
         )
         b = sorted((r.qid, r.hits) for r in rabitq_recall_counts(spark, sf).collect())
         assert a == b  # run-to-run determinism
+
+    def test_ha_row_matches_pinned_and_differs_from_searcher(self, spark):
+        """rabitq_recall_counts_ha (VERDICT r8 item 6): the HIGH_ACC
+        estimator's hashable row.  Must match its pinned table AND that
+        table must differ from the default searcher's — otherwise the
+        row would not attest the HA path specifically."""
+        from extended_rabitq_spark.queries.rabitq import (
+            _RECALL_COUNTS_EXPECTED,
+            _RECALL_COUNTS_HA_EXPECTED,
+            rabitq_recall_counts_ha,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        got = sorted(
+            (r.qid, r.hits) for r in rabitq_recall_counts_ha(spark, sf).collect()
+        )
+        assert got == sorted(_RECALL_COUNTS_HA_EXPECTED), (
+            "HIGH_ACC hit counts drifted from the pinned table; if the "
+            "operating point changed ON PURPOSE, regenerate via "
+            "tools/gen_recall_counts_expected.py"
+        )
+        assert sorted(_RECALL_COUNTS_HA_EXPECTED) != sorted(_RECALL_COUNTS_EXPECTED)
+
+    def test_adaptive_row_matches_pinned_and_cut_is_active(self, spark):
+        """The r9 adaptive attestation (VERDICT r8 item 3): the driver
+        row pins (hits, n_pool, n_kept) — hits must equal the plain
+        row's hits (no-rerank equivalence theorem) and the pinned
+        n_kept must be strictly below n_pool for EVERY query (the cut
+        is active, not the theorem's trivial case)."""
+        from extended_rabitq_spark.queries.rabitq import (
+            _RECALL_COUNTS_ADAPTIVE_EXPECTED,
+            _RECALL_COUNTS_EXPECTED,
+            rabitq_recall_counts_adaptive,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        got = sorted(
+            (r.qid, r.hits, r.n_pool, r.n_kept)
+            for r in rabitq_recall_counts_adaptive(spark, sf).collect()
+        )
+        assert got == sorted(_RECALL_COUNTS_ADAPTIVE_EXPECTED), (
+            "adaptive attestation drifted from the pinned table; if the "
+            "operating point changed ON PURPOSE, regenerate via "
+            "tools/gen_recall_counts_expected.py"
+        )
+        plain_hits = dict(_RECALL_COUNTS_EXPECTED)
+        for q, h, n_pool, n_kept in got:
+            assert h == plain_hits[q]  # theorem: hits equal uncut search
+            assert n_kept < n_pool     # and the cut genuinely pruned
+            assert n_kept >= 0 and n_pool > 0
 
     def test_counts_are_a_true_intersection(self, spark):
         """hits == |approx top-k ∩ exact top-k| recomputed independently."""

@@ -15,45 +15,23 @@ CHECK_WINDOW = 50
 # reps below (stratified_sample, text_quality, corpus_stats_cube,
 # ivf_recall).
 MUST_BE_CHECKED = [
-    "knn_exact",            # J1/P8 exact KNN
     "knn_ivf",              # J3 probe join (composes the W1
                             # select_probes that ivf_probes directly
-                            # checked r1-r6, rotated out r7)
-    "ivf_centroids",        # A2 (J2 assign family rep after ivf_assign
-                            # rotated out r7)
+                            # checked r1-r6, rotated out r7; also the
+                            # A2 centroid CTE after ivf_centroids
+                            # rotated out r9)
     "ivf_recall",           # J4 (+ metric-join family rep after r5
-                            # rotated ivf_ratio out)
+                            # rotated ivf_ratio out; GT side keeps the
+                            # J1/W4 exact-KNN primitive exercised after
+                            # knn_exact rotated out r9)
     "query_quantize_uniform",  # P6
     "dedup_minhash_lsh",
-    "dedup_simhash_banded",
-    "dedup_ngram_jaccard",
     "dedup_embedding_ann",
     "corpus_mixture_sample",
-    "events_salted_cohort_join",  # skew tooling
     "text_quality",          # text family rep (text_lang_id rotated r6)
     "text_pii_scrub",
     "multimodal_frames",
     "pipeline_clean_corpus",
-    # r5 first-time rotation entries — pinned so the rotation actually
-    # lands in the driver's sample this round.
-    "vocab_stats",
-    "dedup_spans",
-    "training_shard_export",
-    # r6 first-time rotation entries (VERDICT r5 item 2) — pinned so the
-    # rotation lands in the driver's sample this round.  Rotated out in
-    # exchange (each >=3 green rounds, family rep retained above):
-    # knn_filtered, residual_stats, events_top_type_per_user,
-    # pack_sequences, text_lang_id, corpus_length_quantiles.
-    "tpch_q5",
-    "tpch_q18",
-    "tpch_q15",
-    "token_topk",
-    "text_repetition",
-    "dedup_lines",
-    # the approximate search path's first hashable row (VERDICT r5 #6);
-    # doc_similarity rotated out in exchange (green r1-r5, similarity
-    # family keeps knn_exact/knn_cosine in-window).
-    "rabitq_recall_counts",
     # r7 rotation (VERDICT r6 item 1: 10 swaps — r7 manifest + r8 pool).
     # Rotated out in exchange (each >=3 green driver rounds, family rep
     # retained above): events_windowed, events_sessions, events_funnel,
@@ -90,6 +68,29 @@ MUST_BE_CHECKED = [
     "events_scd2_intervals",
     "weighted_sample_aes",
     "decontaminate_ngrams",
+    # r9 rotation (VERDICT r8 items 1/3/6: 16 swaps).  Rotated out in
+    # exchange (each >=3 green driver rounds, family rep retained in
+    # the window): vocab_stats, dedup_spans, training_shard_export,
+    # tpch_q5, tpch_q18, tpch_q15, token_topk, text_repetition,
+    # dedup_lines, rabitq_recall_counts, knn_exact, vector_stats,
+    # dedup_ngram_jaccard, dedup_simhash_banded, ivf_centroids,
+    # events_salted_cohort_join.
+    "sketch_length_quantiles",
+    "dedup_jaccard_prefix",
+    "rabitq_recall_counts_adaptive",
+    "rabitq_recall_counts_ha",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "knn_binary_rerank",
+    "knn_int8_rerank",
+    "text_quality_bins",
+    "token_pmi",
 ]
 
 

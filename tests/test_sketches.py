@@ -438,6 +438,35 @@ class TestQuantileSketch:
         b = sorted(map(tuple, full.collect()))
         assert a == b
 
+    def test_string_keys_deterministic(self, spark):
+        # ADVICE r8: a long-cast tie-break nulls out string doc ids and
+        # voids the partitioning-invariance guarantee.  String keys must
+        # carry a non-null kk and produce identical sketches regardless
+        # of input partitioning.
+        def mk(parts):
+            return self._docs(spark, 2_000, parts=parts).select(
+                "grp",
+                F.concat(F.lit("doc-"), F.col("key").cast("string")).alias("key"),
+                "v",
+            )
+
+        s1 = sketches.quantile_sketch(mk(2), ["grp"], "v", "key", k=64)
+        s2 = sketches.quantile_sketch(mk(13), ["grp"], "v", "key", k=64)
+        a = sorted(map(tuple, s1.collect()))
+        b = sorted(map(tuple, s2.collect()))
+        assert a == b
+        assert all(r["kk"] is not None for r in s1.collect())
+
+    def test_merge_recut_tie_break(self, spark):
+        # ADVICE r8: an exact hash tie at the k boundary must merge
+        # deterministically — (h, kk) ordering, same window as the
+        # build.  Construct sketches with a planted tie by hand.
+        rows = [("g", 7, "a", 10), ("g", 7, "b", 20), ("g", 7, "c", 30)]
+        sk = spark.createDataFrame(rows, "grp string, h long, kk string, v long")
+        merged = sketches.quantile_sketch_merge(sk, ["grp"], k=2)
+        got = sorted((r["kk"], r["v"]) for r in merged.collect())
+        assert got == [("a", 10), ("b", 20)]  # kk breaks the h tie
+
     def test_partitioning_invariance(self, spark):
         df1 = self._docs(spark, 3_000, parts=2)
         df17 = self._docs(spark, 3_000, parts=17)

@@ -289,8 +289,18 @@ class TestSweep:
             assert abs(p.recall - c.recall) < 1e-9
             assert abs(p.ratio - c.ratio) < 1e-9
         shallow = knn.exact_knn_combined(queries, base, k=5)
-        with _pytest.raises(ValueError, match="depth"):
+        with _pytest.raises(ValueError, match="ragged"):
             nprobe_sweep(queries, base, cents, gt=shallow, **kw)
+        # ragged cache (ADVICE r8): full depth for most queries but one
+        # query missing entirely — a global max(rank) check passes this,
+        # the per-query validation must not
+        ragged = deep_gt.where(F.col("qid") != 0)
+        with _pytest.raises(ValueError, match="ragged"):
+            nprobe_sweep(queries, base, cents, gt=ragged, **kw)
+        # one query shallower than k, global max still >= k
+        ragged2 = deep_gt.where((F.col("qid") != 1) | (F.col("rank") <= 5))
+        with _pytest.raises(ValueError, match="ragged"):
+            nprobe_sweep(queries, base, cents, gt=ragged2, **kw)
 
     def test_results_csv_sinks(self, tmp_path):
         """S7: the reference's two committed CSV artifacts —

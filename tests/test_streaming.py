@@ -208,6 +208,20 @@ def test_serve_latency_benchmark(spark, tmp_path):
         assert s["latency_sec"] > 0
 
 
+def test_serving_scorer_respects_broadcast_bound():
+    """ADVICE r8: the serving benchmark's broadcast-scorer pin must honor
+    rabitq_search's broadcast_max_queries contract — batches above the
+    bound keep the auto-route instead of collecting driver-side."""
+    from extended_rabitq_spark.operators.rabitq import (
+        _BROADCAST_MAX_QUERIES_DEFAULT,
+    )
+    from extended_rabitq_spark.streaming.stream_ops import _pick_serving_scorer
+
+    assert _pick_serving_scorer(50) == "arrow_broadcast"
+    assert _pick_serving_scorer(_BROADCAST_MAX_QUERIES_DEFAULT) == "arrow_broadcast"
+    assert _pick_serving_scorer(_BROADCAST_MAX_QUERIES_DEFAULT + 1) == "arrow"
+
+
 def test_streaming_index_ingest(spark, tmp_path):
     """Index lifecycle write side: build+save a small index, stream two
     extra vector batches in via foreachBatch append, then search the

@@ -91,10 +91,14 @@ def main() -> None:
         QUERIES["dedup_jaccard_prefix"](spark, SF),
         "One shingle materialization; document-frequency ranking window "
         "(hashpartitioning by doc_id) selects the rarest-first prefix; "
-        "candidates come from a shingle equi-join of PREFIXES only plus "
-        "a two-sided length filter; the exact verify semi-joins the "
-        "materialized shingles down to candidate docs.  No O(N²) node "
-        "anywhere; output provably equals the all-shingle join.",
+        "candidates come from a shingle equi-join of PREFIXES only, a "
+        "two-sided length filter, and two aggregate positional bounds "
+        "computed in the pair-dedup groupBy.  The exact verify (r9) "
+        "joins the explicitly-spread pair list against the checkpointed "
+        "per-doc shingle SETS (broadcast under the doc-count route) and "
+        "counts intersections JVM-side via array_intersect — no "
+        "per-pair row expansion.  No O(N²) node anywhere; output "
+        "provably equals the all-shingle join.",
     )
     add(
         "rabitq_search refine_mode='threshold' (adaptive distk prune)",
@@ -105,6 +109,15 @@ def main() -> None:
         "The two phase-2 windows (k-th best estimate, then the est_lb ≤ "
         "dist_k filter) share ONE hashpartitioning(qid) exchange — the "
         "adaptive cut costs no extra shuffle over the rank cut.",
+    )
+    add(
+        "rabitq_threshold_stats (adaptive-prune activity attestation)",
+        rabitq.rabitq_threshold_stats(qs, codes, cf, meta2, nprobe=3, k=10,
+                                      scorer="sql"),
+        "Same _threshold_marked windows as the search path (shared "
+        "hashpartitioning(qid) exchange), then ONE partial-aggregated "
+        "count per query — n_pool/n_kept come from a single pass over "
+        "the scored pool, no persist, no second scoring job.",
     )
     add(
         "pipeline_clean_corpus (composed)",

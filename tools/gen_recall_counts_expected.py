@@ -30,11 +30,14 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    from extended_rabitq_spark.queries.rabitq import _recall_counts
+    from extended_rabitq_spark.queries.rabitq import (
+        _recall_counts,
+        rabitq_recall_counts_adaptive,
+    )
 
     for name, kw in (
         ("_RECALL_COUNTS_EXPECTED", {}),
-        ("_RECALL_COUNTS_ADAPTIVE_EXPECTED", {"refine_mode": "threshold"}),
+        ("_RECALL_COUNTS_HA_EXPECTED", {"estimator": "high_acc"}),
     ):
         rows = sorted(
             (r.qid, r.hits) for r in _recall_counts(spark, sf_dir, **kw).collect()
@@ -43,6 +46,16 @@ def main() -> int:
         for q, h in rows:
             print(f"    ({q}, {h}),")
         print("]")
+    # the adaptive row pins (hits, n_pool, n_kept) — the prune-activity
+    # columns certify the cut is ACTIVE at the pinned operating point
+    arows = sorted(
+        (r.qid, r.hits, r.n_pool, r.n_kept)
+        for r in rabitq_recall_counts_adaptive(spark, sf_dir).collect()
+    )
+    print("_RECALL_COUNTS_ADAPTIVE_EXPECTED = [")
+    for q, h, p, kp in arows:
+        print(f"    ({q}, {h}, {p}, {kp}),")
+    print("]")
     spark.stop()
     return 0
 
