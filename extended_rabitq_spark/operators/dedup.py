@@ -477,6 +477,109 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    docs: DataFrame, id_: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Sketch-calibration audit: per LSH-candidate pair, the MinHash
+    ESTIMATE next to the exact set overlap it approximates →
+    (doc_a, doc_b, sig_matches, inter, nsh_a, nsh_b), all integers.
+
+    ``sig_matches / N_MINHASH`` is the unbiased Jaccard estimator
+    (Broder 1997); a pipeline that trusts MinHash to gate a 100 TB dedup
+    pass should be able to grade that trust on its own corpus without a
+    second tokenize pass — this query emits the estimator and the exact
+    intersection side by side from the SAME shingle materialization.
+    Candidate discovery mirrors :func:`minhash_lsh_pairs` stage-for-stage
+    (one shingle pass, banded equi-join, broadcast stop-list); the extra
+    work over that function is two equi-joins against the 8-column
+    signature table — no all-pairs anywhere.
+    """
+    raw = raw_shingles(docs, id_, text).localCheckpoint(eager=True)
+    stop = stop_shingles(docs, id_, text, shingles=raw)
+    sh = raw.join(F.broadcast(stop), on="shingle", how="left_anti")
+    sigs = _signatures_from_shingles(sh).localCheckpoint(eager=True)
+    bands = _band_keys(sigs)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"_sa_{i}") for i in range(N_MINHASH)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"_sb_{i}") for i in range(N_MINHASH)],
+    )
+    match_expr = sum(
+        F.when(F.col(f"_sa_{i}") == F.col(f"_sb_{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
+        cand.join(sig_a, on="doc_a")
+        .join(sig_b, on="doc_b")
+        .select("doc_a", "doc_b", match_expr.cast("long").alias("sig_matches"))
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(
+        F.broadcast(cand_ids), on="doc_id", how="left_semi"
+    ).localCheckpoint(eager=True)
+    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    inter = (
+        cand.join(sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a")
+        .join(sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle"), on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        est.join(inter, on=["doc_a", "doc_b"], how="left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("_na")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("_nb")), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_matches",
+            F.coalesce(F.col("_inter"), F.lit(0)).cast("long").alias("inter"),
+            F.col("_na").cast("long").alias("nsh_a"),
+            F.col("_nb").cast("long").alias("nsh_b"),
+        )
+    )
+
+
+def shingle_novelty(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-document n-gram novelty profile → (doc_id, n_shingles,
+    n_novel): of a doc's distinct (df-capped) word-3-shingles, how many
+    first appear in THIS doc (global min doc_id over the corpus)?
+
+    The curation metric behind novel-text ordering and repetition audits
+    on ordered corpora (cf. the memorization literature's duplicate-
+    fraction covariate): n_novel/n_shingles near 0 marks a document whose
+    content is entirely recycled from earlier ones even when no single
+    pair crosses a dedup threshold.  Two partial-agg shuffles (first-
+    occurrence groupBy shingle; per-doc counts) + one shingle equi-join —
+    no all-pairs anywhere, and the shingle shuffle is the same key the
+    dedup passes already use.  Integer-only output → hash-stable.
+    """
+    sh = shingle_table(docs, id_, text).localCheckpoint(eager=True)
+    fo = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first_doc"))
+    return (
+        sh.join(fo, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("_first_doc") == F.col("doc_id"), 1)).alias("n_novel"),
+        )
+    )
+
+
 SIMHASH_BITS = 48
 
 

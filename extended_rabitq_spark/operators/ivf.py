@@ -162,6 +162,43 @@ def assign_clusters_combined(
     return base.select(id_, vec).mapInPandas(assign, out_schema)
 
 
+def cell_stats(
+    base: DataFrame,
+    centroids: DataFrame,
+    id_: str = "id",
+    vec: str = "vec",
+    metric: str = "l2",
+) -> DataFrame:
+    """IVF cell-health audit → (cluster_id, n_vectors, sum_dist): per-cell
+    population and total assignment distance — the imbalance report an
+    operator reads before serving a 100 TB IVF index (cell skew is probe-
+    latency skew; a fat cell makes every query probing it pay its size,
+    cf. the reference's per-cluster layout in inc/index/IVF.hpp).
+
+    Cross-engine exactness: each per-row distance lands on the shared
+    6-dp rounding grid, is cast to DECIMAL and summed EXACTLY (decimal
+    addition is order-free, so partial aggregation cannot perturb it);
+    only the final projection converts to DOUBLE, once, on both engines —
+    the TPC-H money-aggregate discipline applied to float distances.
+    Plan: broadcast argmin (same shape as :func:`assign_clusters`, the
+    distance kept) + one partial-agg groupBy — no extra shuffle.
+    """
+    pairs = base.crossJoin(F.broadcast(centroids))
+    dist = distance_col(metric, vec, "centroid")
+    w = Window.partitionBy(id_).orderBy(F.col("_adist").asc(), F.col("cluster_id").asc())
+    asn = (
+        pairs.select(F.col(id_), F.col("cluster_id"), dist.alias("_adist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return asn.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.round("_adist", 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_dist"),
+    )
+
+
 def select_probes(
     queries: DataFrame,
     centroids: DataFrame,

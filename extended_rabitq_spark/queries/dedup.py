@@ -583,3 +583,75 @@ def entity_resolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_size",
         (F.col("part_id") == F.col("entity_id")).alias("is_canonical"),
     )
+
+
+# --- sketch-calibration + novelty profiling (beyond-reference) -------------
+
+_MH_SIG_EQ = " + ".join(
+    f"CASE WHEN x.sig_{i} = y.sig_{i} THEN 1 ELSE 0 END"
+    for i in range(dedup.N_MINHASH)
+)
+
+_MINHASH_EST_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+sigs AS (SELECT doc_id, {_d_sig_cols()} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_UNION}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         WHERE x.doc_id < y.doc_id),
+m AS (SELECT c.doc_a, c.doc_b, CAST({_MH_SIG_EQ} AS BIGINT) AS sig_matches
+      FROM cand c JOIN sigs x ON x.doc_id = c.doc_a
+                  JOIN sigs y ON y.doc_id = c.doc_b),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+SELECT m.doc_a, m.doc_b, m.sig_matches,
+       CAST(coalesce(i.i, 0) AS BIGINT) AS inter,
+       CAST(sa.nsh AS BIGINT) AS nsh_a,
+       CAST(sb.nsh AS BIGINT) AS nsh_b
+FROM m LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+JOIN sizes sa ON sa.doc_id = m.doc_a
+JOIN sizes sb ON sb.doc_id = m.doc_b
+"""
+
+
+@register("minhash_jaccard_estimate", _MINHASH_EST_ORACLE)
+def minhash_jaccard_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration audit: for every LSH candidate pair, the
+    MinHash Jaccard estimator (matching signature components) NEXT TO the
+    exact intersection it approximates — grades the sketch on the actual
+    corpus before it gates a 100 TB dedup pass.  Integer-only output."""
+    from ..tables import spread_small_scan
+
+    return dedup.minhash_estimate_pairs(
+        spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        )
+    )
+
+
+_NOVELTY_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+fo AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT sh.doc_id, count(*) AS n_shingles,
+       count(*) FILTER (WHERE fo.first_doc = sh.doc_id) AS n_novel
+FROM sh JOIN fo USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+@register("doc_ngram_novelty", _NOVELTY_ORACLE)
+def doc_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: how many of a doc's distinct
+    (df-capped) 3-shingles first appear in THIS doc, in corpus doc_id
+    order — the recycled-content covariate of the memorization
+    literature; near-zero novelty marks boilerplate assemblies no single
+    pair-dedup threshold catches."""
+    from ..tables import spread_small_scan
+
+    return dedup.shingle_novelty(
+        spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        )
+    )

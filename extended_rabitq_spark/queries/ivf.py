@@ -255,3 +255,60 @@ def ivf_assign_combined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _base_df(spark, sf_dir), _centroids(spark, sf_dir)
     )
     return asn.select("id", "cluster_id")
+
+
+# --- IVF index-health + cluster-balanced curation (beyond-reference) -------
+
+from ..operators import sampling as sampling_ops  # noqa: E402
+
+_CELL_STATS_ORACLE = f"""
+WITH {_ivf_ctes()}
+SELECT cluster_id, count(*) AS n_vectors,
+       CAST(sum(CAST(round(adist, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_dist
+FROM (SELECT id, cluster_id, adist,
+             row_number() OVER (PARTITION BY id ORDER BY adist, cluster_id) AS rn
+      FROM ad)
+WHERE rn = 1
+GROUP BY cluster_id
+"""
+
+
+@register("ivf_cell_stats", _CELL_STATS_ORACLE)
+def ivf_cell_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-health audit: per-cluster population + exact-decimal
+    total assignment distance (the imbalance/distortion report read
+    before serving; cell skew = probe-latency skew).  DECIMAL stays
+    internal per the output-type contract — one double conversion at
+    the end on both engines."""
+    return ivf.cell_stats(_base_df(spark, sf_dir), _centroids(spark, sf_dir))
+
+
+_CBAL_N = 5
+
+_CBAL_ORACLE = f"""
+WITH {_ivf_ctes()},
+ranked AS (SELECT id, cluster_id,
+                  CAST(row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY {sampling_ops.d_bucket_expr('id', 'cbal')} ASC, id ASC)
+                       AS BIGINT) AS pick_rank
+           FROM asn)
+SELECT id, cluster_id, pick_rank FROM ranked WHERE pick_rank <= {_CBAL_N}
+"""
+
+
+@register("cluster_balanced_sample", _CBAL_ORACLE)
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation subsample: at most N vectors per
+    EMBEDDING cluster (argmin assignment to the deterministic centroids),
+    picked by the portable hash order — equal representation across
+    semantic regions (the balanced variant of cluster-scoped curation,
+    cf. SemDeDup's cluster partitioning), reproducible under any
+    partitioning because membership is a pure function of (id, salt).
+    Composition of two checked primitives: J2 assignment +
+    quota_sample's hash-rank window."""
+    asn = ivf.assign_clusters(_base_df(spark, sf_dir), _centroids(spark, sf_dir))
+    picked = sampling_ops.quota_sample(
+        asn.select("id", "cluster_id"), _CBAL_N,
+        group="cluster_id", salt="cbal", id_="id",
+    )
+    return picked.select("id", "cluster_id", "pick_rank")

@@ -408,6 +408,17 @@ _PROMOTED = [
 _QUEUED: list[str] = [
     # (r8's queued registrations — dedup_jaccard_prefix,
     # rabitq_recall_counts_adaptive — rotated into the r9 window.)
+    # round-9 registrations (tri-scale-verified at registration; r10
+    # rotation pool):
+    "ivf_cell_stats",        # IVF cell-health audit (population +
+                             # exact-decimal distortion per cell)
+    "cluster_balanced_sample",  # per-embedding-cluster hash-balanced
+                             # curation subsample (J2 ∘ quota_sample)
+    "minhash_jaccard_estimate",  # sketch-calibration audit: MinHash
+                             # estimator next to exact intersection
+                             # per LSH candidate pair
+    "doc_ngram_novelty",     # per-doc first-occurrence shingle novelty
+                             # (recycled-content covariate)
 ]
 
 
