@@ -141,3 +141,35 @@ class TestShingleNovelty:
         assert nov[0]["n_novel"] == nov[0]["n_shingles"]
         assert nov[1]["n_novel"] == 0
         assert 0 < nov[2]["n_novel"] < nov[2]["n_shingles"]
+
+
+class TestPlanShapes:
+    """The audits must stay equi-join/broadcast-shaped and JVM-only —
+    no cartesian blowup, no Python eval in any of their hot paths."""
+
+    def test_novelty_and_estimate_plans_jvm_equi_only(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for df in (
+            dedup_ops.shingle_novelty(docs),
+            dedup_ops.minhash_estimate_pairs(docs),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert "EvalPython" not in plan
+
+    def test_cell_stats_broadcasts_centroids(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        cents = ivf_ops.label_centroids(emb)
+        plan = (
+            ivf_ops.cell_stats(base, cents)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # centroid side broadcasts (tiny by construction: K rows); the
+        # argmin cross join is the documented broadcast nested loop of
+        # assign_clusters — what must NOT appear is a shuffled cartesian
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
