@@ -1105,8 +1105,23 @@ def _arrow_scored_broadcast(
     cmat = np.stack([np.array(r[1], dtype=np.float64) for r in cent_rows])  # K × dim
     qids = np.array([int(r[0]) for r in q_rows])
     qmat = np.stack([np.array(r[1], dtype=np.float64) for r in q_rows])  # NQ × dim
-    # W1 driver-side: top-nprobe clusters per query (ties → lowest cid)
-    d2 = ((qmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    # W1 driver-side: top-nprobe clusters per query (ties → lowest cid).
+    # Blocked over queries: the one-shot qmat[:,None,:] - cmat[None,:,:]
+    # materializes an NQ × K × dim float64 temp — 50 GB at the published
+    # 1M operating point (NQ=1000, K=4096, dim=1536), which OOM-killed
+    # the sweep driver (r9).  Per-element arithmetic is unchanged by the
+    # blocking (same diff/square/axis-2 reduction per (q, c) pair), so
+    # d2 is BITWISE what the one-shot form produced — probe orders and
+    # every pinned expected table are unaffected; the temp is bounded to
+    # ~0.5 GB regardless of NQ (the auto-route already caps NQ at
+    # broadcast_max_queries, but 4096 queries × 4096 cells × 1536 dims
+    # would still be 200 GB unblocked).
+    d2 = np.empty((len(qids), len(cids)))
+    blk = max(1, int(5e8) // (cmat.shape[0] * cmat.shape[1] * 8))
+    for s in range(0, len(qids), blk):
+        diff = qmat[s:s + blk, None, :] - cmat[None, :, :]
+        np.square(diff, out=diff)
+        d2[s:s + blk] = diff.sum(axis=2)
     order = np.lexsort((np.broadcast_to(cids, d2.shape), d2), axis=1)[:, :nprobe]
     qpad = np.zeros((len(qids), D))
     qpad[:, :dim] = qmat
