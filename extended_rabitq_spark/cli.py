@@ -237,7 +237,7 @@ def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
             rounds=a.rounds, probes_factory=probes_factory, metric=metric,
             amortized=a.amortized, rerank=a.rerank, warmup=a.warmup,
             refine=a.refine if a.refine > 0 else None, gt=gt_df,
-            refine_mode=a.refine_mode,
+            refine_mode=a.refine_mode, wall_stat=a.wall_stat,
         )
     print("nprobe,QPS,recall,ratio")
     for r in rows:
@@ -572,6 +572,13 @@ def build_parser() -> argparse.ArgumentParser:
              "timing (absorbs JVM first-touch, the --amortized pool "
              "scoring, and per-point plan JIT, so QPS reports "
              "steady-state per-point throughput)",
+    )
+    s.add_argument(
+        "--wall-stat", default="median", choices=["median", "min"],
+        help="per-point wall over --rounds: 'median' (default) or 'min' "
+             "(consistent under strictly-additive interference — GC "
+             "windows, co-tenant load — when the box drifts on "
+             "timescales longer than one point's rounds)",
     )
     s.add_argument(
         "--gt-parquet", default=None,

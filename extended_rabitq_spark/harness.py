@@ -57,6 +57,7 @@ def nprobe_sweep(
     warmup: bool = False,
     gt: DataFrame | None = None,
     refine_mode: str = "rank",
+    wall_stat: str = "median",
 ) -> list[SweepRow]:
     """Sweep the nprobe grid ascending; stop at recall saturation or
     plateau.  mode='ivf' scans exact distances over probed clusters;
@@ -113,7 +114,10 @@ def nprobe_sweep(
     of its own, so every point gets its own untimed round (in
     amortized mode each extra round is only a filter + phase-2 over
     the persisted pool).  The per-point wall is the MEDIAN of rounds
-    (noise-robust for rounds≥3).
+    (noise-robust for rounds≥3); ``wall_stat='min'`` reports the
+    minimum instead — the consistent estimator under strictly-additive
+    interference (GC windows, co-tenant load), for boxes whose
+    throughput drifts on timescales longer than one point's rounds.
 
     ``gt``: precomputed ground truth ``(qid, rank, id, dist)`` — the
     reference splits GT out of the sweep for exactly this reason
@@ -124,6 +128,8 @@ def nprobe_sweep(
     The frame is persisted and unpersisted by this function.
     """
     grid = grid or DEFAULT_GRID
+    if wall_stat not in ("median", "min"):
+        raise ValueError(f"nprobe_sweep: wall_stat must be 'median' or 'min', got {wall_stat!r}")
     if metric != "l2" and mode == "ivf":
         raise ValueError("nprobe_sweep: mode='ivf' supports metric='l2' only")
     nq = queries.count()
@@ -281,7 +287,13 @@ def nprobe_sweep(
                 metrics.ratio_per_query(res_r, gt_r, k).agg(F.avg("ratio").alias("x")).first()
             )
             rat = rat_row["x"] if rat_row["x"] is not None else float("nan")
-            wall = statistics.median(walls)
+            # Timing noise on a shared JVM/box is strictly ADDITIVE (GC
+            # pauses, scheduling interference slow a round, nothing
+            # speeds one up), so min-of-rounds is the consistent
+            # estimator of the true per-point cost when rounds sample
+            # different interference windows; median stays the default
+            # (back-compat with r1-r8 artifacts).
+            wall = min(walls) if wall_stat == "min" else statistics.median(walls)
             out.append(SweepRow(nprobe, float(rec), float(rat), nq / wall, wall))
             res.unpersist()
             if rec > recall_stop or abs(rec - prev_recall) < PLATEAU_EPS:
