@@ -419,6 +419,13 @@ _QUEUED: list[str] = [
                              # per LSH candidate pair
     "doc_ngram_novelty",     # per-doc first-occurrence shingle novelty
                              # (recycled-content covariate)
+    "knn_ivf_adaptive",      # adaptive probe escalation (exact IVF) —
+                             # oracle is the FIXED nprobe_hi search, so
+                             # the hash certifies losslessness of the
+                             # margin=0 triangle-bound certificate
+    "ivf_adaptive_verdicts", # the escalation decision itself (n_lo,
+                             # escalated, nprobe_eff) vs a full SQL
+                             # replay of the rule
 ]
 
 
