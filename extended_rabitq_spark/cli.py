@@ -263,12 +263,37 @@ def cmd_query(spark: SparkSession, a: argparse.Namespace) -> int:
     kw = {}
     if a.rerank_base:
         kw["rerank_base"] = _vectors(spark, a.rerank_base)
-    res = search_index(
-        spark, a.index, queries, k=a.k,
-        nprobe=a.nprobe if a.nprobe > 0 else None,
-        use_graph=None if a.use_graph == "auto" else (a.use_graph == "yes"),
-        **kw,
-    )
+    if a.adaptive:
+        # per-query probe escalation (operators/adaptive.py): probe LO
+        # cells everywhere, re-search only queries the triangle cell
+        # bound cannot certify at HI.  RaBitQ indexes only (the
+        # certificate reads cell radii off the codes' x2 column).
+        from .operators.adaptive import rabitq_search_adaptive
+        from .operators.rabitq import load_index
+
+        if a.use_graph == "yes":
+            raise SystemExit(
+                "query: --adaptive selects probes exactly (W1) — "
+                "incompatible with --use-graph yes"
+            )
+        lo, _, hi = a.adaptive.partition(":")
+        codes, cents, meta = load_index(spark, a.index)
+        if meta.get("kind") == "ivfpq":
+            raise SystemExit(
+                "query: --adaptive needs a RaBitQ index (cell radii come "
+                "from the codes' x2 column) — this index is ivfpq"
+            )
+        res = rabitq_search_adaptive(
+            queries, codes, cents, meta, k=a.k,
+            nprobe_lo=int(lo), nprobe_hi=int(hi), **kw,
+        )
+    else:
+        res = search_index(
+            spark, a.index, queries, k=a.k,
+            nprobe=a.nprobe if a.nprobe > 0 else None,
+            use_graph=None if a.use_graph == "auto" else (a.use_graph == "yes"),
+            **kw,
+        )
     if a.out:
         res.write.mode("overwrite").parquet(a.out)
         n = spark.read.parquet(a.out).count()
@@ -664,6 +689,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "yes", "no"],
                    help="W2 graph probes: auto-detect the persisted "
                         "graph artifact, or force on/off")
+    s.add_argument("--adaptive", default=None, metavar="LO:HI",
+                   help="per-query probe escalation: probe LO cells "
+                        "everywhere, re-search only uncertified queries "
+                        "at HI (overrides --nprobe; RaBitQ indexes only)")
     s.add_argument("--out", default=None,
                    help="write results parquet instead of printing")
     s.add_argument("--show", type=int, default=50,

@@ -5,6 +5,7 @@ driven through cli.main() (argparse path included)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from extended_rabitq_spark import cli
 from extended_rabitq_spark.sources import vecs_io
@@ -416,3 +417,40 @@ def test_cli_ingest_warc(spark, tmp_path, capsys):
     df = spark.read.parquet(out)
     row = df.first()
     assert row.text == "warc cli doc" and row.url == "http://x.example/"
+
+
+def test_cli_query_adaptive(spark, tmp_path, capsys):
+    """`query --adaptive LO:HI` (r9 cont.): per-query probe escalation —
+    result rows match the library rabitq_search_adaptive call; ivfpq
+    indexes and --use-graph yes are refused at the boundary."""
+    from extended_rabitq_spark.operators.adaptive import rabitq_search_adaptive
+    from extended_rabitq_spark.operators.rabitq import load_index
+
+    rng = np.random.default_rng(33)
+    mat = rng.standard_normal((90, 8)).astype(np.float32)
+    base_pq = str(tmp_path / "b.parquet")
+    vecs_io.vectors_to_df(spark, mat).write.parquet(base_pq)
+    idx = str(tmp_path / "idx")
+    assert cli.main(["create-index", base_pq, idx, "--k", "4", "--b", "4"]) == 0
+    q_pq = str(tmp_path / "q.parquet")
+    spark.read.parquet(base_pq).where("id < 6").write.parquet(q_pq)
+
+    out_pq = str(tmp_path / "res.parquet")
+    assert cli.main(["query", idx, q_pq, "--k", "5",
+                     "--adaptive", "1:3", "--out", out_pq]) == 0
+    got = {(r["qid"], r["rank"]): r["id"]
+           for r in spark.read.parquet(out_pq).collect()}
+    from pyspark.sql import functions as F
+
+    qdf = spark.read.parquet(q_pq).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    codes, cents, meta = load_index(spark, idx)
+    want = {(r["qid"], r["rank"]): r["id"]
+            for r in rabitq_search_adaptive(
+                qdf, codes, cents, meta, k=5, nprobe_lo=1, nprobe_hi=3
+            ).collect()}
+    assert got == want and len(got) == 30
+
+    with pytest.raises(SystemExit, match="use-graph"):
+        cli.main(["query", idx, q_pq, "--adaptive", "1:3",
+                  "--use-graph", "yes"])
