@@ -64,6 +64,15 @@ NAMES = [
     "vocab_stats",
     "text_quality_bins",
     "token_pmi",
+    # round-9 (cont.): the rewritten exact prefix-filtered Jaccard join
+    # (aggregate positional bounds + array_intersect verify) and the two
+    # documents-only curation audits — the 10-twin corpus is exactly the
+    # adversarial shape for prefix filtering (every twin pair survives
+    # every filter) and for the novelty/estimator audits (DF 10× higher)
+    "dedup_jaccard_prefix",
+    "minhash_jaccard_estimate",
+    "doc_ngram_novelty",
+    "sketch_length_quantiles",
 ]
 
 
@@ -93,8 +102,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     q, o = e.queries(), e.oracle_sql()
-    run = [nm for nm in NAMES if nm in q and nm in o]
-    missing = [nm for nm in NAMES if nm not in q or nm not in o]
+    names = sys.argv[1:] or NAMES  # optional: re-check a subset
+    run = [nm for nm in names if nm in q and nm in o]
+    missing = [nm for nm in names if nm not in q or nm not in o]
     if missing:
         print(f"WARNING: not registered / no oracle, skipped: {missing}")
     failures = []
