@@ -244,6 +244,17 @@ def main() -> None:
         "an AQE-chosen join for the dup-id flags (no forced broadcast — "
         "dup counts are corpus-scale on heavy-dup corpora).",
     )
+    add(
+        "knn_ivf_adaptive (per-query probe escalation, exact IVF)",
+        QUERIES["knn_ivf_adaptive"](spark, SF),
+        "Union of the cheap-pass survivors (anti-join on the broadcast "
+        "escalated-qid list) with the re-searched tail: both passes are "
+        "the J3 broadcast-probe shape over localCheckpoint'ed probe "
+        "tables, radii are one K-row partial aggregate, and the verdict "
+        "is two hashpartitioning(qid) aggregations — no new shuffle "
+        "shape beyond fixed-nprobe IVF; the index side still never "
+        "shuffles.",
+    )
 
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text(HDR + "\n".join(sections))
