@@ -113,10 +113,20 @@ def escalation_verdicts(
     Converged ⇔ the cheap pass returned ≥ k rows AND every unprobed
     hi-set cell's bound strictly exceeds distk·(1+margin) (margin is
     relative — distances here are squared L2 — so margin=0 is the exact
-    geometric rule and margin>0 escalates more conservatively).  Queries
-    with NO cheap-pass rows (all lo cells empty) always escalate; tail
-    cells with no radius row are EMPTY in the index and can never force
-    escalation.  One hashpartitioning(qid) aggregation per side."""
+    geometric rule and margin>0 escalates more conservatively; must be
+    finite — an infinite margin would make distk·(1+margin) NaN at
+    distk=0 and silently flip that query to converged; use e.g. 1e18
+    to force-escalate everything).  Queries with NO cheap-pass rows
+    (all lo cells empty) always escalate; tail cells with no radius row
+    are EMPTY in the index and can never force escalation.  One
+    hashpartitioning(qid) aggregation per side."""
+    import math
+
+    if not math.isfinite(margin) or margin < 0:
+        raise ValueError(
+            f"margin must be finite and >= 0, got {margin!r} "
+            "(use a large finite value, e.g. 1e18, to escalate everything)"
+        )
     got = res_lo.groupBy(F.col(qid)).agg(
         F.count("*").alias("n_lo"),
         F.max(F.when(F.col("rank") <= k, F.col(dist_col))).alias("distk"),

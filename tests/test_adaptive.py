@@ -175,6 +175,15 @@ class TestRabitqAdaptive:
                 qs, idx, cents, meta, k=K, nprobe_lo=3, nprobe_hi=3
             )
 
+    def test_margin_guard(self, spark):
+        base, qs, idx, cents, meta = _rabitq_fixture(spark)
+        for bad in (float("inf"), float("nan"), -0.5):
+            with pytest.raises(ValueError, match="finite"):
+                adaptive.rabitq_search_adaptive(
+                    qs, idx, cents, meta, k=K, nprobe_lo=LO, nprobe_hi=HI,
+                    margin=bad,
+                )
+
 
 @pytest.mark.usefixtures("spark")
 class TestCellRadii:
