@@ -276,7 +276,16 @@ def cmd_query(spark: SparkSession, a: argparse.Namespace) -> int:
                 "query: --adaptive selects probes exactly (W1) — "
                 "incompatible with --use-graph yes"
             )
-        lo, _, hi = a.adaptive.partition(":")
+        lo, sep, hi = a.adaptive.partition(":")
+        if not sep or not lo.isdigit() or not hi.isdigit():
+            raise SystemExit(
+                f"query: --adaptive expects LO:HI (two integers, e.g. "
+                f"3:12), got {a.adaptive!r}"
+            )
+        if not 0 < int(lo) < int(hi):
+            raise SystemExit(
+                f"query: --adaptive needs 0 < LO < HI, got {a.adaptive!r}"
+            )
         codes, cents, meta = load_index(spark, a.index)
         if meta.get("kind") == "ivfpq":
             raise SystemExit(

@@ -119,7 +119,20 @@ def escalation_verdicts(
     to force-escalate everything).  Queries with NO cheap-pass rows
     (all lo cells empty) always escalate; tail cells with no radius row
     are EMPTY in the index and can never force escalation.  One
-    hashpartitioning(qid) aggregation per side."""
+    hashpartitioning(qid) aggregation per side.
+
+    Floating-point caveat: the margin=0 losslessness theorem holds in
+    exact real arithmetic; the computed bound goes through sqrt and a
+    sum fold, each exactly-rounded, so it can sit ~1-2 ulp ABOVE the
+    real bound.  A tail point whose true distance is within ulps of
+    distk could then be falsely certified — astronomically unlikely on
+    continuous data (it needs |bound_real − distk| ≲ 2 ulp) and
+    irrelevant to result VALUES (such a point ties distk to ~1e-16
+    relative).  Deployments that need the certificate airtight against
+    ties (e.g. integer-coordinate corpora where exact ties are common)
+    should pass a tiny relative margin (1e-12) instead of 0; the pinned
+    ``knn_ivf_adaptive`` oracle row uses margin=0 on continuous
+    embeddings where the hash equality is stable."""
     import math
 
     if not math.isfinite(margin) or margin < 0:

@@ -454,3 +454,9 @@ def test_cli_query_adaptive(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="use-graph"):
         cli.main(["query", idx, q_pq, "--adaptive", "1:3",
                   "--use-graph", "yes"])
+
+    # malformed --adaptive values get a clean usage error, not a raw
+    # ValueError traceback (ADVICE r9)
+    for bad in ("3", "1:3:5", "a:b", "3:", ":3", "0:3", "3:3", "5:3"):
+        with pytest.raises(SystemExit, match="adaptive"):
+            cli.main(["query", idx, q_pq, "--adaptive", bad])

@@ -9,7 +9,8 @@ cogroup scorer, so the wall comparison isolates the escalation logic
 (not a scorer-routing difference).
 
 Reported per pair: escalation fraction, recall@k of adaptive vs fixed
-hi and fixed lo, and warm median walls.  The interesting question at
+hi and fixed lo, and warm min walls (timed() returns min over the
+rounds).  The interesting question at
 this scale is whether the triangle certificate FIRES on a realistic
 low-intrinsic-dimension corpus (the soak's latent topic mixture) —
 unlike the sf gate embeddings where it is vacuous (NOTES milestone 55).
