@@ -3,6 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Headline semantics (round 10+): each headline query runs one untimed
+cold pass then WARM_REPS timed reps; ``queries[name]`` and the total are
+the per-query WARM MEDIANS (reproducible within ~5% on a contended
+host), and the cold one-shot walls ride in extras as ``{name}_cold_sec``
+(r1-r9 headlines were the cold sums — not comparable).
+
 Mirrors the reference's split between ``create_index`` (untimed setup)
 and ``test_search`` (timed): the RaBitQ index is built+persisted once,
 then search-only timings are measured, plus the registered pipeline
@@ -251,6 +257,14 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
 
     def timed(name: str, fn) -> None:
+        # Headline statistic (round 10, VERDICT r9 item 2): the MEDIAN of
+        # WARM_REPS identical runs, after one untimed cold pass.  Two
+        # consecutive rounds of BENCH_r{8,9} showed +13% "regressions"
+        # that interleaved same-day A/Bs proved were pure cold-pass host
+        # drift (same-code cold totals swung 26.9→49.1s) while warm
+        # medians matched <5% — so the cold one-shot is NOT a statistic a
+        # contended single driver shot can reproduce.  The cold wall is
+        # kept as extras[f"{name}_cold_sec"] for plan-cost visibility.
         nonlocal total
         baseline = _persistent_ids()
         t0 = time.perf_counter()
@@ -265,10 +279,16 @@ def main() -> None:
             # snapshot the leak into the protected set)
             release_stray_state(baseline)
             return
-        dt = round(time.perf_counter() - t0, 3)
+        extras[f"{name}_cold_sec"] = round(time.perf_counter() - t0, 3)
+        release_stray_state(baseline)
+        try:
+            dt = round(median_warm(fn), 3)
+        except Exception as exc:  # cold pass succeeded; keep it as headline
+            print(f"bench: {name} warm reps failed: {exc}", file=sys.stderr)
+            ensure_alive()
+            dt = extras[f"{name}_cold_sec"]
         timings[name] = dt
         total += dt
-        release_stray_state(baseline)
 
     WARM_REPS = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
 
@@ -326,22 +346,26 @@ def main() -> None:
         res = rabitq.rabitq_search(bench_queries, index_df, cents_full, meta, nprobe=nprobe, k=10)
         res.persist().count()
         dt = time.perf_counter() - t0
-        timings[f"rabitq_search_np{nprobe}"] = round(dt, 3)
-        total += dt
+        extras[f"rabitq_search_np{nprobe}_cold_sec"] = round(dt, 3)
         extras[f"rabitq_qps_np{nprobe}"] = round(nq / dt, 2)
         rec = (
             metrics.recall_per_query(res, gt, 10).agg(F.avg("recall").alias("r")).first()["r"]
         )
         extras[f"rabitq_recall_np{nprobe}"] = round(float(rec), 4)
         res.unpersist()
-        # steady-state QPS: identical search, JIT/scan warm — this is the
-        # number comparable to the reference's in-RAM loop (the cold pass
-        # pays Spark's one-time codegen + scan setup)
+        # steady-state wall: identical search, JIT/scan warm — this is
+        # the number comparable to the reference's in-RAM loop (the cold
+        # pass pays Spark's one-time codegen + scan setup).  Round 10:
+        # the warm MEDIAN is the headline timing (VERDICT r9 item 2 —
+        # cold one-shots drift ±30% on a contended host); the cold wall
+        # stays above as an extra.
         dt_warm = median_warm(
             lambda: rabitq.rabitq_search(
                 bench_queries, index_df, cents_full, meta, nprobe=nprobe, k=10
             ).write.format("noop").mode("overwrite").save()
         )
+        timings[f"rabitq_search_np{nprobe}"] = round(dt_warm, 3)
+        total += dt_warm
         extras[f"rabitq_qps_np{nprobe}_warm"] = round(nq / dt_warm, 2)
     gt.unpersist()
 
@@ -391,25 +415,13 @@ def main() -> None:
     big_queries.unpersist()
 
     # ---- timed: registered pipeline queries end-to-end ----
+    # timed() itself reports the warm-median headline and stashes the
+    # cold wall in extras (round 10) — the old separate second warm pass
+    # is folded in, so each query runs 1 cold + WARM_REPS warm total.
     qmap = entrymod.queries()
     for name in PIPELINE_QUERIES:
         if name in qmap:
             timed(name, lambda n=name: run_full(qmap[n](spark, sf_dir)))
-
-    # second pass: steady-state timings (JIT/IO warm) — extras, so the
-    # headline total stays comparable round-over-round; the warm/cold
-    # gap also separates real plan cost from ambient machine noise.
-    # median of WARM_REPS runs (single warm samples swing ±30% on this
-    # host — VERDICT r3 item 4).
-    for name in PIPELINE_QUERIES:
-        if name in qmap:
-            try:
-                dt = median_warm(
-                    lambda n=name: run_full(qmap[n](spark, sf_dir))
-                )
-                extras[f"{name}_warm_sec"] = round(dt, 3)
-            except Exception:
-                extras[f"{name}_warm_sec"] = -1.0
 
     # ---- extras: composed pipeline + flagship ANN dedup (not in the
     # headline total, so round-over-round headline stays comparable).
@@ -591,7 +603,13 @@ def main() -> None:
         ]
 
     out = {
-        "metric": "headline_queries_total_wall",
+        # round 10: the headline is the SUM OF WARM MEDIANS (median of
+        # WARM_REPS identical runs per query after one untimed cold
+        # pass) — a statistic a contended single driver shot reproduces
+        # within ~5%, unlike the old cold-one-shot sum whose ±30% host
+        # drift masqueraded as regression in BENCH_r08/r09.  Cold walls
+        # ride in extras as {name}_cold_sec.
+        "metric": "headline_queries_warm_median_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,

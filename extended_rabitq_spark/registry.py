@@ -51,9 +51,8 @@ _DEMOTED = [
     "knn_exact_combined",    # value-equal twin of knn_exact (same oracle)
     "knn_ip",                # P8 metric variant; knn_exact/knn_cosine stay
     "knn_range_rabitq",      # same oracle as knn_range (accelerated twin)
-    "knn_filtered_rabitq",   # same oracle as knn_filtered (accelerated
-                             # pre-filtered index search, lossless at
-                             # full probes + exact rerank)
+    # (knn_filtered_rabitq — accelerated pre-filtered index search —
+    # rotated INTO the r10 window; see _PROMOTED round-10 block.)
     "dedup_simhash",         # all-pairs oracle twin of dedup_simhash_banded
     "dedup_embedding_cosine",  # all-pairs twin of dedup_embedding_ann
     "ivf_probes_hier",       # same oracle as ivf_probes / ivf_probes_graph
@@ -76,15 +75,9 @@ _DEMOTED = [
                              # events_lead_lag (offset window)
     "corpus_stats_rollup",   # grouping-sets family kept checked via the
                              # strictly-superset corpus_stats_cube
-    "events_latest_state",   # keyed-compaction family: rank-window
-                             # rep already checked via
-                             # events_top_type_per_user
-    "events_retention",      # cohort shape = grouped-agg + co-partitioned
-                             # join, both families already checked
-                             # (events_funnel/events_pivot); registering
-                             # it mid-file would otherwise push
-                             # corpus_length_quantiles — the only exact-
-                             # percentile row — out of the window
+    # (events_latest_state and events_retention — keyed compaction and
+    # cohort retention — rotated INTO the r10 window for their first
+    # driver rows; see _PROMOTED round-10 block.)
     # round-4 additions (cleanops): registered outside the window — every
     # family they belong to already has a checked representative
     # (dedup_* corpus-count dedup, multimodal_frames explode,
@@ -93,8 +86,8 @@ _DEMOTED = [
     # aggregate profiles); all six are verified by
     # the cap-free parity replica + tests/test_cleanops.py.
     "corpus_integrity_audit",
-    "doc_chunks",
-    "gopher_quality_filter",
+    # (doc_chunks and gopher_quality_filter rotated INTO the r10 window
+    # for their first driver rows; see _PROMOTED round-10 block.)
     # (dedup_spans and training_shard_export left this list in the r5
     # rotation — they are now _PROMOTED for first-time driver checks)
     "source_divergence",
@@ -108,12 +101,8 @@ _DEMOTED = [
     "dedup_cluster_sizes",   # curation report over dedup_components'
                              # labels (that query stays checked); two
                              # extra partial-agg shuffles only
-    "knn_cosine_rabitq",     # accelerated twin sharing knn_cosine's
-                             # oracle (lossless at full probes + exact
-                             # rerank on the cosine-metric index)
-    "knn_ip_rabitq",         # accelerated twin sharing knn_ip's oracle
-                             # (MIPS-reduction index, same lossless
-                             # full-probe + rerank argument)
+    # (knn_cosine_rabitq and knn_ip_rabitq — the cosine/MIPS accelerated
+    # index twins — rotated INTO the r10 window; see _PROMOTED r10 block.)
     "split_train_val",       # hash-fraction sampling family keeps its
                              # checked rep via stratified_sample (the
                              # per-stratum generalization of the same
@@ -165,23 +154,16 @@ _DEMOTED = [
                              # knn_exact/knn_cosine in-window — frees
                              # the slot for rabitq_recall_counts, the
                              # approximate path's first hashable row
-    "embedding_int8_codec",  # NEW r6 (beyond-reference storage codec):
-                             # registered out-of-window — the window is
-                             # pinned this round; quantize-family rep
-                             # (query_quantize_uniform) stays checked;
-                             # verified by the cap-free parity replica
-                             # + tests/test_knn.py recall preservation
+    # (embedding_int8_codec — int8 storage codec — rotated INTO the r10
+    # window; see _PROMOTED round-10 block.)
     "lm_typicality_score",   # NEW r6 (CCNet third quality pillar):
                              # out-of-window for the same reason; the
                              # quality family keeps text_quality +
                              # quality_classifier_score reps; parity
                              # replica + planted-garbage separation
                              # tests cover it
-    "hybrid_search_rrf",     # NEW r6 (BM25+cosine RRF fusion): same
-                             # rationale; pure-integer rank fusion
-    "knn_mrl_prefix",        # NEW r6 (Matryoshka two-phase KNN): same
-                             # rationale; similarity family keeps
-                             # knn_exact/knn_cosine checked
+    # (hybrid_search_rrf and knn_mrl_prefix rotated INTO the r10 window;
+    # see _PROMOTED round-10 block.)
     # (knn_int8_rerank and knn_binary_rerank — NEW r6, estimate→rerank
     # rows — rotated INTO the r9 window; see _PROMOTED.)
     "knn_opq_adc",           # NEW r6 (OPQ learned rotation + PQ ADC):
@@ -322,6 +304,58 @@ _DEMOTED = [
                              # ivf_assign rotation
     "events_salted_cohort_join",  # green r4-r8; events family keeps
                              # rate_anomaly/zorder/scd2 in-window
+    # --- round-10 window ROTATION (VERDICT r9 item 1) ---------------------
+    # Sixteen swaps: the six r9 _QUEUED registrations plus ten older
+    # never-driver-checked entries rotate IN (see _PROMOTED round-10
+    # block).  Each rotated-out entry below has ≥3 green driver rounds,
+    # keeps a checked family representative in-window, and stays
+    # verified by the cap-free parity replica.
+    "tpch_q10",              # green r7-r9; TPC-H keeps 11 shapes
+                             # in-window (q4/q7/q8/q9/q11/q12/q14/q16/
+                             # q17/q19/q20)
+    "tpch_q2",               # green r7-r9; same reps
+    "tpch_q22",              # green r7-r9; same reps
+    "maxsim_label_topk",     # green r7-r9; retrieval family keeps
+                             # bm25_topk + retrieval_eval_hamming
+                             # in-window (+ incoming hybrid_search_rrf)
+    "tfidf_top_terms",       # green r7-r9; token-relevance family keeps
+                             # token_pmi in-window
+    "events_rate_anomaly",   # green r7-r9; events family keeps
+                             # zorder/scd2 + incoming retention/
+                             # latest_state
+    "knn_hamming",           # green r7-r9; binary family keeps
+                             # knn_binary_rerank (its estimate→rerank
+                             # superset) in-window
+    "dsir_select",           # green r7-r9; sampling family keeps
+                             # weighted_sample_aes + incoming
+                             # cluster_balanced_sample
+    "semdedup",              # green r7-r9; dedup family keeps
+                             # jaccard_prefix/decontaminate_ngrams/
+                             # entity_resolution + three incoming
+                             # curation audits
+    "dedup_minhash_lsh",     # green r1-r9; incoming
+                             # minhash_jaccard_estimate replays the LSH
+                             # candidate join + the Broder estimator
+    "dedup_embedding_ann",   # green r1-r9; ANN-dedup family rep is the
+                             # production np-limited variant in bench
+                             # extras + semdedup's checked history;
+                             # incoming dedup_cluster_sizes reads the
+                             # same components output
+    "knn_ivf",               # green r1-r9; J3 probe join is composed
+                             # (twice) inside the incoming
+                             # knn_ivf_adaptive, and ivf_recall stays
+                             # in-window
+    "pipeline_clean_corpus", # green r1-r9; a composition of checked
+                             # members (dedup+quality+ANN)
+    "query_quantize_uniform",  # green r1-r9; quantize family keeps
+                             # knn_int8_rerank in-window + incoming
+                             # embedding_int8_codec
+    "corpus_mixture_sample", # green r3-r9; sampling family keeps
+                             # weighted_sample_aes + incoming
+                             # cluster_balanced_sample
+    "text_quality",          # green r1,r3-r9; text_quality_bins (its
+                             # histogram superset) stays in-window +
+                             # incoming gopher_quality_filter
 ]
 
 # Promoted to the head of the registration order so they land inside the
@@ -334,18 +368,11 @@ _PROMOTED = [
     # round-7 rotation: ten first-time driver checks (VERDICT r6 item 1 —
     # r7 manifest + r8 pool, all pre-verified bit-exact through the
     # pandas canonicalization path at flip time, COVERAGE.md).
-    "tpch_q10",              # returned-item star join
-    "tpch_q2",               # correlated-min subquery over 5-table join
-    "tpch_q22",              # anti-join + scalar-avg subquery
-    "maxsim_label_topk",     # ColBERT-style multi-vector late interaction
-    "tfidf_top_terms",       # per-group tf-idf relevance
-    "events_rate_anomaly",   # trailing-median spike detection
-    "knn_hamming",           # integer Hamming top-k (B=1 end of the
-                             # RaBitQ spectrum — most hash-robust
-                             # approximate row)
+    # (tpch_q10/tpch_q2/tpch_q22/maxsim_label_topk/tfidf_top_terms/
+    # events_rate_anomaly/knn_hamming/dsir_select/semdedup completed
+    # three green rounds r7-r9 and rotated OUT in r10 — see the
+    # round-10 block in _DEMOTED.)
     "retrieval_eval_hamming",  # fixed-point hit/MRR/nDCG ranker grading
-    "dsir_select",           # Gumbel-top-N fixed-point selection
-    "semdedup",              # cluster-scoped semantic dedup (Abbas 2023)
     # round-8 rotation: fourteen first-time driver checks (VERDICT r7
     # items 1 + 5 — the eleven pre-verified pool candidates plus three
     # TPC-H; all re-verified bit-exact through the pandas
@@ -397,6 +424,39 @@ _PROMOTED = [
     "knn_int8_rerank",       # SQ int8 estimate → exact rerank
     "text_quality_bins",     # histogram of the quality score family
     "token_pmi",             # bigram PMI token relevance
+    # round-10 rotation: sixteen first-time driver checks (VERDICT r9
+    # item 1 — the six r9 _QUEUED registrations + ten older
+    # never-checked entries).  All sixteen re-verified bit-exact
+    # through the pandas canonicalization path at flip time
+    # (tests/test_oracle_parity.py subset; COVERAGE.md round-10
+    # manifest).
+    "knn_ivf_adaptive",      # adaptive probe escalation (exact IVF) —
+                             # oracle is the FIXED nprobe_hi search, so
+                             # a green hash row certifies losslessness
+                             # of the margin=0 triangle certificate
+    "ivf_adaptive_verdicts", # the escalation decision itself vs a full
+                             # SQL replay of the rule
+    "ivf_cell_stats",        # IVF cell-health audit (exact-DECIMAL
+                             # distortion per cell)
+    "cluster_balanced_sample",  # per-cluster hash-balanced subsample
+    "minhash_jaccard_estimate",  # Broder estimator next to exact
+                             # intersection per LSH candidate pair
+    "doc_ngram_novelty",     # per-doc first-occurrence shingle novelty
+    "knn_cosine_rabitq",     # accelerated twin sharing knn_cosine's
+                             # oracle (lossless at full probes + exact
+                             # rerank on the cosine-metric index)
+    "knn_ip_rabitq",         # accelerated twin sharing knn_ip's oracle
+                             # (MIPS-reduction index)
+    "knn_filtered_rabitq",   # pre-filtered index search sharing
+                             # knn_filtered's oracle (lossless at full
+                             # probes + exact rerank)
+    "embedding_int8_codec",  # int8 storage codec round-trip audit
+    "hybrid_search_rrf",     # BM25+cosine reciprocal-rank fusion
+    "knn_mrl_prefix",        # Matryoshka two-phase prefix KNN
+    "gopher_quality_filter", # Gopher rule gate (Rae 2021 thresholds)
+    "doc_chunks",            # deterministic fixed-size doc chunking
+    "events_retention",      # cohort retention triangle
+    "events_latest_state",   # keyed latest-state compaction
 ]
 
 # Registered THIS round (tri-scale-verified at registration time) but
@@ -406,26 +466,9 @@ _PROMOTED = [
 # rotation is committed; tests/test_registry.py guards the family
 # representatives).  Ordering: _PROMOTED, unlisted, _QUEUED, _DEMOTED.
 _QUEUED: list[str] = [
-    # (r8's queued registrations — dedup_jaccard_prefix,
-    # rabitq_recall_counts_adaptive — rotated into the r9 window.)
-    # round-9 registrations (tri-scale-verified at registration; r10
-    # rotation pool):
-    "ivf_cell_stats",        # IVF cell-health audit (population +
-                             # exact-decimal distortion per cell)
-    "cluster_balanced_sample",  # per-embedding-cluster hash-balanced
-                             # curation subsample (J2 ∘ quota_sample)
-    "minhash_jaccard_estimate",  # sketch-calibration audit: MinHash
-                             # estimator next to exact intersection
-                             # per LSH candidate pair
-    "doc_ngram_novelty",     # per-doc first-occurrence shingle novelty
-                             # (recycled-content covariate)
-    "knn_ivf_adaptive",      # adaptive probe escalation (exact IVF) —
-                             # oracle is the FIXED nprobe_hi search, so
-                             # the hash certifies losslessness of the
-                             # margin=0 triangle-bound certificate
-    "ivf_adaptive_verdicts", # the escalation decision itself (n_lo,
-                             # escalated, nprobe_eff) vs a full SQL
-                             # replay of the rule
+    # (r9's queued registrations — the adaptive-escalation pair and the
+    # four curation audits — all rotated into the r10 window; see the
+    # _PROMOTED round-10 block.  New r10 registrations queue here.)
 ]
 
 

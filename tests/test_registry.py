@@ -15,38 +15,24 @@ CHECK_WINDOW = 50
 # reps below (stratified_sample, text_quality, corpus_stats_cube,
 # ivf_recall).
 MUST_BE_CHECKED = [
-    "knn_ivf",              # J3 probe join (composes the W1
-                            # select_probes that ivf_probes directly
-                            # checked r1-r6, rotated out r7; also the
-                            # A2 centroid CTE after ivf_centroids
-                            # rotated out r9)
     "ivf_recall",           # J4 (+ metric-join family rep after r5
                             # rotated ivf_ratio out; GT side keeps the
                             # J1/W4 exact-KNN primitive exercised after
-                            # knn_exact rotated out r9)
-    "query_quantize_uniform",  # P6
-    "dedup_minhash_lsh",
-    "dedup_embedding_ann",
-    "corpus_mixture_sample",
-    "text_quality",          # text family rep (text_lang_id rotated r6)
+                            # knn_exact rotated out r9; J3 probe join
+                            # + A2 centroid CTE family rep after
+                            # knn_ivf rotated out r10 — knn_ivf_adaptive
+                            # also composes ivf_search twice)
     "text_pii_scrub",
     "multimodal_frames",
-    "pipeline_clean_corpus",
     # r7 rotation (VERDICT r6 item 1: 10 swaps — r7 manifest + r8 pool).
     # Rotated out in exchange (each >=3 green driver rounds, family rep
     # retained above): events_windowed, events_sessions, events_funnel,
     # events_json_props, events_pivot, multimodal_meta, ivf_probes,
     # ivf_assign, dedup_exact, knn_cosine.
-    "tpch_q10",
-    "tpch_q2",
-    "tpch_q22",
-    "maxsim_label_topk",
-    "tfidf_top_terms",
-    "events_rate_anomaly",
-    "knn_hamming",
+    # (tpch_q10/q2/q22, maxsim_label_topk, tfidf_top_terms,
+    # events_rate_anomaly, knn_hamming, dsir_select, semdedup rotated
+    # out r10 after three green rounds — family reps retained below.)
     "retrieval_eval_hamming",
-    "dsir_select",
-    "semdedup",
     # r8 rotation (VERDICT r7 items 1+5: 14 swaps — the eleven
     # pre-verified pool candidates + tpch_q4/q7/q12).  Rotated out in
     # exchange (each >=3 green driver rounds, family rep retained in
@@ -91,6 +77,30 @@ MUST_BE_CHECKED = [
     "knn_int8_rerank",
     "text_quality_bins",
     "token_pmi",
+    # r10 rotation (VERDICT r9 item 1: 16 swaps — the six r9 _QUEUED
+    # registrations + ten older never-driver-checked entries).  Rotated
+    # out in exchange (each ≥3 green driver rounds, family rep retained
+    # in the window): tpch_q10, tpch_q2, tpch_q22, maxsim_label_topk,
+    # tfidf_top_terms, events_rate_anomaly, knn_hamming, dsir_select,
+    # semdedup, dedup_minhash_lsh, dedup_embedding_ann, knn_ivf,
+    # pipeline_clean_corpus, query_quantize_uniform,
+    # corpus_mixture_sample, text_quality.
+    "knn_ivf_adaptive",
+    "ivf_adaptive_verdicts",
+    "ivf_cell_stats",
+    "cluster_balanced_sample",
+    "minhash_jaccard_estimate",
+    "doc_ngram_novelty",
+    "knn_cosine_rabitq",
+    "knn_ip_rabitq",
+    "knn_filtered_rabitq",
+    "embedding_int8_codec",
+    "hybrid_search_rrf",
+    "knn_mrl_prefix",
+    "gopher_quality_filter",
+    "doc_chunks",
+    "events_retention",
+    "events_latest_state",
 ]
 
 
