@@ -263,6 +263,8 @@ def cmd_query(spark: SparkSession, a: argparse.Namespace) -> int:
     kw = {}
     if a.rerank_base:
         kw["rerank_base"] = _vectors(spark, a.rerank_base)
+    if getattr(a, "adaptive_stats", False) and not a.adaptive:
+        raise SystemExit("query: --adaptive-stats requires --adaptive LO:HI")
     if a.adaptive:
         # per-query probe escalation (operators/adaptive.py): probe LO
         # cells everywhere, re-search only queries the triangle cell
@@ -292,10 +294,34 @@ def cmd_query(spark: SparkSession, a: argparse.Namespace) -> int:
                 "query: --adaptive needs a RaBitQ index (cell radii come "
                 "from the codes' x2 column) — this index is ivfpq"
             )
-        res = rabitq_search_adaptive(
-            queries, codes, cents, meta, k=a.k,
-            nprobe_lo=int(lo), nprobe_hi=int(hi), **kw,
-        )
+        if a.adaptive_stats:
+            res, stats = rabitq_search_adaptive(
+                queries, codes, cents, meta, k=a.k,
+                nprobe_lo=int(lo), nprobe_hi=int(hi),
+                return_stats=True, **kw,
+            )
+            # The deployment diagnostic (run on a query SAMPLE before
+            # enabling --adaptive in production): if esc_frac ≈ 1 the
+            # certificate is vacuous on this corpus and adaptive costs
+            # a full lo pass for nothing — stay on fixed nprobe.  If
+            # esc_frac is small, expected probe work per query is
+            # lo + esc_frac·hi vs the fixed hi.
+            agg = stats.agg(
+                F.count("*").alias("nq"),
+                F.avg(F.col("escalate").cast("double")).alias("esc_frac"),
+                F.avg("nprobe_eff").alias("mean_nprobe_eff"),
+            ).first()
+            eff = (int(lo) + agg["esc_frac"] * int(hi)) / int(hi)
+            print(f"adaptive-stats: nq={agg['nq']} "
+                  f"escalated_frac={agg['esc_frac']:.4f} "
+                  f"mean_nprobe_eff={agg['mean_nprobe_eff']:.2f} "
+                  f"probe_work_vs_fixed_hi={eff:.2f}x "
+                  f"(<1 means adaptive wins on probe volume)")
+        else:
+            res = rabitq_search_adaptive(
+                queries, codes, cents, meta, k=a.k,
+                nprobe_lo=int(lo), nprobe_hi=int(hi), **kw,
+            )
     else:
         res = search_index(
             spark, a.index, queries, k=a.k,
@@ -702,6 +728,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-query probe escalation: probe LO cells "
                         "everywhere, re-search only uncertified queries "
                         "at HI (overrides --nprobe; RaBitQ indexes only)")
+    s.add_argument("--adaptive-stats", action="store_true",
+                   help="with --adaptive: also print the escalation "
+                        "diagnostic (escalated fraction, mean effective "
+                        "nprobe, probe-work ratio vs fixed HI) — run it "
+                        "on a query sample BEFORE enabling adaptive in "
+                        "production; escalated_frac near 1 means the "
+                        "certificate is vacuous on this corpus")
     s.add_argument("--out", default=None,
                    help="write results parquet instead of printing")
     s.add_argument("--show", type=int, default=50,

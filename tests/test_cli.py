@@ -460,3 +460,20 @@ def test_cli_query_adaptive(spark, tmp_path, capsys):
     for bad in ("3", "1:3:5", "a:b", "3:", ":3", "0:3", "3:3", "5:3"):
         with pytest.raises(SystemExit, match="adaptive"):
             cli.main(["query", idx, q_pq, "--adaptive", bad])
+
+    # --adaptive-stats: the deployment diagnostic prints the escalation
+    # fraction + probe-work ratio, and results still flow to --out
+    out2 = str(tmp_path / "res2.parquet")
+    assert cli.main(["query", idx, q_pq, "--k", "5", "--adaptive", "1:3",
+                     "--adaptive-stats", "--out", out2]) == 0
+    got2 = {(r["qid"], r["rank"]): r["id"]
+            for r in spark.read.parquet(out2).collect()}
+    assert got2 == want
+    stats_line = [ln for ln in capsys.readouterr().out.splitlines()
+                  if ln.startswith("adaptive-stats:")]
+    assert len(stats_line) == 1
+    assert "escalated_frac=" in stats_line[0]
+    assert "probe_work_vs_fixed_hi=" in stats_line[0]
+
+    with pytest.raises(SystemExit, match="adaptive-stats requires"):
+        cli.main(["query", idx, q_pq, "--adaptive-stats"])

@@ -10,10 +10,13 @@ imaging library with zero plan changes:
    plan as the pure-stdlib decoders;
 2. PIL decode output is pinned EQUAL to the pure-stdlib decoders
    (`sources/codecs.py`) on the committed fixtures — bitwise for the
-   lossless formats (PNG incl. Adam7/palette/filters, BMP, PPM), and
-   within IDCT rounding (≤3 gray levels, identical shape, near-equal
-   perceptual hash) for JPEG, where libjpeg's integer IDCT and our
-   float einsum IDCT legitimately differ in the last bit or two;
+   lossless formats (PNG incl. Adam7/palette/filters, BMP, PPM);
+   for JPEG, luma within IDCT rounding and a bounded RGB mean: on
+   4:2:0 files the chroma UPSAMPLING FILTER is decoder's choice
+   (nearest here, triangular in libjpeg) so full-RGB max deltas at
+   chroma edges are legitimate — measured against the JDK's ImageIO
+   decoder in tests/test_codecs_imageio.py, the executed twin of this
+   module;
 3. malformed blobs (truncated at arbitrary points) raise a bounded
    exception on BOTH sides — neither decoder hangs or returns garbage
    silently.
@@ -99,6 +102,15 @@ class TestJpegNearParity:
         "name", ["cpython_python.jpg", "ipython_2x2.jpg", "progressive_logo.jpg"]
     )
     def test_fixture_decode_matches(self, name):
+        """r10 correction (found by the EXECUTED ImageIO twin,
+        tests/test_codecs_imageio.py): both color fixtures are 4:2:0
+        chroma-subsampled, and the JPEG standard does not mandate an
+        upsampling filter — our decoder replicates chroma (nearest),
+        libjpeg (PIL's backend, like the JDK's decoder) triangular-
+        interpolates.  Full-RGB max deltas at chroma edges therefore
+        reach ~68 legitimately (measured vs the JDK decoder); the
+        original flat ≤3 assertion was a never-executed wrong
+        expectation.  What must agree: the luma plane and the mean."""
         with open(f"{FIXTURES}/{name}", "rb") as fh:
             blob = fh.read()
         ours = codecs.decode_jpeg(blob)
@@ -106,9 +118,18 @@ class TestJpegNearParity:
         if pil.ndim == 3 and ours.ndim == 2:  # PIL may upconvert gray
             pil = pil[..., 0]
         assert pil.shape == ours.shape
-        diff = np.abs(pil.astype(np.int32) - ours.astype(np.int32))
-        assert diff.max() <= 3, f"{name}: max pixel drift {diff.max()}"
-        assert diff.mean() <= 1.0, f"{name}: mean pixel drift {diff.mean():.3f}"
+        a, b = pil.astype(np.float64), ours.astype(np.float64)
+        if a.ndim == 2:  # grayscale: no chroma, bitwise-level agreement
+            assert np.abs(a - b).max() <= 1, f"{name}: gray drift"
+            return
+
+        def luma(x):
+            return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+        dy = np.abs(luma(a) - luma(b))
+        assert dy.max() <= 10, f"{name}: luma max delta {dy.max():.2f}"
+        assert dy.mean() <= 1.5, f"{name}: luma mean delta {dy.mean():.3f}"
+        assert np.abs(a - b).mean() <= 8, f"{name}: rgb mean delta"
 
     def test_phash_hamming_near_zero(self):
         """aHash over both decodes of the same fixture: visually
