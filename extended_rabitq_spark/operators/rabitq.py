@@ -1076,6 +1076,7 @@ def _arrow_scored_broadcast(
     per_cluster_cut: int | None = None,
     with_probe_rank: bool = False,
     centroid_rows: list | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Small-batch Arrow scorer → (qid, id, est_dist, est_lb) candidates
     (+ ``probe_rank`` when ``with_probe_rank`` — the 1-based rank of the
@@ -1094,7 +1095,10 @@ def _arrow_scored_broadcast(
     D = meta["D"]
     dim = meta["dim"]
     P = rotation_matrix(D, meta["seed"])
-    q_rows = queries.select(qid, qvec).collect()
+    # driver-resident serving batches (rabitq_search(query_rows=...))
+    # skip the construction-time collect job — the RPC-serving shape
+    q_rows = (query_rows if query_rows is not None
+              else queries.select(qid, qvec).collect())
     # serving loops hit the same index every micro-batch: a pre-collected
     # centroid list (rabitq_search(centroid_rows=...)) skips one
     # collect JOB per batch — at micro-batch sizes the scheduling floor,
@@ -1623,6 +1627,7 @@ def rabitq_search(
     full_probes: bool = False,
     centroid_rows: list | None = None,
     refine_mode: str = "rank",
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Full two-phase Extended-RaBitQ search → (qid, rank, id, est_dist).
 
@@ -1635,6 +1640,15 @@ def rabitq_search(
     that query one index repeatedly collect once and skip a per-call
     collect job (ignored by the cogroup/sql scorers, which never
     collect centroids).
+
+    ``query_rows``: driver-resident (qid, qvec) pairs for the broadcast
+    scorer — the serving shape where the batch arrives OUTSIDE Spark
+    (an RPC handler) and is already on the driver: skips the
+    construction-time query-side collect job, making a no-rerank
+    serving call exactly ONE Spark job.  Must mirror ``queries``
+    (which is still required for the rerank join) and is only valid for
+    L2-metric indexes (cosine/ip apply a query transform the raw rows
+    would bypass) with the broadcast scorer; both are enforced.
 
     Scorers (all produce identical (est_dist, est_lb) candidates, so the
     result is rank-identical across them — asserted in tests):
@@ -1666,6 +1680,24 @@ def rabitq_search(
     """
     if probes is not None and qid != "qid" and qid in probes.columns:
         probes = probes.withColumnRenamed(qid, "qid")
+    if query_rows is not None:
+        if meta.get("metric") not in (None, "l2"):
+            raise ValueError(
+                "rabitq_search(query_rows=...) requires an L2-metric index "
+                f"(this index: {meta.get('metric')!r}) — the cosine/ip "
+                "query transforms would be bypassed on the raw rows"
+            )
+        if scorer not in ("arrow", "arrow_broadcast"):
+            raise ValueError(
+                "rabitq_search(query_rows=...) is a broadcast-scorer "
+                f"serving path, got scorer={scorer!r}"
+            )
+        if len(query_rows) > broadcast_max_queries:
+            raise ValueError(
+                f"rabitq_search(query_rows=...): {len(query_rows)} rows "
+                f"exceeds broadcast_max_queries={broadcast_max_queries}"
+            )
+        scorer = "arrow_broadcast"  # skip the auto-route count() job too
     queries, rerank_base, qid, qvec = _prepare_search_inputs(
         queries, rerank_base, meta, qid, qvec
     )
@@ -1678,6 +1710,7 @@ def rabitq_search(
         queries, codes, centroids, meta, nprobe, qid, qvec, scorer,
         estimator, broadcast_max_queries, probes, full_probes,
         centroid_rows, per_cluster_cut=None if refine is None else refine * k,
+        query_rows=query_rows,
     )
     return _finalize_topk(
         scored, queries, k, refine, rerank_base, qid, qvec, refine_mode
@@ -1699,6 +1732,7 @@ def _scored_candidates(
     full_probes: bool,
     centroid_rows: list | None,
     per_cluster_cut: int | None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Phase-1 scorer routing shared by :func:`rabitq_search` and
     :func:`rabitq_threshold_stats` → (qid, id, est_dist, est_lb)."""
@@ -1715,6 +1749,7 @@ def _scored_candidates(
             queries, codes, centroids, meta, nprobe, qid, qvec, estimator,
             per_cluster_cut=per_cluster_cut,
             centroid_rows=centroid_rows,
+            query_rows=query_rows,
         )
     if scorer == "arrow_cogroup":
         return _arrow_scored_cogroup(

@@ -299,6 +299,90 @@ def serve_latency_benchmark(
     return stats
 
 
+def serve_local_batches(
+    spark: SparkSession,
+    index_path: str,
+    rows_per_batch: int = 50,
+    n_batches: int = 3,
+    nprobe: int = 3,
+    k: int = 10,
+    conf: dict[str, str] | None = None,
+) -> list[dict]:
+    """ONE-Spark-job-per-batch serving floor (VERDICT r9 item 5).
+
+    The realistic low-latency serving shape: query batches arrive
+    OUTSIDE Spark (an RPC handler holds them driver-side), so the
+    query side never needs a collect job — the batch rows go straight
+    into the broadcast scorer via ``rabitq_search(query_rows=...)``
+    and the only Spark job per batch is the search+count action itself.
+    Generates the SAME deterministic query load as
+    :func:`synthetic_query_stream` (qid-keyed sin-hash vectors), in
+    numpy on the driver.
+
+    Floor accounting per batch: streaming ``single_job`` mode =
+    scheduling floor × 2 (query-side collect inside the scorer + the
+    search job); this mode = floor × 1.  Returns the same stat dicts as
+    :func:`serve_latency_benchmark`."""
+    import math
+    import time
+
+    from pyspark.sql import functions as SF
+
+    from ..operators.rabitq import load_index, rabitq_search
+
+    saved_conf: dict[str, str | None] = {}
+    for key, val in (conf or {}).items():
+        saved_conf[key] = spark.conf.get(key, None)
+        spark.conf.set(key, val)
+    try:
+        codes, centroids, meta = load_index(spark, index_path)
+        codes = codes.persist()
+        codes.count()
+        cent_rows = centroids.select("cluster_id", "centroid").collect()
+        dim = meta["dim"]
+        # dummy distributed query frame: required by the API (it feeds
+        # the rerank join, unused here) — never evaluated, no job
+        schema = "qid long, qvec array<double>"
+        stats: list[dict] = []
+        qid0 = 0
+        for epoch in range(n_batches):
+            # the rate source's generator, driver-side: qvec[j] =
+            # sin(qid·73856093 + j·19349663)
+            rows = [
+                (q, [math.sin(q * 73856093.0 + j * 19349663.0)
+                     for j in range(dim)])
+                for q in range(qid0, qid0 + rows_per_batch)
+            ]
+            qid0 += rows_per_batch
+            t0 = time.perf_counter()
+            qdf = spark.createDataFrame(rows, schema)
+            res = rabitq_search(
+                qdf, codes, centroids, meta, nprobe=nprobe, k=k,
+                centroid_rows=cent_rows, query_rows=rows,
+            )
+            agg = res.agg(
+                SF.count("*").alias("n_r"),
+                SF.countDistinct("qid").alias("n_q"),
+            ).collect()[0]
+            stats.append({
+                "batch": int(epoch),
+                "n_queries": int(agg["n_q"]),
+                "n_results": int(agg["n_r"]),
+                "latency_sec": round(time.perf_counter() - t0, 4),
+            })
+    finally:
+        try:
+            codes.unpersist()
+        except Exception:
+            pass
+        for key, val in saved_conf.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    return stats
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup: drop repeat (user_id, event_type) pairs
     arriving within the watermark window — Spark's built-in stateful

@@ -208,6 +208,61 @@ def test_serve_latency_benchmark(spark, tmp_path):
         assert s["latency_sec"] > 0
 
 
+def test_serve_local_batches_matches_stream_results(spark, tmp_path):
+    """r10 one-job serving floor: the driver-local batch mode returns the
+    SAME per-query results as a plain rabitq_search over the same
+    deterministic query load, and query_rows misuse is rejected."""
+    import math
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from extended_rabitq_spark.operators import ivf, rabitq
+    from extended_rabitq_spark.streaming.stream_ops import serve_local_batches
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = ivf.label_centroids(emb.where(F.col("vec_id") >= 10))
+    index_df, meta = rabitq.build_index(base, cents, total_bits=4)
+    path = str(tmp_path / "idx")
+    rabitq.save_index(index_df, cents, meta, path)
+
+    stats = serve_local_batches(
+        spark, path, rows_per_batch=20, n_batches=2, nprobe=3, k=5
+    )
+    assert len(stats) == 2
+    for s in stats:
+        assert s["n_queries"] == 20
+        assert s["n_results"] == 20 * 5
+        assert s["latency_sec"] > 0
+
+    # value law: query_rows path ≡ the distributed query path on the
+    # same (qid, qvec) batch
+    codes, centroids, meta2 = rabitq.load_index(spark, path)
+    dim = meta2["dim"]
+    rows = [(q, [math.sin(q * 73856093.0 + j * 19349663.0)
+                 for j in range(dim)]) for q in range(20)]
+    qdf = spark.createDataFrame(rows, "qid long, qvec array<double>")
+    via_rows = rabitq.rabitq_search(
+        qdf, codes, centroids, meta2, nprobe=3, k=5, query_rows=rows
+    ).collect()
+    via_df = rabitq.rabitq_search(
+        qdf, codes, centroids, meta2, nprobe=3, k=5, scorer="arrow_broadcast"
+    ).collect()
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, via_rows)) == sorted(map(tuple, via_df))
+
+    # misuse is rejected at the boundary
+    with pytest.raises(ValueError, match="broadcast-scorer"):
+        rabitq.rabitq_search(qdf, codes, centroids, meta2, nprobe=3, k=5,
+                             query_rows=rows, scorer="arrow_cogroup")
+    with pytest.raises(ValueError, match="exceeds broadcast_max_queries"):
+        rabitq.rabitq_search(qdf, codes, centroids, meta2, nprobe=3, k=5,
+                             query_rows=rows, broadcast_max_queries=5)
+
+
 def test_serving_scorer_respects_broadcast_bound():
     """ADVICE r8: the serving benchmark's broadcast-scorer pin must honor
     rabitq_search's broadcast_max_queries contract — batches above the

@@ -84,14 +84,37 @@ def main() -> int:
               conf={"spark.sql.adaptive.enabled": "false",
                     "spark.sql.shuffle.partitions": "4"})),
     ]
+    # r10 (VERDICT r9 item 5): the ONE-job-per-batch floor — query
+    # batches held driver-side (the RPC-serving shape) go straight into
+    # the broadcast scorer via rabitq_search(query_rows=...), so the
+    # per-batch cost is a single search job (streaming single_job pays
+    # the scheduling floor twice: scorer's query collect + search).
+    configs.append(
+        ("local_single_job",
+         dict(local=True,
+              conf={"spark.sql.adaptive.enabled": "false",
+                    "spark.sql.shuffle.partitions": "4"})))
     rows = []
     for cfg_name, kw in configs:
+        kw = dict(kw)
+        local = kw.pop("local", False)
         for rate in [int(r) for r in a.rates.split(",")]:
-            stats = serve_latency_benchmark(
-                spark, a.index, rows_per_batch=rate,
-                n_batches=a.warmup + a.batches, nprobe=a.nprobe, k=a.k,
-                timeout_sec=600.0, **kw,
-            )
+            if local:
+                from extended_rabitq_spark.streaming.stream_ops import (
+                    serve_local_batches,
+                )
+
+                stats = serve_local_batches(
+                    spark, a.index, rows_per_batch=rate,
+                    n_batches=a.warmup + a.batches, nprobe=a.nprobe,
+                    k=a.k, **kw,
+                )
+            else:
+                stats = serve_latency_benchmark(
+                    spark, a.index, rows_per_batch=rate,
+                    n_batches=a.warmup + a.batches, nprobe=a.nprobe, k=a.k,
+                    timeout_sec=600.0, **kw,
+                )
             measured = stats[a.warmup:]
             if not measured:
                 print(f"config={cfg_name} rate={rate}: no measured "
