@@ -779,7 +779,7 @@ def embedding_ann_pairs(
     emb: DataFrame,
     top_n: int = 20,
     nprobe: int | None = None,
-    k_per_query: int = 40,
+    k_per_query: int | None = None,
     total_bits: int = 4,
     id_: str = "vec_id",
     vec: str = "embedding",
@@ -801,9 +801,19 @@ def embedding_ann_pairs(
     per-query k ≥ N+1 captures every top-N pair (pigeonhole on ranks).
     With ``nprobe < n_clusters`` the search is approximate and the recall
     knob is (nprobe, k_per_query), exactly like query serving.
+
+    ``k_per_query`` defaults to the theorem-tight ``top_n + 1``: the
+    exact-rerank shortlist (a corpus-wide raw-vector join) scales
+    linearly with it, and the measured grid (results/ann_dedup_kprobe.csv
+    + the milestone-65 A/B) shows the old 2× headroom (40) bought zero
+    pair recall at nprobe=4 — misses there are probe misses, not
+    shortlist truncations (17/20 at k ∈ {12, 21, 40}).  Raise it only as
+    an approximate-mode recall knob alongside nprobe.
     """
     from pyspark.sql import Window
 
+    if k_per_query is None:
+        k_per_query = top_n + 1
     scored = _ann_self_join_scored_pairs(
         emb, k_per_query, nprobe, total_bits, id_, vec, n_clusters
     )
