@@ -142,6 +142,209 @@ def tpch_suite_child() -> None:
     spark.stop()
 
 
+def extras_suite_child() -> None:
+    """Run the composed-pipeline extras catalogue and print one JSON line.
+
+    Invoked by main() as ``python bench.py --extras-only`` in a fresh OS
+    process, for the same reason tpch gets one (see tpch_suite_child):
+    ``recycle_session()`` restarts the SparkSession but the py4j JVM
+    survives, and its accumulated heap/GC/codegen history overstates the
+    LATE entries catastrophically on a slow-GC host — the round-10 local
+    run measured hll_distinct_shingles at 40.1s cold / 32.0s warm inside
+    the accumulated JVM vs 1.6s cold / 1.4s warm isolated (20×), with
+    the same inflation on pagerank (12s vs 2.9s), the np4 ANN dedup
+    (36.2s vs 7.8s) and the scale pipeline (47.3s vs ~9s).  A child
+    process is the only way to a genuinely cold JVM."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    WARM_REPS = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
+    WARM_SKIP_SEC = float(os.environ.get("SPARK_GRAFT_WARM_SKIP_SEC", "45"))
+
+    from pyspark.sql import functions as F
+
+    from extended_rabitq_spark.session import get_spark
+
+    spark = get_spark("exrabitq-bench-extras", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    extras: dict[str, float] = {}
+
+    def run_full(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def _persistent_ids() -> set:
+        try:
+            return {
+                int(i)
+                for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+            }
+        except Exception:
+            return set()
+
+    def release_stray_state(baseline_ids: set) -> None:
+        # same contract as main()'s: drop persisted blocks a query left
+        # behind so rep N never pays for rep N-1's leftovers
+        import gc
+
+        gc.collect()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for i in jmap.keySet().toArray():
+                if int(i) not in baseline_ids:
+                    jmap.get(i).unpersist()
+        except Exception:
+            pass
+
+    def ensure_alive() -> None:
+        nonlocal spark
+        try:
+            spark.range(1).count()
+        except Exception:
+            print("bench extras: spark session died; recreating", file=sys.stderr)
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = get_spark("exrabitq-bench-extras", cpus=cpus)
+            spark.sparkContext.setLogLevel("ERROR")
+
+    def median_warm(fn) -> float:
+        baseline = _persistent_ids()
+        reps = []
+        for _ in range(max(WARM_REPS, 1)):
+            t0 = time.perf_counter()
+            fn()
+            reps.append(time.perf_counter() - t0)
+            release_stray_state(baseline)
+        return sorted(reps)[len(reps) // 2]
+
+    for name in EXTRA_QUERIES:
+        if name in qmap:
+            baseline = _persistent_ids()
+            t0 = time.perf_counter()
+            try:
+                run_full(qmap[name](spark, sf_dir))
+                extras[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
+                release_stray_state(baseline)
+            except Exception as exc:
+                print(f"bench: extra {name} failed: {exc}", file=sys.stderr)
+                extras[f"{name}_sec"] = -1.0
+                ensure_alive()
+                release_stray_state(baseline)
+                continue
+            if extras[f"{name}_sec"] > WARM_SKIP_SEC:
+                print(f"bench: extra {name} warm skipped (cold "
+                      f"{extras[f'{name}_sec']}s > {WARM_SKIP_SEC}s)",
+                      file=sys.stderr)
+                continue
+            try:  # separate: a warm-rep failure must not clobber the cold
+                extras[f"{name}_warm_sec"] = round(
+                    median_warm(lambda n=name: run_full(qmap[n](spark, sf_dir))), 3
+                )
+            except Exception as exc:
+                print(f"bench: extra {name} warm failed: {exc}", file=sys.stderr)
+                extras[f"{name}_warm_sec"] = -1.0
+                ensure_alive()
+
+    # Production-hash HLL (xxh64) vs the md5-based oracle row timed in
+    # EXTRA_QUERIES above — same plan, same input, different value hash
+    # (VERDICT r6 item 3: md5 was the measured per-shingle hot loop).
+    try:
+        from extended_rabitq_spark.queries.text import (
+            hll_distinct_shingles_production,
+        )
+
+        t0 = time.perf_counter()
+        run_full(hll_distinct_shingles_production(spark, sf_dir))
+        extras["hll_shingles_xxh64_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        print(f"bench: hll xxh64 failed: {exc}", file=sys.stderr)
+        extras["hll_shingles_xxh64_sec"] = -1.0
+        ensure_alive()
+
+    # Production-hash MinHash-LSH (xxh64 shingle hash) vs the md5-based
+    # oracle headline — verified-pair equivalence pinned in
+    # tests/test_dedup_text.py.
+    try:
+        from extended_rabitq_spark.queries.dedup import (
+            dedup_minhash_lsh_production,
+        )
+
+        t0 = time.perf_counter()
+        run_full(dedup_minhash_lsh_production(spark, sf_dir))
+        extras["dedup_minhash_xxh64_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        print(f"bench: minhash xxh64 failed: {exc}", file=sys.stderr)
+        extras["dedup_minhash_xxh64_sec"] = -1.0
+        ensure_alive()
+
+    # BPE apply throughput (VERDICT r6 item 7): train once (untimed, the
+    # bounded-collect protocol), then time the broadcast-ranks Arrow
+    # tokenize pass — the map-only stage that scales with corpus size.
+    try:
+        from extended_rabitq_spark.operators import bpe as bpe_ops
+
+        docs_bpe = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges = bpe_ops.train_bpe(docs_bpe, n_merges=200)
+        t0 = time.perf_counter()
+        tokenized = bpe_ops.bpe_tokenize(docs_bpe, merges).select("doc_id", "n_tokens")
+        n_tok = tokenized.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        dt = time.perf_counter() - t0
+        extras["bpe_tokenize_sec"] = round(dt, 3)
+        extras["bpe_tokens_per_sec"] = round(n_tok / dt, 1)
+    except Exception as exc:
+        print(f"bench: bpe tokenize failed: {exc}", file=sys.stderr)
+        extras["bpe_tokenize_sec"] = -1.0
+        ensure_alive()
+
+    # Production-mode ANN dedup (nprobe-limited, the 100 TB configuration)
+    # alongside the lossless full-probe spec point timed above.
+    try:
+        from extended_rabitq_spark.operators.dedup import embedding_ann_pairs
+
+        emb_t = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        run_full(embedding_ann_pairs(emb_t, nprobe=4))
+        extras["dedup_embedding_ann_np4_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        print(f"bench: ann np4 failed: {exc}", file=sys.stderr)
+        extras["dedup_embedding_ann_np4_sec"] = -1.0
+        ensure_alive()
+
+    # The production (scale=True) composition: stage-3 near-dup prune via
+    # the distributed ANN self-join instead of the all-pairs oracle twin.
+    from extended_rabitq_spark.queries.pipeline import pipeline_clean_corpus
+
+    baseline = _persistent_ids()
+    t0 = time.perf_counter()
+    try:
+        run_full(pipeline_clean_corpus(spark, sf_dir, scale=True))
+        extras["pipeline_clean_corpus_scale_sec"] = round(time.perf_counter() - t0, 3)
+        release_stray_state(baseline)
+    except Exception as exc:
+        print(f"bench: pipeline scale variant failed: {exc}", file=sys.stderr)
+        extras["pipeline_clean_corpus_scale_sec"] = -1.0
+        ensure_alive()
+    if extras["pipeline_clean_corpus_scale_sec"] > 0:
+        try:  # separate: a warm-rep failure must not clobber the cold
+            extras["pipeline_clean_corpus_scale_warm_sec"] = round(
+                median_warm(
+                    lambda: run_full(pipeline_clean_corpus(spark, sf_dir, scale=True))
+                ),
+                3,
+            )
+        except Exception as exc:
+            print(f"bench: pipeline scale warm failed: {exc}", file=sys.stderr)
+            extras["pipeline_clean_corpus_scale_warm_sec"] = -1.0
+            ensure_alive()
+
+    print(json.dumps(extras))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
@@ -170,6 +373,26 @@ def main() -> None:
         print(f"bench: tpch suite child failed: {exc}", file=sys.stderr)
         extras["tpch_suite_sec"] = -1.0
         extras["tpch_suite_n"] = 0
+
+    # ---- extras: composed pipelines + flagship ANN dedup, ALSO in a
+    # fresh OS process (round 10): the round-10 local run caught the
+    # accumulated-JVM effect tpch was moved out for (r6) now poisoning
+    # the extras tail — hll 32s warm inside the run vs 1.4s isolated
+    # (20×), np4 36s vs 7.8s.  Isolated-child numbers match isolated
+    # sessions by construction; see extras_suite_child.
+    try:
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extras-only"],
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_EXTRAS_TIMEOUT", "2400")),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(child.stderr[-2000:])
+        extras.update(json.loads(child.stdout.strip().splitlines()[-1]))
+    except Exception as exc:
+        print(f"bench: extras child failed: {exc}", file=sys.stderr)
+        extras["extras_child_failed"] = 1.0
 
     from pyspark.sql import functions as F
 
@@ -241,20 +464,10 @@ def main() -> None:
         except Exception:
             pass
 
-    def recycle_session() -> None:
-        # Heavy extras measure in a FRESH JVM: NOTES milestone 18 measured
-        # ~3× per-query overstatement from accumulated heap/GC state after
-        # ~40 sequential queries, and isolated re-runs of the ANN dedup
-        # show warm reps 2-3× FASTER than cold while the same reps inside
-        # the accumulated bench JVM invert (warm > cold).  The restart is
-        # untimed; per-query numbers then match isolated-session runs.
-        nonlocal spark
-        try:
-            spark.stop()
-        except Exception:
-            pass
-        spark = get_spark("exrabitq-bench", cpus=cpus)
-        spark.sparkContext.setLogLevel("ERROR")
+    # (NOTE: the old recycle_session() in-process "fresh session" helper is
+    # gone — milestone 18's ~3× overstatement fix was incomplete because
+    # spark.stop() keeps the py4j JVM alive; heavy sections now run in
+    # genuinely fresh OS children: --tpch-suite-only and --extras-only.)
 
     def timed(name: str, fn) -> None:
         # Headline statistic (round 10, VERDICT r9 item 2): the MEDIAN of
@@ -423,137 +636,8 @@ def main() -> None:
         if name in qmap:
             timed(name, lambda n=name: run_full(qmap[n](spark, sf_dir)))
 
-    # ---- extras: composed pipeline + flagship ANN dedup (not in the
-    # headline total, so round-over-round headline stays comparable).
-    # Cold one-shot AND median-of-WARM_REPS steady state: the cold
-    # number carries first-plan codegen + Python-worker spin-up on a
-    # ±30%-noise host (r3's 11.7s vs r4's 18.3s for the same ANN code
-    # was pure cold-sample noise) — the warm median is the comparable
-    # figure. ----
-    WARM_SKIP_SEC = float(os.environ.get("SPARK_GRAFT_WARM_SKIP_SEC", "45"))
-    recycle_session()  # isolate the heavy compositions from the JVM state
-    for name in EXTRA_QUERIES:
-        if name in qmap:
-            baseline = _persistent_ids()
-            t0 = time.perf_counter()
-            try:
-                run_full(qmap[name](spark, sf_dir))
-                extras[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
-                release_stray_state(baseline)
-            except Exception as exc:
-                print(f"bench: extra {name} failed: {exc}", file=sys.stderr)
-                extras[f"{name}_sec"] = -1.0
-                ensure_alive()
-                release_stray_state(baseline)
-                continue
-            if extras[f"{name}_sec"] > WARM_SKIP_SEC:
-                # don't triple a already-long run (and at large SF the
-                # repeat pressure is what OOMs the session) — cold stands
-                print(f"bench: extra {name} warm skipped (cold "
-                      f"{extras[f'{name}_sec']}s > {WARM_SKIP_SEC}s)",
-                      file=sys.stderr)
-                continue
-            try:  # separate: a warm-rep failure must not clobber the cold
-                extras[f"{name}_warm_sec"] = round(
-                    median_warm(lambda n=name: run_full(qmap[n](spark, sf_dir))), 3
-                )
-            except Exception as exc:
-                print(f"bench: extra {name} warm failed: {exc}", file=sys.stderr)
-                extras[f"{name}_warm_sec"] = -1.0
-                ensure_alive()
-
-    # Production-hash HLL (xxh64) vs the md5-based oracle row timed in
-    # EXTRA_QUERIES above — same plan, same input, different value hash
-    # (VERDICT r6 item 3: md5 was the measured per-shingle hot loop).
-    try:
-        from extended_rabitq_spark.queries.text import (
-            hll_distinct_shingles_production,
-        )
-
-        t0 = time.perf_counter()
-        run_full(hll_distinct_shingles_production(spark, sf_dir))
-        extras["hll_shingles_xxh64_sec"] = round(time.perf_counter() - t0, 3)
-    except Exception as exc:
-        print(f"bench: hll xxh64 failed: {exc}", file=sys.stderr)
-        extras["hll_shingles_xxh64_sec"] = -1.0
-        ensure_alive()
-
-    # Production-hash MinHash-LSH (xxh64 shingle hash) vs the md5-based
-    # oracle headline — verified-pair equivalence pinned in
-    # tests/test_dedup_text.py (r8: the band-skew profile showed the
-    # headline is COMPUTE-bound with md5 the largest term).
-    try:
-        from extended_rabitq_spark.queries.dedup import (
-            dedup_minhash_lsh_production,
-        )
-
-        t0 = time.perf_counter()
-        run_full(dedup_minhash_lsh_production(spark, sf_dir))
-        extras["dedup_minhash_xxh64_sec"] = round(time.perf_counter() - t0, 3)
-    except Exception as exc:
-        print(f"bench: minhash xxh64 failed: {exc}", file=sys.stderr)
-        extras["dedup_minhash_xxh64_sec"] = -1.0
-        ensure_alive()
-
-    # BPE apply throughput (VERDICT r6 item 7): train once (untimed, the
-    # bounded-collect protocol), then time the broadcast-ranks Arrow
-    # tokenize pass — the map-only stage that scales with corpus size.
-    try:
-        from extended_rabitq_spark.operators import bpe as bpe_ops
-
-        docs_bpe = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        merges = bpe_ops.train_bpe(docs_bpe, n_merges=200)
-        t0 = time.perf_counter()
-        tokenized = bpe_ops.bpe_tokenize(docs_bpe, merges).select("doc_id", "n_tokens")
-        n_tok = tokenized.agg(F.sum("n_tokens")).collect()[0][0] or 0
-        dt = time.perf_counter() - t0
-        extras["bpe_tokenize_sec"] = round(dt, 3)
-        extras["bpe_tokens_per_sec"] = round(n_tok / dt, 1)
-    except Exception as exc:
-        print(f"bench: bpe tokenize failed: {exc}", file=sys.stderr)
-        extras["bpe_tokenize_sec"] = -1.0
-        ensure_alive()
-
-    # Production-mode ANN dedup (nprobe-limited, the 100 TB configuration)
-    # alongside the lossless full-probe spec point timed above.
-    try:
-        from extended_rabitq_spark.operators.dedup import embedding_ann_pairs
-
-        emb_t = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        t0 = time.perf_counter()
-        run_full(embedding_ann_pairs(emb_t, nprobe=4))
-        extras["dedup_embedding_ann_np4_sec"] = round(time.perf_counter() - t0, 3)
-    except Exception as exc:
-        print(f"bench: ann np4 failed: {exc}", file=sys.stderr)
-        extras["dedup_embedding_ann_np4_sec"] = -1.0
-        ensure_alive()
-
-    # The production (scale=True) composition: stage-3 near-dup prune via
-    # the distributed ANN self-join instead of the all-pairs oracle twin.
-    from extended_rabitq_spark.queries.pipeline import pipeline_clean_corpus
-
-    baseline = _persistent_ids()
-    t0 = time.perf_counter()
-    try:
-        run_full(pipeline_clean_corpus(spark, sf_dir, scale=True))
-        extras["pipeline_clean_corpus_scale_sec"] = round(time.perf_counter() - t0, 3)
-        release_stray_state(baseline)
-    except Exception as exc:
-        print(f"bench: pipeline scale variant failed: {exc}", file=sys.stderr)
-        extras["pipeline_clean_corpus_scale_sec"] = -1.0
-        ensure_alive()
-    if extras["pipeline_clean_corpus_scale_sec"] > 0:
-        try:  # separate: a warm-rep failure must not clobber the cold
-            extras["pipeline_clean_corpus_scale_warm_sec"] = round(
-                median_warm(
-                    lambda: run_full(pipeline_clean_corpus(spark, sf_dir, scale=True))
-                ),
-                3,
-            )
-        except Exception as exc:
-            print(f"bench: pipeline scale warm failed: {exc}", file=sys.stderr)
-            extras["pipeline_clean_corpus_scale_warm_sec"] = -1.0
-            ensure_alive()
+    # (composed-pipeline extras run in the --extras-only child above —
+    #  fresh JVM; see extras_suite_child)
 
     # ---- optional: full recall/QPS curve (BASELINE.md shape comparison) ----
     # Off by default to keep the driver's per-round bench fast; set
@@ -563,9 +647,9 @@ def main() -> None:
         from extended_rabitq_spark.operators import ivf as ivf_ops
         from extended_rabitq_spark.operators import rabitq as rabitq_ops
 
-        # the earlier frames belong to a session recycle_session() has
-        # stopped — rebuild on the CURRENT session (the seeded build is
-        # deterministic, so this is the same index)
+        # rebuild rather than reuse the headline section's frames (their
+        # caches were released) — the seeded build is deterministic, so
+        # this is the same index
         emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         base2 = emb2.where(F.col("vec_id") >= NQ).select(
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
@@ -642,5 +726,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--tpch-suite-only" in sys.argv:
         tpch_suite_child()
+    elif "--extras-only" in sys.argv:
+        extras_suite_child()
     else:
         main()

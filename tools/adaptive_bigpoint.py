@@ -15,6 +15,16 @@ this scale is whether the triangle certificate FIRES on a realistic
 low-intrinsic-dimension corpus (the soak's latent topic mixture) —
 unlike the sf gate embeddings where it is vacuous (NOTES milestone 55).
 
+``--rerank`` measures the EXACT-distk variant: both arms run with
+``rerank_base`` (+ ``--refine`` shortlist cut), so the lo-pass top-k
+carries exact re-ranked distances and the certificate compares the
+triangle bound against an exact distk instead of a noisy B-bit
+estimate — the noise component of escalation inflation (NOTES
+milestone 63 finding 2) drops out, at the cost of the per-pass rerank
+join.  The within-cell estimator can still hide a true neighbor from
+the shortlist, so the certificate stays a heuristic; the bitwise
+escalation laws are unchanged.
+
 Usage: python tools/adaptive_bigpoint.py [--pairs 3:16,5:16] [--k 100]
 Writes results/exrabitq/<dataset>_adaptive.csv.
 """
@@ -38,6 +48,14 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--pairs", default="3:16,5:16")
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--rerank", action="store_true",
+                    help="exact re-rank both arms (exact-distk certificate)")
+    ap.add_argument("--refine", type=int, default=4,
+                    help="shortlist cut gamma for --rerank (refine*k)")
+    ap.add_argument("--base", default=None,
+                    help="raw-vector parquet for --rerank "
+                         "(default <out-dir>/base.parquet; blocked-index "
+                         "dirs keep base next to the SOURCE corpus)")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     a = ap.parse_args()
@@ -64,6 +82,11 @@ def main() -> int:
     gt.count()
     radii = adaptive.cell_radii_from_codes(codes).persist()
     radii.count()
+    search_kw: dict = {}
+    if a.rerank:
+        base = spark.read.parquet(a.base or f"{a.out_dir}/base.parquet").persist()
+        base.count()
+        search_kw = dict(rerank_base=base, refine=a.refine)
 
     def timed(fn):
         fn()  # warm (plan codegen + first-touch)
@@ -83,12 +106,13 @@ def main() -> int:
 
         def fixed(p):
             return rabitq.rabitq_search(
-                qs, codes, cents, meta, nprobe=hi, k=a.k, probes=p
+                qs, codes, cents, meta, nprobe=hi, k=a.k, probes=p,
+                **search_kw,
             )
 
         res_ad, stats = adaptive.rabitq_search_adaptive(
             qs, codes, cents, meta, k=a.k, nprobe_lo=lo, nprobe_hi=hi,
-            return_stats=True,
+            return_stats=True, **search_kw,
         )
         esc = stats.agg(F.avg(F.col("escalate").cast("double"))).first()[0]
         rec_ad = (metrics.recall_per_query(res_ad, gt, a.k)
@@ -102,6 +126,7 @@ def main() -> int:
         def run_adaptive():
             adaptive.rabitq_search_adaptive(
                 qs, codes, cents, meta, k=a.k, nprobe_lo=lo, nprobe_hi=hi,
+                **search_kw,
             ).write.format("noop").mode("overwrite").save()
 
         def run_fixed():
