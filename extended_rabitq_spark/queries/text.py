@@ -619,3 +619,57 @@ def sketch_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["source"], "n_chars", "doc_id",
         quantiles=list(SK.QSK_GRADE_Q), k=SK.QSK_GRADE_K, hash_fn="hash60",
     )
+
+
+_KN_ORACLE = f"""
+WITH d0 AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+bgl AS (SELECT doc_id, lang,
+               unnest(CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                   i -> struct_pack(w1 := toks[CAST(i AS INT)],
+                                    w2 := toks[CAST(i AS INT) + 1]))
+                 ELSE [] END) AS b
+        FROM d0),
+t AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bgl),
+c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM t GROUP BY 1, 2, 3),
+byw1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1,
+                count(*) AS n1p_fwd
+         FROM c12 GROUP BY 1, 2),
+byw2 AS (SELECT lang, w2, count(*) AS n1p_bwd FROM c12 GROUP BY 1, 2),
+ty AS (SELECT lang, count(*) AS n_types FROM c12 GROUP BY 1),
+m AS (SELECT c12.lang, c12.w1, c12.w2,
+             CAST((1000000 * (4 * c12.c12 - 3) + (4 * byw1.c1) // 2) // (4 * byw1.c1)
+              + (((1000000 * 3 * byw1.n1p_fwd + (4 * byw1.c1) // 2) // (4 * byw1.c1))
+                 * ((1000000 * byw2.n1p_bwd + ty.n_types // 2) // ty.n_types)
+                 + 500000) // 1000000 AS BIGINT) AS p_fp
+      FROM c12
+      JOIN byw1 USING (lang, w1)
+      JOIN byw2 USING (lang, w2)
+      JOIN ty USING (lang)),
+p AS (SELECT t.doc_id, coalesce(m.p_fp, 0) AS p_fp
+      FROM t LEFT JOIN m USING (lang, w1, w2)),
+s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(p_fp) AS BIGINT) AS kn_score_fp
+      FROM p GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.kn_score_fp, 0) AS BIGINT) AS kn_score_fp
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("lm_kn_bigram_score", _KN_ORACLE)
+def lm_kn_bigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney word-bigram typicality (NEW r10,
+    beyond-reference §2.8 — KenLM's smoothing, the actual CCNet filter
+    LM; next to the char-trigram typicality above): per-language KN
+    model with exact-rational discount D = 3/4, every model probability
+    computed with round-half-up INTEGER division only (no IEEE divide
+    anywhere in the chain), per-document BIGINT fixed-point sums.
+    Low mean-KN documents are boilerplate soup / wrong-language / token
+    salad; the score feeds the same quality-bucket mixers as
+    lm_typicality_score."""
+    from ..operators import lm_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_quality.kn_bigram_score(docs)

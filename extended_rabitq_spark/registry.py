@@ -469,6 +469,10 @@ _QUEUED: list[str] = [
     # (r9's queued registrations — the adaptive-escalation pair and the
     # four curation audits — all rotated into the r10 window; see the
     # _PROMOTED round-10 block.  New r10 registrations queue here.)
+    "lm_kn_bigram_score",   # NEW r10: interpolated Kneser-Ney word-bigram
+                            # typicality (KenLM smoothing, integer-exact
+                            # D=3/4 fixed point); tri-scale-verified at
+                            # registration, r11 rotation candidate
 ]
 
 

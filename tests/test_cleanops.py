@@ -268,6 +268,123 @@ class TestLmTypicality:
         assert got[3][0] == 2
 
 
+class TestKnBigramScore:
+    """Interpolated Kneser-Ney word-bigram typicality
+    (operators/lm_quality.kn_bigram_score, NEW r10)."""
+
+    def _docs(self, spark, rows, lang="en"):
+        return spark.createDataFrame(
+            [(i, t, lang, "web", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def test_model_matches_float_kn_formula(self, spark):
+        """The integer fixed-point model tracks the real-arithmetic
+        interpolated-KN probability within composition rounding
+        (each of the three rounded factors contributes <=1/2 ulp at
+        1e-6 scale -> total drift < 2e-6)."""
+        from extended_rabitq_spark.operators import lm_quality
+
+        docs = self._docs(
+            spark,
+            [(1, "a b a b a c"), (2, "a b c a b"), (3, "b c a")],
+        )
+        model = {
+            (r.w1, r.w2): r.p_fp
+            for r in lm_quality.train_kn_bigram(docs).collect()
+        }
+        # independent float reference from hand-kept count tables
+        from collections import Counter
+
+        toks = [d.split() for d in ("a b a b a c", "a b c a b", "b c a")]
+        c12 = Counter()
+        for ts in toks:
+            for x, y in zip(ts, ts[1:]):
+                c12[(x, y)] += 1
+        c1 = Counter()
+        fwd = Counter()
+        bwd = Counter()
+        for (x, y), c in c12.items():
+            c1[x] += c
+            fwd[x] += 1
+            bwd[y] += 1
+        n_types = len(c12)
+        D = 0.75
+        for (x, y), c in c12.items():
+            p = (c - D) / c1[x] + (D * fwd[x] / c1[x]) * (bwd[y] / n_types)
+            assert abs(model[(x, y)] / 1e6 - p) < 2e-6, (x, y, p, model[(x, y)])
+
+    def test_probabilities_bounded_and_positive(self, spark):
+        from extended_rabitq_spark.operators import lm_quality
+
+        docs = self._docs(
+            spark,
+            [(i, f"w{i} common w{i + 1} common tail{i % 3}") for i in range(20)],
+        )
+        rows = lm_quality.train_kn_bigram(docs).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r.p_fp <= lm_quality.FIXED_POINT + 1, r
+
+    def test_garbage_scores_below_fluent(self, spark):
+        from extended_rabitq_spark.operators import lm_quality
+
+        fluent = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown dog walks over the lazy fox",
+            "a quick brown fox rests near the lazy dog",
+            "the lazy dog rests near the quick brown fox",
+        ]
+        garbage = "zq kj wx vv qpf zzk jx wq kz vj xq"
+        docs = self._docs(
+            spark, [(i, t) for i, t in enumerate(fluent)] + [(99, garbage)]
+        )
+        got = {
+            r.doc_id: (r.n_bigrams, r.kn_score_fp)
+            for r in lm_quality.kn_bigram_score(docs).collect()
+        }
+        mean = {
+            d: s / n / lm_quality.FIXED_POINT for d, (n, s) in got.items() if n
+        }
+        assert all(mean[99] < mean[i] for i in range(len(fluent))), mean
+
+    def test_external_model_unseen_bigrams_score_zero(self, spark):
+        from extended_rabitq_spark.operators import lm_quality
+
+        corpus = self._docs(spark, [(1, "a b a b a b"), (2, "a b a b")])
+        lm = lm_quality.train_kn_bigram(corpus)
+        new = self._docs(spark, [(10, "a b a b"), (11, "x y x y")])
+        got = {
+            r.doc_id: (r.n_bigrams, r.kn_score_fp)
+            for r in lm_quality.kn_bigram_score(new, lm=lm).collect()
+        }
+        assert got[10][0] == 3 and got[10][1] > 0
+        assert got[11] == (3, 0)
+
+    def test_short_and_empty_docs(self, spark):
+        from extended_rabitq_spark.operators import lm_quality
+
+        docs = self._docs(spark, [(1, "solo"), (2, ""), (3, "a b c")])
+        got = {
+            r.doc_id: (r.n_bigrams, r.kn_score_fp)
+            for r in lm_quality.kn_bigram_score(docs).collect()
+        }
+        assert got[1] == (0, 0) and got[2] == (0, 0)
+        assert got[3][0] == 2
+
+    def test_languages_train_independent_models(self, spark):
+        from extended_rabitq_spark.operators import lm_quality
+
+        en = self._docs(spark, [(1, "a b a b a b a b")], lang="en")
+        de = self._docs(spark, [(2, "a b a c a d a e")], lang="de")
+        model = {
+            (r.lang, r.w1, r.w2): r.p_fp
+            for r in lm_quality.train_kn_bigram(en.unionByName(de)).collect()
+        }
+        # ("a","b") is 4/4 of en's a-continuations but 1/4 of de's
+        assert model[("en", "a", "b")] > model[("de", "a", "b")]
+
+
 class TestDecontaminateNgrams:
     """GPT-3/PaLM-style span-removal decontamination (n-gram collision
     + margin window)."""
