@@ -266,3 +266,165 @@ def split_by_group(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture allocation (water-filling with an upsampling cap —
+# the "epochs per source under a total token budget" computation every
+# LLM pre-training mix sheet contains; cf. the repeat-epoch tables in
+# Llama/Gopher data cards).  Target shares are integer weights; a source
+# may be upsampled at most ``max_epochs``× its size, and budget that a
+# capped source cannot absorb redistributes to the others in weight
+# proportion (classic water-filling).  With integer weights, token
+# counts, budget, and cap, the capped set is decided by CROSS-MULTIPLIED
+# INTEGER comparisons (no float in any decision) and the allocations are
+# round-half-up integer divisions — bitwise cross-engine.
+#
+# Sorted by cap/weight ascending, the capped set is a prefix, and row k
+# is capped iff  (B - C_{k-1}) * w_k >= cap_k * W_k  where C_{k-1} is
+# the prefix cap sum and W_k the suffix weight sum (the greedy
+# water-filling test with all earlier rows capped).  Prefix-monotonicity
+# lemma (so the per-row test needs no iteration): if row k-1 fails the
+# test then so does row k — substituting the row-(k-1) failure into
+# row k's left side gives
+#   (B - C_{k-1})·w_k < cap_{k-1}/w_{k-1} · w_k·W_k ≤ cap_k·W_k,
+# the last step by the sort order cap_{k-1}/w_{k-1} ≤ cap_k/w_k.  The
+# float division appears ONLY in the sort key (a single IEEE divide is
+# correctly rounded, hence identical in JVM and DuckDB); every
+# comparison that decides output values is integer.
+#
+# Scale: one groupBy(source) corpus pass; the window runs over the
+# per-source AGGREGATE (O(#sources) rows), never over documents.
+
+MTB_BUDGET = 100_000   # total training-token budget — chosen so the
+                       # fixture corpus exercises BOTH regimes: mixed
+                       # water-filling (high-weight sources cap, low-
+                       # weight ones absorb the redistribution) at
+                       # sf0.001/sf0.01, fully uncapped at sf0.1
+MTB_MAX_EPOCHS = 4     # upsampling cap (integer epochs)
+
+
+def _mtb_weight(source: str = "source") -> str:
+    """Integer target weight 1..3 derived from the source id suffix —
+    deterministic and engine-portable (both engines 1-based substr)."""
+    return f"1 + CAST(substring({source}, 4) AS INT) % 3"
+
+
+def mixture_token_budget(
+    docs: DataFrame,
+    budget: int = MTB_BUDGET,
+    max_epochs: int = MTB_MAX_EPOCHS,
+    text: str = "text",
+) -> DataFrame:
+    """Per-source token allocation under ``budget`` →
+    (source, weight, n_tokens, cap_tokens, capped, alloc_tokens,
+    epochs_fp) — all BIGINT; ``epochs_fp/10⁶`` is the repeat factor."""
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+
+    per_src = (
+        docs.select(
+            F.col("source"),
+            F.expr(f"CAST(size({T.tokens(text)}) AS BIGINT)").alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("n_tokens"))
+        .select(
+            "source",
+            F.expr(f"CAST({_mtb_weight()} AS BIGINT)").alias("weight"),
+            "n_tokens",
+            F.expr(f"CAST({max_epochs} * n_tokens AS BIGINT)").alias("cap_tokens"),
+        )
+    )
+    w_ord = Window.orderBy(
+        F.expr("CAST(cap_tokens AS DOUBLE) / weight"), F.col("source")
+    )
+    marked = per_src.select(
+        "*",
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_cap_before"),
+        F.sum("weight")
+        .over(w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("_w_suffix"),
+    ).select(
+        "*",
+        F.expr(
+            f"CAST(CASE WHEN ({budget} - _cap_before) * weight >= "
+            "cap_tokens * _w_suffix THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("capped"),
+    )
+    totals = marked.groupBy().agg(
+        F.sum(F.expr("CASE WHEN capped = 1 THEN cap_tokens ELSE 0 END")).alias(
+            "_cap_sum"
+        ),
+        F.sum(F.expr("CASE WHEN capped = 0 THEN weight ELSE 0 END")).alias(
+            "_w_unc"
+        ),
+    )
+    return marked.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "weight",
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        F.expr(
+            f"CAST(CASE WHEN capped = 1 OR _w_unc = 0 THEN cap_tokens "
+            f"ELSE (({budget} - _cap_sum) * weight + _w_unc DIV 2) DIV _w_unc "
+            "END AS BIGINT)"
+        ).alias("alloc_tokens"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST((1000000 * alloc_tokens + n_tokens DIV 2) DIV n_tokens "
+            "AS BIGINT)"
+        ).alias("epochs_fp"),
+    )
+
+
+def d_mixture_token_budget(
+    budget: int = MTB_BUDGET,
+    max_epochs: int = MTB_MAX_EPOCHS,
+) -> str:
+    """DuckDB oracle for :func:`mixture_token_budget` (verbatim mirror)."""
+    from ..functions import text as T
+
+    toks = T.d_tokens("text")
+    return f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(1 + CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS weight,
+         CAST(sum(len({toks})) AS BIGINT) AS n_tokens,
+         CAST({max_epochs} * sum(len({toks})) AS BIGINT) AS cap_tokens
+  FROM documents GROUP BY source),
+marked AS (
+  SELECT *,
+         CAST(CASE WHEN ({budget} - cap_before) * weight >= cap_tokens * w_suffix
+              THEN 1 ELSE 0 END AS BIGINT) AS capped
+  FROM (
+    SELECT *,
+           coalesce(sum(cap_tokens) OVER (
+             ORDER BY CAST(cap_tokens AS DOUBLE) / weight, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap_before,
+           sum(weight) OVER (
+             ORDER BY CAST(cap_tokens AS DOUBLE) / weight, source
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_suffix
+    FROM per_src)),
+tot AS (
+  SELECT CAST(coalesce(sum(CASE WHEN capped = 1 THEN cap_tokens END), 0) AS BIGINT) AS cap_sum,
+         CAST(coalesce(sum(CASE WHEN capped = 0 THEN weight END), 0) AS BIGINT) AS w_unc
+  FROM marked),
+alloc AS (
+  SELECT m.source, m.weight, m.n_tokens, m.cap_tokens, m.capped,
+         CAST(CASE WHEN m.capped = 1 OR t.w_unc = 0 THEN m.cap_tokens
+              ELSE (({budget} - t.cap_sum) * m.weight + t.w_unc // 2) // t.w_unc
+              END AS BIGINT) AS alloc_tokens
+  FROM marked m CROSS JOIN tot t)
+SELECT *,
+       CAST((1000000 * alloc_tokens + n_tokens // 2) // n_tokens AS BIGINT) AS epochs_fp
+FROM alloc
+"""

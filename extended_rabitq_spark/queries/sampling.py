@@ -231,3 +231,18 @@ def split_by_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_ops.minhash_lsh_pairs(docs), docs.select("doc_id")
     )
     return sampling.split_by_group(comp, val_frac=0.2, salt="gsplit")
+
+
+@register("mixture_token_budget", sampling.d_mixture_token_budget())
+def mixture_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation (NEW r10, beyond-reference §2.8):
+    water-filling of a fixed training-token budget across sources under
+    an upsampling cap (max 4 epochs per source) — the repeat-epoch
+    computation of an LLM pre-training mix sheet.  The capped set is
+    decided by cross-multiplied INTEGER comparisons and the allocations
+    are round-half-up integer divisions (float appears only in the sort
+    key, a single correctly-rounded IEEE divide) — bitwise cross-engine.
+    The window runs over the per-source AGGREGATE (O(#sources) rows),
+    so the op is one corpus groupBy pass at any scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.mixture_token_budget(docs)

@@ -473,6 +473,10 @@ _QUEUED: list[str] = [
                             # typicality (KenLM smoothing, integer-exact
                             # D=3/4 fixed point); tri-scale-verified at
                             # registration, r11 rotation candidate
+    "mixture_token_budget", # NEW r10: water-filling token-budget
+                            # allocator with upsampling cap (integer-
+                            # exact capped-set test); tri-scale-verified
+                            # at registration, r11 rotation candidate
 ]
 
 

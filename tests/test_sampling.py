@@ -320,3 +320,92 @@ class TestHardNegatives:
             rs.sort(key=lambda r: r.rank)
             assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
             assert all(x.dist <= y.dist for x, y in zip(rs, rs[1:]))
+
+
+class TestMixtureTokenBudget:
+    """Water-filling token-budget allocator (NEW r10)."""
+
+    def _docs(self, spark, rows):
+        # rows: (doc_id, source, text)
+        return spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, s, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def _toy(self, spark):
+        # src1 (w=2): 4 tokens; src2 (w=3): 8 tokens; src3 (w=1): 40 tokens
+        rows = [
+            (1, "src1", "a b c d"),
+            (2, "src2", "a b c d e f g h"),
+            (3, "src3", " ".join(f"w{i}" for i in range(40))),
+        ]
+        return self._docs(spark, rows)
+
+    def test_hand_computed_water_filling(self, spark):
+        """B=100, max_e=4: caps are (16, 32, 160), weights (2, 3, 1).
+        Sorted by cap/w: src1 (8), src2 (10.67), src3 (160).
+        src1: 100*2 >= 16*6 -> capped (alloc 16).
+        src2: (100-16)*3 >= 32*4 -> capped (alloc 32).
+        src3: (100-48)*1 < 160*1 -> uncapped, alloc = 52."""
+        from extended_rabitq_spark.operators import sampling
+
+        out = {
+            r.source: r
+            for r in sampling.mixture_token_budget(
+                self._toy(spark), budget=100, max_epochs=4
+            ).collect()
+        }
+        assert (out["src1"].capped, out["src1"].alloc_tokens) == (1, 16)
+        assert (out["src2"].capped, out["src2"].alloc_tokens) == (1, 32)
+        assert (out["src3"].capped, out["src3"].alloc_tokens) == (0, 52)
+        assert out["src1"].epochs_fp == 4_000_000
+        assert out["src3"].epochs_fp == 1_300_000  # 52/40 = 1.3 epochs
+        assert sum(r.alloc_tokens for r in out.values()) == 100
+
+    def test_all_capped_when_budget_exceeds_caps(self, spark):
+        from extended_rabitq_spark.operators import sampling
+
+        out = sampling.mixture_token_budget(
+            self._toy(spark), budget=10_000, max_epochs=4
+        ).collect()
+        assert all(r.capped == 1 and r.alloc_tokens == r.cap_tokens for r in out)
+
+    def test_none_capped_splits_by_weight(self, spark):
+        """Small budget: nobody caps; allocations are weight-proportional
+        round-half-up shares of B."""
+        from extended_rabitq_spark.operators import sampling
+
+        out = {
+            r.source: r
+            for r in sampling.mixture_token_budget(
+                self._toy(spark), budget=42, max_epochs=4
+            ).collect()
+        }
+        assert all(r.capped == 0 for r in out.values())
+        assert out["src1"].alloc_tokens == 14  # 42*2/6
+        assert out["src2"].alloc_tokens == 21  # 42*3/6
+        assert out["src3"].alloc_tokens == 7   # 42*1/6
+
+    def test_epochs_never_exceed_cap(self, spark):
+        from extended_rabitq_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        out = sampling.mixture_token_budget(docs).collect()
+        assert len(out) == 20
+        for r in out:
+            assert 0 <= r.epochs_fp <= 4_000_000 + 1, r
+            assert (r.alloc_tokens == r.cap_tokens) == (r.capped == 1) or (
+                r.capped == 0 and r.alloc_tokens < r.cap_tokens
+            )
+
+    def test_fixture_regimes_and_budget_conservation(self, spark):
+        """sf0.001 sits in the MIXED regime (some capped, some not) and
+        the budget is spent to within rounding of the uncapped count."""
+        from extended_rabitq_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        out = sampling.mixture_token_budget(docs).collect()
+        n_capped = sum(r.capped for r in out)
+        assert 0 < n_capped < len(out)
+        total = sum(r.alloc_tokens for r in out)
+        assert abs(total - sampling.MTB_BUDGET) <= len(out)
