@@ -111,7 +111,12 @@ def stop_shingles(
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > DF_CAP)
         .select("shingle")
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint (r10): computed exactly once either way, but
+        # eager=True paid a standalone driver-blocking job per call —
+        # lazy folds the materialization into the first consuming job
+        # (measured −0.3-0.4s warm on dedup_minhash_lsh; multi-branch
+        # plans still share the single checkpointed copy)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -259,18 +264,34 @@ def jaccard_prefix_pairs(
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    # exact verify on the SAME materialized shingles — as per-doc SETS,
-    # not an exploded join (VERDICT r8 item 4): the previous shape
-    # expanded every candidate pair by doc_a's full shingle list
-    # (Σ_pairs |x| rows — ~8M at sf0.1/t=0.6) and shuffled that through
-    # a second join + groupBy.  Collapsing each candidate doc's
-    # (already-distinct) shingles into ONE array row makes the verify
-    # two equi-joins of the candidate list against a compact per-doc
-    # table, with the intersection counted JVM-side by array_intersect
-    # (hash-set build per row, O(|x|+|y|), inside codegen) — no
-    # per-pair row expansion, no verify-side shuffle of shingle rows.
-    # Exactness is unchanged: same distinct string shingles, same
-    # counts; the sets also carry nsh so the old sizes joins fold in.
+    # exact verify on the SAME materialized shingles — shared array-set
+    # verify (see _array_set_verify)
+    return _array_set_verify(sh, cand, threshold, broadcast_max_docs)
+
+
+def _array_set_verify(
+    sh: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    broadcast_max_docs: int = 65536,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against a
+    materialized (doc_id, shingle) table → (doc_a, doc_b, jaccard_r)
+    with jac ≥ threshold.  Shared by the prefix-filter join (r9) and
+    MinHash-LSH (r10) so the verify shape has one definition.
+
+    Per-doc SETS, not an exploded join (VERDICT r8 item 4): the exploded
+    shape expands every candidate pair by doc_a's full shingle list
+    (Σ_pairs |x| rows) and shuffles that through a second join + groupBy.
+    Collapsing each candidate doc's (already-distinct) shingles into ONE
+    array row makes the verify two equi-joins of the candidate list
+    against a compact per-doc table, with the intersection counted
+    JVM-side by array_intersect (hash-set build per row, O(|x|+|y|),
+    inside codegen) — no per-pair row expansion, no verify-side shuffle
+    of shingle rows.  Exactness is unchanged: same distinct string
+    shingles, same counts; the sets also carry nsh so separate sizes
+    joins fold in (a pair with zero common shingles gets inter = 0,
+    exactly the old left-join + coalesce(inter, 0) semantics)."""
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -278,8 +299,7 @@ def jaccard_prefix_pairs(
     )
     # ONE materialization feeds both pair-join sides (the aliased
     # selects below would otherwise defeat exchange reuse and compute
-    # the semi-join + collect twice) and its count doubles as the
-    # routing key — no separate count job.
+    # the semi-join + collect twice).
     doc_sets = (
         sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
         .groupBy("doc_id")
@@ -287,14 +307,19 @@ def jaccard_prefix_pairs(
         .localCheckpoint(eager=False)
     )
     # route the pair joins by candidate-doc count (the rabitq_search
-    # auto-route move).  Under the bound, doc_sets broadcasts and the
+    # auto-route move).  r10: the routing count runs on cand_ids — a
+    # distinct over the tiny CHECKPOINTED pair list (~ms) — instead of
+    # on doc_sets, whose count forced an eager corpus-side semi-join +
+    # collect_list job with no purpose but routing (measured ~0.7s warm
+    # of a 2.5s query); the doc_sets materialization now folds into the
+    # first verify job.  Under the bound, doc_sets broadcasts and the
     # pairs REPARTITION first: the verify is CPU-bound (hash-set
     # intersects) but byte-small, so AQE would coalesce it onto ~4
     # tasks and leave 28 cores idle (measured 1.3s → 0.56s at sf0.1
     # from the spread alone).  Above the bound — 100 TB corpora where
     # candidate docs are unbounded — both joins stay plain equi-joins
     # (sort-merge, no driver/executor-memory exposure).
-    n_cand_docs = doc_sets.count()
+    n_cand_docs = cand_ids.count()
     if n_cand_docs <= broadcast_max_docs:
         sets_a = F.broadcast(doc_sets)
         sets_b = F.broadcast(doc_sets)
@@ -440,41 +465,12 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=True)  # tiny pair list; single materialization
     )
     # verify: exact jaccard on collided candidates only, reading the
-    # SAME materialized shingle table (no re-tokenize); checkpoint the
-    # small candidate subset — it feeds three consumers (sizes, both
-    # intersection sides)
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = sh.join(
-        F.broadcast(cand_ids), on="doc_id", how="left_semi"
-    ).localCheckpoint(eager=True)
-    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, on="doc_a").join(sb, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    j = (
-        cand.join(inter, on=["doc_a", "doc_b"], how="left")
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), on="doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
-                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
-            ).alias("jac"),
-        )
-    )
-    return j.where(F.col("jac") >= threshold).select(
-        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard_r")
-    )
+    # SAME materialized shingle table (no re-tokenize) — the shared
+    # array-set verify (r10: replaces the r8-era exploded-join verify,
+    # which expanded every candidate pair by its full shingle list and
+    # paid an extra eager checkpoint + four joins; same inputs → same
+    # inter/nsh → identical jaccard values)
+    return _array_set_verify(sh, cand, threshold)
 
 
 def minhash_estimate_pairs(
@@ -600,6 +596,12 @@ def simhash(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFra
     tok = d.select(
         F.col(id_).alias("doc_id"), F.explode(F.expr(T.tokens("_norm"))).alias("tok")
     )
+    # (r10 note: a tf-weighted two-level form — groupBy (doc, term) with
+    # counts, then hash per distinct term — was built and A/B-measured
+    # at sf0.1: 2.39s vs 1.65s median, SLOWER.  The extra exchange +
+    # second aggregation costs more than the md5 savings at the fixture
+    # repetition factor of 2.3×; the one-shuffle instance-vote form
+    # below stays.)
     th = tok.select("doc_id", F.expr(T.hash60("tok")).alias("h"))
     aggs = [
         F.sum(

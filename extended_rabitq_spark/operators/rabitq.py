@@ -1818,6 +1818,7 @@ def rabitq_search_sweep(
     estimator: str = "searcher",
     broadcast_max_queries: int = _BROADCAST_MAX_QUERIES_DEFAULT,
     refine_mode: str = "rank",
+    centroid_rows: list | None = None,
 ) -> tuple[dict[int, DataFrame], DataFrame]:
     """Amortized nprobe sweep →
     ``({nprobe: (qid, rank, id, est_dist)}, scored_pool)``.
@@ -1858,6 +1859,7 @@ def rabitq_search_sweep(
         scored = _arrow_scored_broadcast(
             queries, codes, centroids, meta, np_max, qid, qvec, estimator,
             per_cluster_cut=cut, with_probe_rank=True,
+            centroid_rows=centroid_rows,
         )
     elif scorer == "arrow_cogroup":
         scored = _arrow_scored_cogroup(

@@ -14,7 +14,7 @@ from .. import oracle as O
 from ..functions import vector as V
 from ..operators import knn
 from ..registry import register
-from ..tables import NQ, base_vectors, query_vectors
+from ..tables import NQ, base_vectors, query_vectors, read_parquet
 
 K = 10
 
@@ -102,7 +102,7 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-local vector reductions: norm (P4 prereq), Σx (P9), sign
     popcount (P5+P9) — the per-vector factor aggregates' building blocks
     (inc/index/Quantizer.hpp:386-437)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return emb.select(
         "vec_id",
         F.round(F.expr(V.norm("embedding")), 6).alias("norm_r"),
@@ -152,7 +152,7 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching rows; the alternative post-filter (search then drop) loses
     recall under selective predicates.  Scale path: the same semi join
     composes in front of ivf_search/rabitq_search unchanged."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     keep = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
     base = _base_df(spark, sf_dir).join(keep, on="id", how="left_semi")
     return knn.exact_knn(_queries_df(spark, sf_dir), base, k=K)
@@ -212,7 +212,7 @@ def normalize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback (inc/utils/space.hpp:749-778; python/utils/preprocess.py:3-5
     uses this to reduce cosine to L2).  Emits the unit-norm check and
     component sum."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     d = emb.select("vec_id", F.expr(V.l2_normalize("embedding")).alias("nv"))
     return d.select(
         "vec_id",
@@ -256,7 +256,7 @@ def knn_range_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base_df(spark, sf_dir)
     qs = _queries_df(spark, sf_dir)
     cents = ivf.label_centroids(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
     )
     index_df, meta = rabitq.build_index(base, cents, total_bits=4)
     cents_full = rabitq.centroids_with_rotation(spark, cents, meta)
@@ -279,12 +279,12 @@ def knn_filtered_rabitq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with partition pruning (probed AND allowed)."""
     from ..operators import ivf, rabitq
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     keep = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
     base = _base_df(spark, sf_dir)
     qs = _queries_df(spark, sf_dir)
     cents = ivf.label_centroids(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
     )
     index_df, meta = rabitq.build_index(base, cents, total_bits=4)
     index_f = index_df.join(F.broadcast(keep), on="id", how="left_semi")
@@ -358,7 +358,7 @@ def _metric_twin_result(spark, sf_dir, metric: str, final_dist):
 
     base = _base_df(spark, sf_dir)
     qs = _queries_df(spark, sf_dir)
-    labeled = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+    labeled = read_parquet(spark, f"{sf_dir}/embeddings.parquet").where(
         F.col("vec_id") >= NQ
     )
     mips_m = None
@@ -450,7 +450,7 @@ def embedding_int8_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-rest embedding format.  One map-only codegen projection."""
     from ..operators import embcodec
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     q = embcodec.quantize_embeddings_int8(emb.select("vec_id", "embedding"))
     j = q.join(emb.select("vec_id", F.col("embedding").alias("orig")), "vec_id")
     return j.select(

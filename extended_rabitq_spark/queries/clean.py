@@ -12,10 +12,11 @@ from pyspark.sql import functions as F
 
 from ..operators import cleanops
 from ..registry import register
+from ..tables import read_parquet
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 @register("dedup_lines", cleanops.d_segment_dedup())
@@ -59,7 +60,7 @@ def integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrity, metadata drift, vector-payload health."""
     return cleanops.integrity_audit(
         _docs(spark, sf_dir),
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet"),
     )
 
 

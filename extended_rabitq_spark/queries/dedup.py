@@ -14,6 +14,7 @@ from ..functions import text as T
 from ..operators import dedup
 from ..operators import semdedup as semdedup_ops
 from ..registry import register
+from ..tables import read_parquet
 
 _D_NORM = T.d_norm_text("text")
 _D_TOKS = T.d_tokens("text")
@@ -30,7 +31,7 @@ GROUP BY 1
 @register("dedup_exact", _EXACT_ORACLE)
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy, min-id survivor."""
-    return dedup.exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dedup.exact_dedup(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _SHINGLE_CTES = f"""
@@ -71,7 +72,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup.ngram_jaccard_pairs(
         spread_small_scan(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+            read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
         )
     )
 
@@ -129,7 +130,7 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cores (no-op at scale; see tables.spread_small_scan)
     return dedup.minhash_lsh_pairs(
         spread_small_scan(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+            read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
         )
     )
 
@@ -145,7 +146,7 @@ def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup.jaccard_prefix_pairs(
         spread_small_scan(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+            read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
         ),
         threshold=0.6,
     )
@@ -162,7 +163,7 @@ def dedup_minhash_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup.minhash_lsh_pairs(
         spread_small_scan(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+            read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
         ),
         hash_mode="xxh64",
     )
@@ -190,7 +191,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 @register("dedup_simhash", _simhash_oracle(8))
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(48-bit) near-dup pairs at Hamming ≤ 8."""
-    return dedup.simhash_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dedup.simhash_pairs(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 @register("dedup_simhash_banded", _simhash_oracle(3))
@@ -199,7 +200,7 @@ def dedup_simhash_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands) — the scale path.  The oracle is the all-pairs form: banding
     is provably lossless at nb = h+1, so values must match exactly."""
     return dedup.simhash_banded_pairs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=3
+        read_parquet(spark, f"{sf_dir}/documents.parquet"), max_hamming=3
     )
 
 
@@ -227,7 +228,7 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is its scale path)."""
     from pyspark.sql import Window
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     from ..functions import vector as V
@@ -258,7 +259,7 @@ def dedup_embedding_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global top-N pairs are provably those of the all-pairs form and
     the oracle is the SAME SQL."""
     return dedup.embedding_ann_pairs(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), top_n=_COS_TOPN
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet"), top_n=_COS_TOPN
     )
 
 
@@ -288,8 +289,8 @@ def doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions import vector as V
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     de = docs.join(emb, docs.doc_id == emb.vec_id).select("doc_id", "lang", "embedding")
     a = de.where(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("doc_a"), F.col("embedding").alias("va")
@@ -348,7 +349,7 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph (hash-min label propagation vs the oracle's
     recursive-CTE transitive closure).  component_id doubles as the
     keep-lowest survivor id."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     pairs = dedup.minhash_lsh_pairs(docs)
     return dedup.connected_components(pairs, docs.select("doc_id"))
 
@@ -410,7 +411,7 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the existing corpus (doc_id < 400) — exact hash tier
     + MinHash band tier with Jaccard verification, new×corpus joins
     only (never corpus×corpus)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     new = docs.where(F.col("doc_id") >= INC_SPLIT)
     corpus = docs.where(F.col("doc_id") < INC_SPLIT)
     return dedup.incremental_dedup(new, corpus)
@@ -430,7 +431,7 @@ def dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected_components → filter; the anti-join form (drop everything
     whose component root is someone else) is the same plan shape at
     100 TB."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     comp = dedup.connected_components(
         dedup.minhash_lsh_pairs(docs), docs.select("doc_id")
     )
@@ -457,7 +458,7 @@ def dedup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on top of the components labels; a mega-cluster shows up as
     a single large ``size`` row, the signal to inspect DF_CAP /
     boilerplate before training."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     comp = dedup.connected_components(
         dedup.minhash_lsh_pairs(docs), docs.select("doc_id")
     )
@@ -479,7 +480,7 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_centroids output instead of the deterministic stand-in."""
     from ..operators import ivf as ivf_ops
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     base = emb.where(F.col("vec_id") >= 10)
     cents = ivf_ops.label_centroids(base).select("cluster_id", "centroid")
     vectors = base.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
@@ -506,10 +507,10 @@ def fuzzy_name_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     product; the tau cut is a cross-multiplied integer comparison."""
     from ..operators import fuzzy
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("l_id"), F.col("c_name").alias("k")
     )
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = read_parquet(spark, f"{sf_dir}/supplier.parquet").select(
         F.col("s_suppkey").alias("r_id"), F.col("s_name").alias("k")
     )
     return fuzzy.fuzzy_join(cust, supp, "k", "k", tau=0.3, df_cap=50)
@@ -562,7 +563,7 @@ def entity_resolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import fuzzy
 
     parts = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
+        read_parquet(spark, f"{sf_dir}/part.parquet")
         .where(F.col("p_partkey") < ER_SLICE)
     )
     left = parts.select(F.col("p_partkey").alias("a_id"), F.col("p_name").alias("k"))
@@ -626,7 +627,7 @@ def minhash_jaccard_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup.minhash_estimate_pairs(
         spread_small_scan(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+            read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
         )
     )
 
@@ -652,6 +653,6 @@ def doc_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup.shingle_novelty(
         spread_small_scan(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+            read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
         )
     )

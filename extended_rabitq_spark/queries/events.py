@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ..operators import multimodal
 from ..registry import register
+from ..tables import read_parquet
 from ..streaming.stream_ops import (
     EXACT_VALUE_SUM_SQL,
     batch_windowed_event_counts,
@@ -132,7 +133,7 @@ FROM documents
 def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only pass over binary media columns — no decode, blob
     column pruned where possible."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return multimodal.media_metadata(multimodal.docs_as_media(docs))
 
 
@@ -149,7 +150,7 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over fake-video media: every-2nd frame index per
     blob, metadata-only (no decode; blob column pruned).  decode_frames
     materializes features for the sampled set (tests)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return multimodal.sample_frames(multimodal.docs_as_video(docs), every_n=2)
 
 
@@ -175,7 +176,7 @@ FROM c
 @register("multimodal_audio_chunks", _AUDIO_ORACLE)
 def multimodal_audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio chunk plan (fixed sample windows, metadata-only, no decode)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return multimodal.chunk_audio(multimodal.docs_as_audio(docs), chunk_samples=_CHUNK)
 
 
@@ -184,7 +185,7 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via mapInPandas with the deterministic
     fake codec (rows-only: Python stage).  Output feeds build_index —
     exercised end-to-end in tests/test_multimodal.py."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     feats = multimodal.extract_features(multimodal.docs_as_media(docs))
     return feats.select(
         "media_id",
@@ -671,7 +672,7 @@ def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated under shifted ids (deterministic) — each replica pair
     MUST surface at hamming 0, giving the query a non-trivial stable
     result the driver's rows-only check can count."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     planted = docs.where(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )

@@ -16,7 +16,7 @@ from .. import oracle as O
 from .. import metrics
 from ..operators import ivf, knn
 from ..registry import register
-from ..tables import NQ
+from ..tables import NQ, read_parquet
 from .ann import K, _base_df, _queries_df
 
 NPROBE = 3
@@ -395,7 +395,7 @@ verd AS (SELECT q.qid,
 
 
 def _ada_frames(spark: SparkSession, sf_dir: str):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     vec = F.expr(_ADA_VEC_SPARK)
     base = emb.where(F.col("vec_id") >= NQ).select(
         F.col("vec_id").alias("id"), vec.alias("vec"), "label"

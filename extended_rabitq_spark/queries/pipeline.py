@@ -30,6 +30,7 @@ from ..functions import text as T
 from ..operators import dedup as dedup_ops
 from ..operators import textops
 from ..registry import register
+from ..tables import read_parquet
 
 MIN_TOKENS = 8
 MIN_DISTINCT_RATIO = 0.3
@@ -90,8 +91,8 @@ def pipeline_clean_corpus(
     collects) — so the whole composition is runnable at corpus scale.
     Value-tested equal to the exact form on fixtures
     (tests/test_dedup_text.py)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
     surv = dedup_ops.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
     quality = textops.text_quality(docs).select("doc_id", "n_tokens", "distinct_ratio_r")

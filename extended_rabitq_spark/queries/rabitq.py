@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from .. import metrics
 from ..operators import ivf, knn, rabitq
 from ..registry import register
-from ..tables import NQ
+from ..tables import NQ, read_parquet
 from .ann import K, _base_df, _queries_df
 from .ivf import NPROBE
 
@@ -25,7 +25,7 @@ TOTAL_BITS = 4
 def _build(spark: SparkSession, sf_dir: str):
     base = _base_df(spark, sf_dir)
     cents = ivf.label_centroids(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") >= NQ)
     )
     index_df, meta = rabitq.build_index(base, cents, total_bits=TOTAL_BITS)
     # rotated centroids (what save_index persists), computed in memory

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import retrieval as R
 from ..registry import register
-from ..tables import NQ, base_vectors, query_vectors
+from ..tables import NQ, base_vectors, query_vectors, read_parquet
 
 
 @register("bm25_topk", R.d_bm25_topk(R.PINNED_QUERIES))
@@ -22,7 +22,7 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 keyword retrieval at the pinned query set.  One
     tokenize pass; query-term semi-join before any shuffle; per-query
     rank windows; integer-typed end-to-end (fixed-point scores)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in R.PINNED_QUERIES for t in ts],
         "query_id BIGINT, term STRING",
@@ -36,8 +36,8 @@ def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus by BM25 over their own text AND cosine over their embedding;
     rankings fuse by reciprocal-rank (integer ``1e6 div (60+rank)``).
     Both branches are rank-bounded before the fusion join."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return R.hybrid_rrf_topk(docs, emb, nq=NQ)
 
 

@@ -15,6 +15,7 @@ from ..functions import text as T
 from ..operators import dsir as dsir_ops
 from ..operators import sampling
 from ..registry import register
+from ..tables import read_parquet
 from .dedup import _SHINGLE_CTES
 
 VAL_FRAC = 0.1
@@ -36,7 +37,7 @@ FROM documents
 def split_train_val_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash train/val split — membership is a pure function
     of (doc_id, salt): incremental re-runs never migrate documents."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return sampling.train_val_split(docs, val_frac=VAL_FRAC)
 
 
@@ -55,7 +56,7 @@ WHERE {sampling.d_bucket_expr('doc_id', 'sample')} <
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsample (rebalance dominant strata)
     — map-only CASE over the hash bucket."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return sampling.stratified_sample(
         docs, STRATA, stratum="lang", default_frac=DEFAULT_FRAC
     ).select("doc_id", "lang")
@@ -77,7 +78,7 @@ SELECT doc_id, lang, pick_rank FROM (
 def quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota cap: at most QUOTA docs per lang by
     deterministic hash order (partial top-k window at scale)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return sampling.quota_sample(docs, quota=QUOTA, group="lang").select(
         "doc_id", "lang", "pick_rank"
     )
@@ -102,7 +103,7 @@ FROM tot t LEFT JOIN hit h USING (doc_id)
 def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark n-gram decontamination scan: per-doc fraction of
     shingles shared with the (fixture) benchmark set doc_id < N_BENCH."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     bench_ids = docs.select("doc_id").where(F.col("doc_id") < N_BENCH)
     return dedup_ops.contamination_check(docs, bench_ids)
 
@@ -137,7 +138,7 @@ FROM c
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing into 512-token training bins,
     hash-sharded 8 ways (per-shard running-sum windows — parallel)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return sampling.pack_sequences(
         docs, budget_tokens=PACK_BUDGET, n_shards=PACK_SHARDS
     )
@@ -166,7 +167,7 @@ SELECT doc_id, source, n_chars, cum_chars FROM (
 def corpus_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source char-budget mixture rebalancing (deterministic
     hash-order greedy fill; integer-exact cumulative sums)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return sampling.mixture_sample(docs, MIX_BUDGET)
 
 
@@ -182,7 +183,7 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset (here: en docs from src1/src2) vs the raw pool, Gumbel-top-N
     selection.  Micro-nat FIXED-POINT integers end-to-end — document
     weights are BIGINT sums, exact under any aggregation order."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return dsir_ops.dsir_select(
         docs, target_pred="lang = 'en' AND source IN ('src1', 'src2')", n_select=100
     )
@@ -195,7 +196,7 @@ def weighted_sample_aes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro fixed point, top-k via TakeOrderedAndProject (no global
     sort).  The length-proportional sample every mixture/curriculum
     pipeline draws."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return sampling.weighted_sample_aes(docs, k=50)
 
 
@@ -226,7 +227,7 @@ def split_by_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     every member of a duplicate cluster lands in the same split — the
     contamination a per-doc hash split cannot prevent.  Composition:
     dedup_components (checked) -> map-only group split."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     comp = dedup_ops.connected_components(
         dedup_ops.minhash_lsh_pairs(docs), docs.select("doc_id")
     )
@@ -244,5 +245,5 @@ def mixture_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, a single correctly-rounded IEEE divide) — bitwise cross-engine.
     The window runs over the per-source AGGREGATE (O(#sources) rows),
     so the op is one corpus groupBy pass at any scale."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return sampling.mixture_token_budget(docs)

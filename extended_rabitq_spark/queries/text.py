@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import text as T
 from ..operators import textops
 from ..registry import register
+from ..tables import read_parquet
 
 _D_NORM = T.d_norm_text("text")
 _D_TOKS = T.d_tokens("text")
@@ -33,7 +34,7 @@ SELECT doc_id, CASE {_LANG_CASE} END AS lang_pred, best AS lang_score FROM mx
 @register("text_lang_id", _LANG_ORACLE)
 def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID with deterministic tie-break."""
-    return textops.lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textops.lang_id(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _QUALITY_ORACLE = f"""
@@ -53,7 +54,7 @@ FROM tk
 @register("text_quality", _QUALITY_ORACLE)
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/stopword/repetition quality metrics in one map-only pass."""
-    return textops.text_quality(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textops.text_quality(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _TOKENS_ORACLE = f"""
@@ -67,7 +68,7 @@ FROM documents
 @register("text_token_count", _TOKENS_ORACLE)
 def text_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + regex token counts."""
-    return textops.token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textops.token_count(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _PII_ORACLE = f"""
@@ -86,7 +87,7 @@ FROM documents
 @register("text_pii_scrub", _PII_ORACLE)
 def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (URLs → emails → phones) with pre-redaction counts."""
-    return textops.pii_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textops.pii_scrub(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _STATS_ORACLE = """
@@ -104,7 +105,7 @@ GROUP BY lang, source
 @register("corpus_stats", _STATS_ORACLE)
 def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus composition profile."""
-    return textops.corpus_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textops.corpus_stats(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _ROLLUP_ORACLE = """
@@ -121,7 +122,7 @@ GROUP BY ROLLUP (lang, source)
 @register("corpus_stats_rollup", _ROLLUP_ORACLE)
 def corpus_stats_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals + distinct-source aggregation per language."""
-    return textops.corpus_stats_rollup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textops.corpus_stats_rollup(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _QUANTILES_ORACLE = """
@@ -139,7 +140,7 @@ def corpus_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length percentiles (exact; approx_percentile is the
     documented 100 TB path)."""
     return textops.corpus_length_quantiles(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_parquet(spark, f"{sf_dir}/documents.parquet")
     )
 
 
@@ -156,7 +157,7 @@ SELECT lang, rnk, token, cnt FROM r WHERE rnk <= {textops.TOPK_TOKENS}
 @register("token_topk", _TOPK_ORACLE)
 def token_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 tokens per language (heavy-hitter corpus analysis)."""
-    return textops.token_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textops.token_topk(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _K, _W = textops.FP_K, textops.FP_W
@@ -190,7 +191,7 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.57s warm on 8 cores); no-op at scale
     return textops.doc_fingerprint(
         spread_small_scan(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+            read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
         )
     )
 
@@ -211,7 +212,7 @@ def vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance-tested in tests/test_dedup_text.py)."""
     from ..operators import textops
 
-    return textops.vocab_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textops.vocab_stats(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _REPETITION_ORACLE = f"""
@@ -243,7 +244,7 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return textops.repetition_stats(
         spread_small_scan(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+            read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
         )
     )
 
@@ -265,7 +266,7 @@ def corpus_stats_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_stats_rollup's hierarchy)."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.cube("lang", "source")
         .agg(
@@ -297,7 +298,7 @@ def text_quality_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
     return docs.select(
         "doc_id", "lang", F.ntile(10).over(w).cast("long").alias("len_decile")
@@ -344,7 +345,7 @@ def token_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 collocations by pointwise mutual information (probability
     ratio form — monotone in log-PMI, but free of cross-engine libm
     drift).  Min-support 3; ties broken by bigram text."""
-    return textops.token_pmi(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textops.token_pmi(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 _LM_TYP_ORACLE = """
@@ -380,7 +381,7 @@ def lm_typicality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine (libm-free fixed-point, the token_pmi convention)."""
     from ..operators import lm_quality
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return lm_quality.lm_typicality(docs)
 
 
@@ -397,7 +398,7 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches (map-only).  → (doc_id, n_tokens)."""
     from ..operators import bpe
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     merges = bpe.train_bpe(docs, n_merges=200)
     return bpe.bpe_tokenize(docs, merges).select("doc_id", "n_tokens")
 
@@ -433,7 +434,7 @@ def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle explode is the CPU hot loop — spread a small scan
     # across cores (no-op at scale; r7 profile: 12.2s -> 2.4s local)
     docs = spread_small_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
     )
     sh = docs.select(
         "source",
@@ -457,7 +458,7 @@ def hll_distinct_shingles_production(spark: SparkSession, sf_dir: str) -> DataFr
     from ..tables import spread_small_scan
 
     docs = spread_small_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
     )
     sh = docs.select(
         "source",
@@ -495,7 +496,7 @@ def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import spread_small_scan
 
     docs = spread_small_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+        read_parquet(spark, f"{sf_dir}/documents.parquet"), spark
     )
     sh = docs.select(
         "source",
@@ -546,7 +547,7 @@ def cms_token_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import sketches as SK
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     tok = docs.select(F.explode(F.expr(T.tokens("text"))).alias("token"))
     cnt = tok.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
     # Deterministic global top-20 via sort+limit, NOT a row_number window:
@@ -612,7 +613,7 @@ def sketch_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import sketches as SK
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "source", "doc_id", "n_chars"
     )
     return SK.quantile_sketch_vs_exact(
@@ -671,5 +672,5 @@ def lm_kn_bigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm_typicality_score."""
     from ..operators import lm_quality
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return lm_quality.kn_bigram_score(docs)

@@ -50,16 +50,50 @@ def spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     rescue.  Results are unaffected: callers are order-insensitive
     aggregates over hash/shingle streams (partitioning invariance is
     pinned per-operator in tests)."""
+    cached = getattr(df, "_spread_small_scan", None)
+    if cached is not None:
+        return cached
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    # Per-object memo: ``read_parquet`` returns the SAME DataFrame object
+    # per (session, path), so repeated query constructions (bench warm
+    # reps, the driver's correctness loop) skip the ``df.rdd`` partition
+    # probe — a full analysis + RDD-conversion py4j round-trip measured
+    # at ~0.1s per build.  Plain (non-memoized) inputs just recompute.
+    df._spread_small_scan = out
+    return out
+
+
+# Session-scoped memo of LAZY parquet-scan DataFrames.  This caches the
+# plan handle (schema inference + file listing RPCs, ~0.1s per
+# spark.read.parquet call — measured as the top build cost of repeated
+# query construction), NEVER data: every action still scans the parquet
+# inputs.  Keyed weakly by SparkSession so a restarted session gets
+# fresh handles.
+import weakref
+
+_SESSION_TABLES: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized ``spark.read.parquet(path)`` (lazy plan reuse only)."""
+    try:
+        cache = _SESSION_TABLES.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable: fall through
+        return spark.read.parquet(path)
+    df = cache.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        cache[path] = df
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +139,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             stacklevel=2,
         )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # memoized normalized handle (the tz pin above still runs per call —
+    # it is the load_events contract, and a conf.set is one cheap RPC)
+    try:
+        cache = _SESSION_TABLES.setdefault(spark, {})
+    except TypeError:
+        cache = {}
+    key = f"__events_norm__::{sf_dir}"
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    df = read_parquet(spark, f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
@@ -114,6 +158,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # type the nanos path produced.  Session tz is pinned to UTC in
         # session.get_spark, so the cast is the identity on the micros.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 
