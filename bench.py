@@ -94,10 +94,11 @@ HEADLINE_EXTRAS = [
     "sweep_np3_np6_sec",
     "tpch_suite_sec",
     "tpch_suite_n",
+    "tpch_suite_overlap_sec",
 ]
 
 
-def tpch_suite_child() -> None:
+def tpch_suite_child(overlap: int = 0) -> None:
     """Run ONLY the 22-query TPC-H suite and print one JSON line.
 
     Invoked by main() as ``python bench.py --tpch-suite-only`` in a fresh
@@ -105,7 +106,17 @@ def tpch_suite_child() -> None:
     py4j JVM survives within the Python process, so its heap/GC history
     accumulates — r6's driver artifact showed tpch_suite at 26.2s in the
     accumulated JVM vs 16.8s isolated (VERDICT r6 watch item 1).  A child
-    process is the only way to a genuinely cold JVM."""
+    process is the only way to a genuinely cold JVM.
+
+    ``overlap`` > 0 (``--tpch-overlap-only``, round 10): submit the 22
+    independent queries from a small driver thread pool instead of
+    sequentially (guide §2.6 — actions are only sequential because the
+    driver calls them sequentially; concurrent jobs back-fill the
+    scheduler while each query's small stages leave most cores idle).
+    Reported as the SEPARATE ``tpch_suite_overlap_sec`` extra, from its
+    own cold JVM, so the sequential ``tpch_suite_sec`` stays
+    round-over-round comparable.  Per-query results are unchanged —
+    this overlaps scheduling, not computation."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
@@ -129,16 +140,31 @@ def tpch_suite_child() -> None:
     for d in dims:
         d.count()
     names = sorted(n for n in qmap if n.startswith("tpch_q"))
-    t0 = time.perf_counter()
-    ok = 0
-    for name in names:
+    results: dict[str, bool] = {}
+
+    def run_one(name: str) -> None:
+        spark.sparkContext.setJobDescription(f"tpch:{name}")
         try:
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            ok += 1
+            results[name] = True
         except Exception as exc:  # pragma: no cover - bench resilience
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            results[name] = False
+
+    t0 = time.perf_counter()
+    if overlap > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=overlap) as pool:
+            list(pool.map(run_one, names))
+    else:
+        for name in names:
+            run_one(name)
     wall = round(time.perf_counter() - t0, 3)
-    print(json.dumps({"tpch_suite_sec": wall, "tpch_suite_n": ok}))
+    ok = sum(1 for v in results.values() if v)
+    key = "tpch_suite_overlap_sec" if overlap else "tpch_suite_sec"
+    nkey = "tpch_suite_overlap_n" if overlap else "tpch_suite_n"
+    print(json.dumps({key: wall, nkey: ok}))
     spark.stop()
 
 
@@ -373,6 +399,26 @@ def main() -> None:
         print(f"bench: tpch suite child failed: {exc}", file=sys.stderr)
         extras["tpch_suite_sec"] = -1.0
         extras["tpch_suite_n"] = 0
+
+    # Overlapped variant in its OWN cold JVM (guide §2.6): same 22
+    # queries, driver thread pool — reported next to the sequential
+    # number, which stays the round-over-round comparable statistic.
+    try:
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tpch-overlap-only"],
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_TPCH_TIMEOUT", "900")),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(child.stderr[-2000:])
+        parsed = json.loads(child.stdout.strip().splitlines()[-1])
+        extras["tpch_suite_overlap_sec"] = parsed["tpch_suite_overlap_sec"]
+        extras["tpch_suite_overlap_n"] = parsed["tpch_suite_overlap_n"]
+    except Exception as exc:
+        print(f"bench: tpch overlap child failed: {exc}", file=sys.stderr)
+        extras["tpch_suite_overlap_sec"] = -1.0
+        extras["tpch_suite_overlap_n"] = 0
 
     # ---- extras: composed pipelines + flagship ANN dedup, ALSO in a
     # fresh OS process (round 10): the round-10 local run caught the
@@ -745,6 +791,10 @@ def main() -> None:
 if __name__ == "__main__":
     if "--tpch-suite-only" in sys.argv:
         tpch_suite_child()
+    elif "--tpch-overlap-only" in sys.argv:
+        tpch_suite_child(
+            overlap=int(os.environ.get("SPARK_GRAFT_TPCH_OVERLAP", "4"))
+        )
     elif "--extras-only" in sys.argv:
         extras_suite_child()
     else:

@@ -53,18 +53,31 @@ def lang_id(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFra
     )
 
 
-def text_quality(docs: DataFrame, id_: str = "doc_id", text: str = "text") -> DataFrame:
+def text_quality(
+    docs: DataFrame,
+    id_: str = "doc_id",
+    text: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Quality metrics → (doc_id, n_tokens, n_chars_norm, avg_token_len_r,
     stopword_ratio_r, distinct_ratio_r).  distinct_ratio (type/token) is
-    the cheap repetition detector."""
+    the cheap repetition detector.
+
+    ``keep``: extra input columns carried through unchanged — this is a
+    pure per-row projection, so composers (the clean-corpus pipeline)
+    that need quality columns NEXT TO other doc columns should pass
+    them here instead of re-joining the output against the input on
+    doc_id (a full two-exchange self-join of the corpus; guide §2.4)."""
     en = _arr_lit(STOPWORDS["en"])
     toks = "_toks"
     return docs.select(
         F.col(id_).alias("doc_id"),
+        *[F.col(c) for c in keep],
         F.expr(T.norm_text(text)).alias("_nrm"),
         F.expr(T.tokens(text)).alias("_toks"),
     ).select(
         "doc_id",
+        *keep,
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
         F.expr("CAST(length(_nrm) AS BIGINT)").alias("n_chars_norm"),
         F.round(

@@ -95,15 +95,23 @@ def pipeline_clean_corpus(
     emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
     surv = dedup_ops.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
-    quality = textops.text_quality(docs).select("doc_id", "n_tokens", "distinct_ratio_r")
+    # r10 (guide §2.4): quality is a pure per-row projection of docs —
+    # carry `lang` through it instead of re-joining the projection
+    # against docs on doc_id (that self-join was a full two-exchange
+    # SortMergeJoin of the corpus).  The quality filter now also runs
+    # BEFORE the survivor semi-join, shrinking its probe side; the
+    # survivor set stays the skew-safe partial-agg groupBy (a window
+    # survivor would put every exact-dup clone of a hot document into
+    # one partition).  Row set unchanged: semi-join ∩ filter commute.
+    quality = textops.text_quality(docs, keep=("lang",)).select(
+        "doc_id", "lang", "n_tokens", "distinct_ratio_r"
+    )
     kept = (
-        docs.select("doc_id", "lang")
-        .join(surv, on="doc_id", how="left_semi")
-        .join(quality, on="doc_id")
-        .where(
+        quality.where(
             (F.col("n_tokens") >= MIN_TOKENS)
             & (F.col("distinct_ratio_r") >= MIN_DISTINCT_RATIO)
         )
+        .join(surv, on="doc_id", how="left_semi")
         .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), on="doc_id")
         # stage barrier: `kept` feeds stage 3 from several angles (pair
         # finder sides + the final anti-join); without materialization
