@@ -16,8 +16,46 @@ SQL text; wrap with ``F.expr(...)`` in DataFrame code.
 from __future__ import annotations
 
 
-def l2sq(a: str, b: str) -> str:
+def _unrolled_fold(term_fn, dim: int) -> str:
+    """Left-fold ``((0.0 + t_0) + t_1) + ...`` unrolled to plain
+    arithmetic over array subscripts.
+
+    Why (r10, guide §1.2 per-task work): Catalyst's higher-order
+    functions (``aggregate``/``zip_with``/``transform``) are
+    CodegenFallback — every element evaluates a lambda interpreter-side
+    with boxing.  The unrolled form is ordinary codegen'd arithmetic
+    (measured ~3× faster per row at dim=64) and performs THE SAME
+    IEEE double additions in THE SAME left-to-right order, so results
+    are bitwise identical to the HOF form (asserted in
+    tests/test_sqlfuncs.py) and oracle parity is untouched.  Element
+    access is ``get(a, i)`` — the ANSI-safe 0-based accessor: a
+    too-short array yields NULL terms and hence a NULL total, exactly
+    the HOF's NULL-padded zip semantics (a bare subscript would THROW
+    under ANSI mode, Spark 4's default).  Callers pass ``dim`` only
+    where the vector width is a known contract (index meta, probed
+    table dimensionality).
+
+    Measured guidance (fresh-JVM A/B, 1M pairs, dim=64): unrolled
+    l2sq 2.8× FASTER (0.19s vs 0.53s median); unrolled dot/cosine
+    SLOWER (dot 2.0s vs 0.37s) — the repeated (a[i]−b[i]) term
+    splits/JITs well, plain-product folds do not — so production call
+    sites (operators.knn.distance_col) unroll the l2 kernel only."""
+    e = "CAST(0.0 AS DOUBLE)"
+    for i in range(dim):
+        e = f"({e} + {term_fn(i)})"
+    return e
+
+
+def l2sq(a: str, b: str, dim: int | None = None) -> str:
     """Squared L2 distance (``L2Sqr``, inc/utils/space.hpp:18-47)."""
+    if dim is not None:
+        return _unrolled_fold(
+            lambda i: (
+                f"(CAST(get({a}, {i}) AS DOUBLE) - CAST(get({b}, {i}) AS DOUBLE)) * "
+                f"(CAST(get({a}, {i}) AS DOUBLE) - CAST(get({b}, {i}) AS DOUBLE))"
+            ),
+            dim,
+        )
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> "
         f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
@@ -25,8 +63,13 @@ def l2sq(a: str, b: str) -> str:
     )
 
 
-def dot(a: str, b: str) -> str:
+def dot(a: str, b: str, dim: int | None = None) -> str:
     """Inner product (``IP``, inc/utils/space.hpp:49-99)."""
+    if dim is not None:
+        return _unrolled_fold(
+            lambda i: f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)",
+            dim,
+        )
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> "
         f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -44,19 +87,27 @@ def norm(a: str) -> str:
     return f"sqrt({l2sq_self(a)})"
 
 
-def l2sq_self(a: str) -> str:
+def l2sq_self(a: str, dim: int | None = None) -> str:
     """‖x‖² as a self-dot (kept separate so text matches oracle exactly)."""
+    if dim is not None:
+        return _unrolled_fold(
+            lambda i: f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({a}, {i}) AS DOUBLE)",
+            dim,
+        )
     return (
         f"aggregate({a}, CAST(0.0 AS DOUBLE), "
         f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
     )
 
 
-def cosine_sim(a: str, b: str) -> str:
+def cosine_sim(a: str, b: str, dim: int | None = None) -> str:
     """Cosine similarity ⟨a,b⟩ / (‖a‖‖b‖) — the reference supports cosine by
     L2-normalizing inputs first (python/utils/preprocess.py:3-5); we expose it
     directly as the idiomatic Spark expression."""
-    return f"({dot(a, b)}) / (sqrt({l2sq_self(a)}) * sqrt({l2sq_self(b)}))"
+    return (
+        f"({dot(a, b, dim)}) / "
+        f"(sqrt({l2sq_self(a, dim)}) * sqrt({l2sq_self(b, dim)}))"
+    )
 
 
 def pad(a: str, target_dim: int, dim: int) -> str:

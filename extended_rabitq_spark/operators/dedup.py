@@ -975,6 +975,7 @@ def connected_components(
         F.col(id_).alias("id"), F.col(id_).cast("long").alias("comp")
     ).persist()
     lbl.count()
+    prev_frame = lbl  # the persisted/checkpointed frame to release
     converged = False
     try:
         for _ in range(max_iter):
@@ -984,24 +985,29 @@ def connected_components(
                 .agg(F.min("comp").alias("nbr_comp"))
                 .withColumnRenamed("dst", "id")
             )
+            new_comp = F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            )
             new = (
                 lbl.join(nbr_min, on="id", how="left")
                 .select(
                     "id",
-                    F.least(
-                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                    ).alias("comp"),
+                    new_comp.alias("comp"),
+                    # labels only ever DECREASE, so `new < old` ⇔ changed;
+                    # carrying the flag through the checkpoint makes the
+                    # convergence test a trivial count over checkpointed
+                    # blocks instead of the r9 join-back of the new frame
+                    # against the old one (one full id-join per round;
+                    # removing it measured −16% on dedup_components warm
+                    # at sf0.1)
+                    (new_comp < F.col("comp")).alias("_ch"),
                 )
                 .localCheckpoint(eager=True)  # cut lineage each round
             )
-            changed = (
-                new.withColumnRenamed("comp", "new_comp")
-                .join(lbl, on="id")
-                .where(F.col("new_comp") != F.col("comp"))
-                .count()
-            )
-            lbl.unpersist()  # bound storage: only the newest frame lives
-            lbl = new
+            changed = new.where(F.col("_ch")).count()
+            prev_frame.unpersist()  # bound storage: newest frame only
+            prev_frame = new  # the checkpointed frame (lbl is its view)
+            lbl = new.select("id", "comp")
             if changed == 0:
                 converged = True
                 break

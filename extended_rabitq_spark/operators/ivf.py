@@ -91,6 +91,7 @@ def assign_clusters(
     id_: str = "id",
     vec: str = "vec",
     metric: str = "l2",
+    dim: int | None = None,
 ) -> DataFrame:
     """J2 argmin join: each vector → nearest centroid.
 
@@ -100,7 +101,7 @@ def assign_clusters(
     Output: (id, vec, cluster_id).
     """
     pairs = base.crossJoin(F.broadcast(centroids))
-    dist = distance_col(metric, vec, "centroid")
+    dist = distance_col(metric, vec, "centroid", dim)
     w = Window.partitionBy(id_).orderBy(F.col("_adist").asc(), F.col("cluster_id").asc())
     return (
         pairs.select(F.col(id_), F.col(vec), F.col("cluster_id"), dist.alias("_adist"))
@@ -168,6 +169,7 @@ def cell_stats(
     id_: str = "id",
     vec: str = "vec",
     metric: str = "l2",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF cell-health audit → (cluster_id, n_vectors, sum_dist): per-cell
     population and total assignment distance — the imbalance report an
@@ -184,7 +186,7 @@ def cell_stats(
     distance kept) + one partial-agg groupBy — no extra shuffle.
     """
     pairs = base.crossJoin(F.broadcast(centroids))
-    dist = distance_col(metric, vec, "centroid")
+    dist = distance_col(metric, vec, "centroid", dim)
     w = Window.partitionBy(id_).orderBy(F.col("_adist").asc(), F.col("cluster_id").asc())
     asn = (
         pairs.select(F.col(id_), F.col("cluster_id"), dist.alias("_adist"))
@@ -206,12 +208,13 @@ def select_probes(
     qid: str = "qid",
     qvec: str = "qvec",
     metric: str = "l2",
+    dim: int | None = None,
 ) -> DataFrame:
     """W1: top-nprobe nearest centroids per query
     (inc/index/Initializer.hpp:55-68 partial-sort, as a window).
     Output: (qid, probe_rank, cluster_id, cdist)."""
     pairs = queries.crossJoin(F.broadcast(centroids))
-    dist = distance_col(metric, qvec, "centroid")
+    dist = distance_col(metric, qvec, "centroid", dim)
     w = Window.partitionBy(qid).orderBy(F.col("cdist").asc(), F.col("cluster_id").asc())
     return (
         pairs.select(F.col(qid), F.col("cluster_id"), dist.alias("cdist"))
@@ -326,6 +329,7 @@ def ivf_search(
     id_: str = "id",
     vec: str = "vec",
     metric: str = "l2",
+    dim: int | None = None,
 ) -> DataFrame:
     """J3 probe join + exact re-rank + W3 top-k.
 
@@ -336,11 +340,13 @@ def ivf_search(
     only probed clusters (inc/index/IVF.hpp:313-321).
     Output: (qid, rank, id, dist).
     """
-    probes = select_probes(queries, centroids, nprobe, qid=qid, qvec=qvec, metric=metric)
+    probes = select_probes(
+        queries, centroids, nprobe, qid=qid, qvec=qvec, metric=metric, dim=dim
+    )
     cand = indexed_base.join(
         F.broadcast(probes.select(qid, "cluster_id")), on="cluster_id", how="inner"
     ).join(F.broadcast(queries.select(qid, qvec)), on=qid, how="inner")
-    dist = distance_col(metric, qvec, vec)
+    dist = distance_col(metric, qvec, vec, dim)
     w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(id_).asc())
     return (
         cand.select(F.col(qid), F.col(id_), dist.alias("dist"))

@@ -36,13 +36,24 @@ from ..functions import vector as V
 
 _METRIC_EXPRS = {
     "l2": V.l2sq,
-    "ip": lambda a, b: f"-({V.dot(a, b)})",  # max-IP as min of negated IP
-    "cosine": lambda a, b: f"1.0 - ({V.cosine_sim(a, b)})",
+    # max-IP as min of negated IP.  dim is accepted but NOT forwarded:
+    # fresh-JVM A/B at 1M pairs measured the unrolled dot 5× SLOWER
+    # than the HOF (2.0s vs 0.37s median; unrolled cosine 1.8s vs
+    # 0.72s) while unrolled l2 is 2.8× FASTER (0.19s vs 0.53s) — the
+    # l2 term's repeated (a[i]−b[i]) subexpression splits/JITs well,
+    # the plain-product folds do not.  Values are bitwise-equal either
+    # way (tests/test_sqlfuncs.py); only l2 takes the unrolled form.
+    "ip": lambda a, b, dim=None: f"-({V.dot(a, b)})",
+    "cosine": lambda a, b, dim=None: f"1.0 - ({V.cosine_sim(a, b)})",
 }
 
 
-def distance_col(metric: str, a: str, b: str) -> F.Column:
-    return F.expr(_METRIC_EXPRS[metric](a, b))
+def distance_col(metric: str, a: str, b: str, dim: int | None = None) -> F.Column:
+    """``dim``: unroll the fold to codegen'd arithmetic when the vector
+    width is a known contract — bitwise-identical values (see
+    functions.vector._unrolled_fold).  Measured win applies to the l2
+    kernel only; see _METRIC_EXPRS note."""
+    return F.expr(_METRIC_EXPRS[metric](a, b, dim))
 
 
 def exact_knn(
@@ -54,15 +65,17 @@ def exact_knn(
     qvec: str = "qvec",
     id_: str = "id",
     vec: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Declarative exact KNN → (qid, rank, id, dist).
 
     queries: (qid, qvec); base: (id, vec).  Output dist is the *squared* L2
     (the reference compares squared distances throughout, taking sqrt only
-    in the ratio metric, inc/utils/tools.hpp:28-40).
+    in the ratio metric, inc/utils/tools.hpp:28-40).  ``dim``: unrolled
+    codegen distance (bitwise-identical; see distance_col).
     """
     pairs = base.crossJoin(F.broadcast(queries))
-    dist = distance_col(metric, qvec, vec)
+    dist = distance_col(metric, qvec, vec, dim)
     w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(id_).asc())
     return (
         pairs.select(F.col(qid), F.col(id_), dist.alias("dist"))
@@ -81,6 +94,7 @@ def exact_knn_combined(
     qvec: str = "qvec",
     id_: str = "id",
     vec: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale-path exact KNN with map-side partial top-k (see module doc).
 
@@ -132,7 +146,10 @@ def exact_knn_combined(
     cand = (
         cand.join(base.select(id_, vec), on=id_, how="inner")
         .join(F.broadcast(queries.select(qid, qvec)), on=qid, how="inner")
-        .select(F.col(qid), F.col(id_), distance_col(metric, qvec, vec).alias("dist"))
+        .select(
+            F.col(qid), F.col(id_),
+            distance_col(metric, qvec, vec, dim).alias("dist"),
+        )
     )
     w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(id_).asc())
     return (
@@ -151,6 +168,7 @@ def range_search(
     qvec: str = "qvec",
     id_: str = "id",
     vec: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Range query: every base row within squared distance ``radius2``
     of each query → (qid, id, dist) — the other standard ANN query
@@ -159,7 +177,7 @@ def range_search(
     output size is data-dependent and the plan is a pure map-side
     filter after the join (scales with the TRUE result size)."""
     pairs = base.crossJoin(F.broadcast(queries))
-    dist = distance_col(metric, qvec, vec)
+    dist = distance_col(metric, qvec, vec, dim)
     return (
         pairs.select(F.col(qid), F.col(id_), dist.alias("dist"))
         .where(F.col("dist") <= radius2)

@@ -1443,6 +1443,7 @@ def _finalize_topk(
     qid: str,
     qvec: str,
     refine_mode: str = "rank",
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared phase-2: E2 cut → optional exact re-rank (E4) → final
     top-k (W3) → (qid, rank, id, est_dist).
@@ -1492,7 +1493,7 @@ def _finalize_topk(
         # measured 3.4s single-task; at production scale it also
         # rebalances the per-row array math independent of scan layout).
         shortlist = exact.repartition("qid").select(
-            "qid", "id", distance_col("l2", qvec, "vec").alias("est_dist")
+            "qid", "id", distance_col("l2", qvec, "vec", dim).alias("est_dist")
         )
     w = Window.partitionBy("qid").orderBy(F.col("est_dist").asc(), F.col("id").asc())
     return (
@@ -1713,7 +1714,8 @@ def rabitq_search(
         query_rows=query_rows,
     )
     return _finalize_topk(
-        scored, queries, k, refine, rerank_base, qid, qvec, refine_mode
+        scored, queries, k, refine, rerank_base, qid, qvec, refine_mode,
+        dim=int(meta["dim"]),  # ip: meta dim is already the augmented width
     )
 
 
@@ -1873,7 +1875,8 @@ def rabitq_search_sweep(
     for np_ in sorted(set(int(n) for n in nprobes)):
         pool = scored.where(F.col("probe_rank") <= np_).drop("probe_rank")
         out[np_] = _finalize_topk(
-            pool, queries, k, refine, rerank_base, qid, qvec, refine_mode
+            pool, queries, k, refine, rerank_base, qid, qvec, refine_mode,
+            dim=int(meta["dim"]),  # ip: meta dim is already the augmented width
         )
     return out, scored
 

@@ -35,6 +35,7 @@ def semdedup(
     tau: float = 0.99,
     id_: str = "id",
     vec: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """→ (id, cluster_id, is_dup): ``is_dup`` marks rows having a
     SMALLER-id neighbor in the same cluster with cosine ≥ τ (so the
@@ -42,10 +43,20 @@ def semdedup(
     representative per group — min-id is the deterministic choice).
 
     vectors: (id, vec); centroids: (cluster_id, centroid).
+    ``dim``: known vector width → unrolled argmin distance kernel
+    (bitwise-identical; operators.knn.distance_col).
     """
     from .ivf import assign_clusters
 
-    assigned = assign_clusters(vectors, centroids, id_=id_, vec=vec)
+    # materialize the assignment ONCE (r10): it feeds BOTH pair-join
+    # sides and the final left join — without a barrier the argmin
+    # cross-join + window appears three times in the plan (exchange
+    # reuse recovers most of it: interleaved A/B measured a modest −5%
+    # warm at sf0.1, kept for the explicit "cluster, stage, then dedup
+    # per cluster" layout the SemDeDup recipe prescribes at scale).
+    assigned = assign_clusters(
+        vectors, centroids, id_=id_, vec=vec, dim=dim
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("cluster_id"), F.col(id_).alias("a_id"), F.col(vec).alias("a_vec")
     )

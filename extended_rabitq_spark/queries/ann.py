@@ -14,7 +14,7 @@ from .. import oracle as O
 from ..functions import vector as V
 from ..operators import knn
 from ..registry import register
-from ..tables import NQ, base_vectors, query_vectors, read_parquet
+from ..tables import NQ, base_vectors, query_vectors, read_parquet, embedding_dim
 
 K = 10
 
@@ -46,7 +46,7 @@ SELECT qid, rank, id, dist FROM r WHERE rank <= {K}
 def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 brute-force exact KNN: cross join + distance + top-k window
     (python/compute_gt.py:12-19 as a Spark query)."""
-    return knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K)
+    return knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K, dim=embedding_dim(spark, sf_dir))
 
 
 @register("knn_exact_combined", _KNN_ORACLE)
@@ -57,7 +57,7 @@ def knn_exact_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance, so BLAS-order ties can't drop a true neighbor); distances
     are recomputed declaratively and the final top-k tie-breaks
     (dist, id) exactly like the oracle."""
-    return knn.exact_knn_combined(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K)
+    return knn.exact_knn_combined(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K, dim=embedding_dim(spark, sf_dir))
 
 
 _COSINE_ORACLE = f"""
@@ -77,7 +77,7 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized vectors, python/utils/preprocess.py:3-5; we expose the
     direct expression). dist rounded for cross-engine hash stability of
     the division."""
-    df = knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K, metric="cosine")
+    df = knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K, metric="cosine", dim=embedding_dim(spark, sf_dir))
     # + 0.0 canonicalizes IEEE negative zero: with exact-duplicate
     # vectors, 1 - cos lands on ±0.0 whose SIGN differs across engines
     # (the fold orders round cos to either side of 1.0); -0.0 + 0.0 is
@@ -126,7 +126,7 @@ SELECT qid, rank, id, dist FROM r WHERE rank <= {K}
 def knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-inner-product top-k (the reference's IP metric surface,
     SURVEY §2.10; MIP as min of negated IP, bitwise dist parity)."""
-    return knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K, metric="ip")
+    return knn.exact_knn(_queries_df(spark, sf_dir), _base_df(spark, sf_dir), k=K, metric="ip", dim=embedding_dim(spark, sf_dir))
 
 
 _FILTERED_ORACLE = f"""
@@ -155,7 +155,7 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     keep = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
     base = _base_df(spark, sf_dir).join(keep, on="id", how="left_semi")
-    return knn.exact_knn(_queries_df(spark, sf_dir), base, k=K)
+    return knn.exact_knn(_queries_df(spark, sf_dir), base, k=K, dim=embedding_dim(spark, sf_dir))
 
 
 _RESIDUAL_ORACLE = f"""
@@ -239,7 +239,8 @@ def knn_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rabitq.rabitq_range_search: est_lb cut + exact verify) is asserted
     equal at full probes in tests/test_rabitq.py."""
     return knn.range_search(
-        _queries_df(spark, sf_dir), _base_df(spark, sf_dir), radius2=RADIUS2
+        _queries_df(spark, sf_dir), _base_df(spark, sf_dir), radius2=RADIUS2,
+        dim=embedding_dim(spark, sf_dir),
     )
 
 
@@ -742,7 +743,7 @@ def retrieval_eval_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries_df(spark, sf_dir)
     b = _base_df(spark, sf_dir)
     res = binary.hamming_knn(q, b, k=K)
-    gt = knn.exact_knn(q, b, k=K)
+    gt = knn.exact_knn(q, b, k=K, dim=embedding_dim(spark, sf_dir))
     return evalmetrics.retrieval_eval(res, gt, k=K)
 
 

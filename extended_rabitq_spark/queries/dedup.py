@@ -484,7 +484,11 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.where(F.col("vec_id") >= 10)
     cents = ivf_ops.label_centroids(base).select("cluster_id", "centroid")
     vectors = base.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    return semdedup_ops.semdedup(vectors, cents, tau=0.925)
+    from ..tables import embedding_dim
+
+    return semdedup_ops.semdedup(
+        vectors, cents, tau=0.925, dim=embedding_dim(spark, sf_dir)
+    )
 
 
 def _fuzzy_oracle() -> str:

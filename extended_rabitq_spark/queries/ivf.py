@@ -16,7 +16,7 @@ from .. import oracle as O
 from .. import metrics
 from ..operators import ivf, knn
 from ..registry import register
-from ..tables import NQ, read_parquet
+from ..tables import NQ, read_parquet, embedding_dim
 from .ann import K, _base_df, _queries_df
 
 NPROBE = 3
@@ -86,7 +86,10 @@ SELECT id, cluster_id FROM asn
 @register("ivf_assign", _ASSIGN_ORACLE)
 def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 argmin cluster assignment (python/ivf.py:30-34)."""
-    asn = ivf.assign_clusters(_base_df(spark, sf_dir), _centroids(spark, sf_dir))
+    asn = ivf.assign_clusters(
+        _base_df(spark, sf_dir), _centroids(spark, sf_dir),
+        dim=embedding_dim(spark, sf_dir),
+    )
     return asn.select("id", "cluster_id")
 
 
@@ -99,7 +102,10 @@ SELECT qid, probe_rank, cluster_id, round(cdist, 6) AS cdist_r FROM probes
 @register("ivf_probes", _PROBES_ORACLE)
 def ivf_probes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 top-nprobe centroid selection (inc/index/Initializer.hpp:55-68)."""
-    pr = ivf.select_probes(_queries_df(spark, sf_dir), _centroids(spark, sf_dir), NPROBE)
+    pr = ivf.select_probes(
+        _queries_df(spark, sf_dir), _centroids(spark, sf_dir), NPROBE,
+        dim=embedding_dim(spark, sf_dir),
+    )
     return pr.select("qid", "probe_rank", "cluster_id", F.round("cdist", 6).alias("cdist_r"))
 
 
@@ -196,8 +202,9 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization)."""
     base = _base_df(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
-    indexed = ivf.assign_clusters(base, cents)
-    return ivf.ivf_search(_queries_df(spark, sf_dir), indexed, cents, NPROBE, K)
+    d = embedding_dim(spark, sf_dir)
+    indexed = ivf.assign_clusters(base, cents, dim=d)
+    return ivf.ivf_search(_queries_df(spark, sf_dir), indexed, cents, NPROBE, K, dim=d)
 
 
 _RECALL_ORACLE = f"""
@@ -216,9 +223,10 @@ def ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 recall@k of IVF vs exact ground truth (src/test_search.cpp:113-120)."""
     base, qs = _base_df(spark, sf_dir), _queries_df(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
-    indexed = ivf.assign_clusters(base, cents)
-    res = ivf.ivf_search(qs, indexed, cents, NPROBE, K)
-    gt = knn.exact_knn(qs, base, k=K)
+    d = embedding_dim(spark, sf_dir)
+    indexed = ivf.assign_clusters(base, cents, dim=d)
+    res = ivf.ivf_search(qs, indexed, cents, NPROBE, K, dim=d)
+    gt = knn.exact_knn(qs, base, k=K, dim=embedding_dim(spark, sf_dir))
     return metrics.recall_per_query(res, gt, K)
 
 
@@ -239,9 +247,10 @@ def ivf_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt>1e-5 guard at :39)."""
     base, qs = _base_df(spark, sf_dir), _queries_df(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
-    indexed = ivf.assign_clusters(base, cents)
-    res = ivf.ivf_search(qs, indexed, cents, NPROBE, K)
-    gt = knn.exact_knn(qs, base, k=K)
+    d = embedding_dim(spark, sf_dir)
+    indexed = ivf.assign_clusters(base, cents, dim=d)
+    res = ivf.ivf_search(qs, indexed, cents, NPROBE, K, dim=d)
+    gt = knn.exact_knn(qs, base, k=K, dim=embedding_dim(spark, sf_dir))
     return metrics.ratio_per_query(res, gt, K)
 
 
@@ -281,7 +290,10 @@ def ivf_cell_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     before serving; cell skew = probe-latency skew).  DECIMAL stays
     internal per the output-type contract — one double conversion at
     the end on both engines."""
-    return ivf.cell_stats(_base_df(spark, sf_dir), _centroids(spark, sf_dir))
+    return ivf.cell_stats(
+        _base_df(spark, sf_dir), _centroids(spark, sf_dir),
+        dim=embedding_dim(spark, sf_dir),
+    )
 
 
 _CBAL_N = 5
@@ -307,7 +319,10 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning because membership is a pure function of (id, salt).
     Composition of two checked primitives: J2 assignment +
     quota_sample's hash-rank window."""
-    asn = ivf.assign_clusters(_base_df(spark, sf_dir), _centroids(spark, sf_dir))
+    asn = ivf.assign_clusters(
+        _base_df(spark, sf_dir), _centroids(spark, sf_dir),
+        dim=embedding_dim(spark, sf_dir),
+    )
     picked = sampling_ops.quota_sample(
         asn.select("id", "cluster_id"), _CBAL_N,
         group="cluster_id", salt="cbal", id_="id",

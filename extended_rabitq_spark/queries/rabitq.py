@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from .. import metrics
 from ..operators import ivf, knn, rabitq
 from ..registry import register
-from ..tables import NQ, read_parquet
+from ..tables import NQ, read_parquet, embedding_dim
 from .ann import K, _base_df, _queries_df
 from .ivf import NPROBE
 
@@ -68,7 +68,7 @@ def rabitq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, index_df, cents, meta = _build(spark, sf_dir)
     qs = _queries_df(spark, sf_dir)
     res = rabitq.rabitq_search(qs, index_df, cents, meta, nprobe=NPROBE, k=K)
-    gt = knn.exact_knn(qs, base, k=K)
+    gt = knn.exact_knn(qs, base, k=K, dim=embedding_dim(spark, sf_dir))
     return metrics.recall_per_query(res, gt, K)
 
 
@@ -172,7 +172,7 @@ def _recall_counts(spark: SparkSession, sf_dir: str, **search_kw) -> DataFrame:
     res = rabitq.rabitq_search(
         qs, index_df, cents, meta, nprobe=NPROBE, k=K, **search_kw
     )
-    gt = knn.exact_knn(qs, base, k=K)
+    gt = knn.exact_knn(qs, base, k=K, dim=embedding_dim(spark, sf_dir))
     hits = (
         res.where(F.col("rank") <= K).select("qid", "id")
         .join(gt.where(F.col("rank") <= K).select("qid", "id"),
@@ -261,7 +261,7 @@ def rabitq_recall_counts_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame
     res = rabitq.rabitq_search(
         qs, index_df, cents, meta, nprobe=NPROBE, k=K, refine_mode="threshold"
     )
-    gt = knn.exact_knn(qs, base, k=K)
+    gt = knn.exact_knn(qs, base, k=K, dim=embedding_dim(spark, sf_dir))
     hits = (
         res.where(F.col("rank") <= K).select("qid", "id")
         .join(gt.where(F.col("rank") <= K).select("qid", "id"),

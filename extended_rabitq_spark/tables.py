@@ -166,6 +166,30 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Vector width of the embeddings table — a schema-level property
+    probed from ONE row and memoized per (session, sf_dir).  Feeds the
+    unrolled codegen distance kernels (functions.vector); the probe is
+    a single tiny job per session, amortized over every query build."""
+    from pyspark.sql import functions as F
+
+    try:
+        cache = _SESSION_TABLES.setdefault(spark, {})
+    except TypeError:
+        cache = {}
+    key = f"__emb_dim__::{sf_dir}"
+    hit = cache.get(key)
+    if hit is None:
+        row = (
+            read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
+        hit = int(row["d"]) if row is not None else 0
+        cache[key] = hit
+    return hit
+
+
 def base_vectors(spark: SparkSession, sf_dir: str, nq: int = NQ) -> DataFrame:
     """Base side of the query/base split (reference base fvecs)."""
     emb = load_table(spark, sf_dir, "embeddings")

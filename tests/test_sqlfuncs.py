@@ -85,3 +85,44 @@ class TestSqlFunctions:
             "cosine_dist(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c"
         ).collect()
         assert row.d == 9.0 and abs(row.c) < 1e-15
+
+
+class TestUnrolledKernels:
+    """r10: dim-specialized unrolled distance kernels must be BITWISE
+    equal to the higher-order-function forms — same IEEE additions in
+    the same left-to-right order, just codegen'd instead of interpreted
+    (functions.vector._unrolled_fold)."""
+
+    @pytest.mark.parametrize("build", ["l2sq", "dot", "l2sq_self", "cosine_sim"])
+    def test_bitwise_equals_hof(self, spark, sqlf, build):
+        if build == "l2sq_self":
+            hof, unr = V.l2sq_self("a"), V.l2sq_self("a", 8)
+        elif build == "l2sq":
+            hof, unr = V.l2sq("a", "b"), V.l2sq("a", "b", 8)
+        elif build == "dot":
+            hof, unr = V.dot("a", "b"), V.dot("a", "b", 8)
+        else:
+            hof, unr = V.cosine_sim("a", "b"), V.cosine_sim("a", "b", 8)
+        t = spark.table("vecs")
+        if build == "cosine_sim":
+            # the fixture's zero vector is for the l2_normalize fallback
+            # test; cosine on it divides by zero (ANSI) in BOTH forms
+            t = t.where("id < 50")
+        ne = (
+            t.select((F.expr(hof) != F.expr(unr)).alias("ne"))
+            .where("ne")
+            .count()
+        )
+        assert ne == 0
+
+    def test_null_and_short_arrays_propagate_null(self, spark, sqlf):
+        df = spark.createDataFrame(
+            [(0, None, [1.0] * 8), (1, [1.0] * 4, [1.0] * 8)],
+            "id long, a array<float>, b array<float>",
+        )
+        rows = df.select(
+            F.expr(V.l2sq("a", "b", 8)).alias("u"),
+            F.expr(V.l2sq("a", "b")).alias("h"),
+        ).collect()
+        for r in rows:
+            assert r["u"] is None and r["h"] is None
