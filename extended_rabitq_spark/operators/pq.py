@@ -117,18 +117,19 @@ def pq_adc_knn(
 ) -> DataFrame:
     """PQ-ADC search → (qid, rank, id, dist): estimate on decoded
     codewords, exact fp32 re-rank on the broadcast shortlist."""
+    dim = m * dsub  # the PQ subspace split covers the whole vector
     decoded = pq_decode(pq_encode(base, codebooks, m, dsub), codebooks)
     wc = Window.partitionBy("qid").orderBy(F.col("dist_q").asc(), F.col("id").asc())
     cand = (
         decoded.crossJoin(F.broadcast(queries))
-        .select("qid", "id", "qvec", F.expr(V.l2sq("qvec", "dvec")).alias("dist_q"))
+        .select("qid", "id", "qvec", F.expr(V.l2sq("qvec", "dvec", dim)).alias("dist_q"))
         .withColumn("crank", F.row_number().over(wc).cast("bigint"))
         .where(F.col("crank") <= coarse_k)
     )
     wf = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     out = (
         base.join(F.broadcast(cand.select("qid", "id", "qvec")), "id")
-        .select("qid", "id", F.expr(V.l2sq("qvec", "vec")).alias("dist"))
+        .select("qid", "id", F.expr(V.l2sq("qvec", "vec", dim)).alias("dist"))
         .withColumn("rank", F.row_number().over(wf).cast("bigint"))
     )
     return out.where(F.col("rank") <= k).select("qid", "rank", "id", "dist")
@@ -202,7 +203,8 @@ def ivfpq_knn(
     """
     from .ivf import assign_clusters, select_probes
 
-    assigned = assign_clusters(base, centroids)  # (id, vec, cluster_id)
+    dim = m * dsub  # the PQ subspace split covers the whole vector
+    assigned = assign_clusters(base, centroids, dim=dim)  # (id, vec, cluster_id)
     res = assigned.join(F.broadcast(centroids), "cluster_id").select(
         "id", "cluster_id", F.expr(V.sub("vec", "centroid")).alias("rvec")
     )
@@ -229,19 +231,19 @@ def ivfpq_knn(
             ).alias("avec"),
         )
     )
-    probes = select_probes(queries, centroids, nprobe)  # (qid, probe_rank, cluster_id, cdist)
+    probes = select_probes(queries, centroids, nprobe, dim=dim)  # (qid, probe_rank, cluster_id, cdist)
     wc = Window.partitionBy("qid").orderBy(F.col("dist_q").asc(), F.col("id").asc())
     cand = (
         approx.join(F.broadcast(probes.select("qid", "cluster_id")), "cluster_id")
         .join(F.broadcast(queries), "qid")
-        .select("qid", "id", "qvec", F.expr(V.l2sq("qvec", "avec")).alias("dist_q"))
+        .select("qid", "id", "qvec", F.expr(V.l2sq("qvec", "avec", dim)).alias("dist_q"))
         .withColumn("crank", F.row_number().over(wc).cast("bigint"))
         .where(F.col("crank") <= coarse_k)
     )
     wf = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
         base.join(F.broadcast(cand.select("qid", "id", "qvec")), "id")
-        .select("qid", "id", F.expr(V.l2sq("qvec", "vec")).alias("dist"))
+        .select("qid", "id", F.expr(V.l2sq("qvec", "vec", dim)).alias("dist"))
         .withColumn("rank", F.row_number().over(wf).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "id", "dist")

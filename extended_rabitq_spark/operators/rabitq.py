@@ -1280,7 +1280,11 @@ def _arrow_scored_cogroup(
     else:
         if probes is None:  # W1 exact; callers may inject graph_probes (W2)
             probes = select_probes(
-                queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec
+                queries, centroids.select("cluster_id", "centroid"), nprobe,
+                qid=qid, qvec=qvec,
+                # index-space width is a meta contract → unrolled l2
+                # centroid distance (bitwise-identical; knn.distance_col)
+                dim=int(meta["dim"]),
             )
         rank_cols = [F.col("probe_rank")] if with_probe_rank else []
         probes = probes.select(F.col(qid).alias("qid"), "cluster_id", *rank_cols)
@@ -1528,7 +1532,10 @@ def _sql_scored(
     D = meta["D"]
     qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
     if probes is None:  # W1 exact; callers may inject graph_probes (W2)
-        probes = select_probes(queries, centroids.select("cluster_id", "centroid"), nprobe, qid=qid, qvec=qvec)
+        probes = select_probes(
+            queries, centroids.select("cluster_id", "centroid"), nprobe,
+            qid=qid, qvec=qvec, dim=int(meta["dim"]),
+        )
     probes = probes.select(F.col(qid).alias("qid"), "cluster_id")
     # Stage 1: per-(qid, cluster) rotated residual + moments
     qprobe = (
