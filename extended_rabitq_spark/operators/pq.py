@@ -205,9 +205,16 @@ def ivfpq_knn(
 
     dim = m * dsub  # the PQ subspace split covers the whole vector
     assigned = assign_clusters(base, centroids, dim=dim)  # (id, vec, cluster_id)
+    # Pinned (localCheckpoint): the residual table feeds THREE plan
+    # branches (codebook derivation, the encode join, and the
+    # cluster_id join under `approx`) — without a barrier the argmin
+    # assignment chain (a K-way unrolled-l2 scan of the base) re-runs
+    # once per branch and the analyzed plan tops 1,000 lines.  One row
+    # per base vector (id, cluster_id, rvec) — the same "write the
+    # index, then search it" staging save_ivfpq_index does on disk.
     res = assigned.join(F.broadcast(centroids), "cluster_id").select(
         "id", "cluster_id", F.expr(V.sub("vec", "centroid")).alias("rvec")
-    )
+    ).localCheckpoint()
     res_subs = _sub_explode(res.select("id", "rvec"), "rvec", m, dsub, "sv").select(
         "id", "sub_id", "sv"
     )
