@@ -908,7 +908,15 @@ def contamination_check(
     ``benchmark_ids``: one-column DataFrame of ``id_`` values.
     """
     bench = benchmark_ids.select(F.col(id_).alias("doc_id"))
-    sh = shingle_table(docs, id_, text)
+    # Pinned (lazy localCheckpoint): the shingle table feeds THREE plan
+    # branches (benchmark shingle set, per-doc totals, contamination
+    # hits) — the initial plan carried three copies of the
+    # tokenize+shingle+df-window subtree and AQE stage reuse does not
+    # fold them (the exchange sits below diverging joins).  Lazy, so
+    # the materialization rides the first consuming job; same staged
+    # shingle-table pattern as minhash_lsh_pairs (at 100 TB: the
+    # intermediate parquet handoff any decontamination job writes).
+    sh = shingle_table(docs, id_, text).localCheckpoint(eager=False)
     bench_sh = (
         sh.join(F.broadcast(bench), on="doc_id", how="left_semi")
         .select("shingle")

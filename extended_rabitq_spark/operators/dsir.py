@@ -81,7 +81,13 @@ def dsir_select(
     pool is all of ``docs``.  ``score`` is the BIGINT micro-nat selection
     key (importance weight + Gumbel); ties break by doc_id.
     """
-    bc = _bucket_counts(docs, n_buckets, id_, text)
+    # Pinned (lazy localCheckpoint): the bucket-count table feeds THREE
+    # plan branches (target totals, raw totals, per-doc weights) — each
+    # re-ran the tokenize+hash+groupBy pass.  Lazy, so the
+    # materialization rides the first consuming job.  At 100 TB bc is
+    # ≤ min(#tokens, #docs·n_buckets) rows of three integers — the
+    # featurized table any DSIR run stages before scoring.
+    bc = _bucket_counts(docs, n_buckets, id_, text).localCheckpoint(eager=False)
     tgt_ids = docs.where(F.expr(target_pred)).select(F.col(id_).alias("doc_id"))
     tgt = (
         bc.join(F.broadcast(tgt_ids), "doc_id")
