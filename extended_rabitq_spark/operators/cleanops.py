@@ -91,10 +91,14 @@ def segment_dedup(
     exactly the rows the count table compacts to one row each.
     """
     seg_expr = _segments(T.tokens(text), seg_tokens)
+    # Pinned (lazy localCheckpoint): segs feeds the distinct-doc count
+    # AND the join-back, so the tokenize+explode+md5 pass ran twice.
+    # Staging it runs the pass once — the exploded-segment handoff any
+    # CCNet-style job writes between its count and filter stages.
     segs = docs.select(
         F.col(id_).alias("doc_id"),
         F.posexplode(F.expr(seg_expr)).alias("seg_idx", "seg"),
-    ).withColumn("seg_h", F.expr(T.hash60("seg")))
+    ).withColumn("seg_h", F.expr(T.hash60("seg"))).localCheckpoint(eager=False)
     counts = segs.groupBy("seg_h").agg(
         F.countDistinct("doc_id").alias("nd")
     )

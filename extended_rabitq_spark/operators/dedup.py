@@ -128,8 +128,11 @@ def ngram_jaccard_pairs(
     # Materialize once: the shingle table feeds BOTH self-join sides and
     # the sizes aggregate — three tokenize+shingle recomputes otherwise
     # (the self-join recompute trap; measured ~1.8s vs 2.2s steady and
-    # 3x better cold at sf0.1).
-    sh = shingle_table(docs, id_, text).localCheckpoint(eager=True)
+    # 3x better cold at sf0.1).  Lazy (r10): the materialization folds
+    # into the final job instead of a standalone barrier — A/B warm
+    # median 1.73 -> 1.41s; the first branch to run stores the blocks,
+    # later branches read them.
+    sh = shingle_table(docs, id_, text).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -462,7 +465,11 @@ def minhash_lsh_pairs(
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)  # tiny pair list; single materialization
+        # tiny pair list; single materialization.  Eager measured FASTER
+        # than lazy here (r10 A/B: warm median 2.57 vs 2.93s — the lazy
+        # form folds the whole signature pipeline into the routing
+        # count() and loses the barrier's scheduling locality).
+        .localCheckpoint(eager=True)
     )
     # verify: exact jaccard on collided candidates only, reading the
     # SAME materialized shingle table (no re-tokenize) — the shared

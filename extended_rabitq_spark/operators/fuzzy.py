@@ -69,12 +69,19 @@ def fuzzy_join(
     Blank/whitespace-only keys are dropped on both sides — an empty
     normalized key would otherwise trigram to ``['']`` and "perfectly
     match" every other blank key (review r6)."""
+    # Pinned (lazy localCheckpoint): the trigram projections are
+    # map-only (no exchange, so runtime stage reuse can never fold
+    # them) and each feeds multiple plan branches — rt: blocking df,
+    # blocking explode, final verify join (3×); lt: blocking explode,
+    # final verify join (2×).  The O(len²)-per-row trigram expression
+    # re-ran per branch; staging (id, trigrams) computes it once — the
+    # featurized-keys table any blocking join materializes at scale.
     lt = left.where(F.expr(f"length(trim(lower({left_key}))) > 0")).select(
         F.col(left_id), F.expr(_trigrams(left_key)).alias("lt")
-    )
+    ).localCheckpoint(eager=False)
     rt = right.where(F.expr(f"length(trim(lower({right_key}))) > 0")).select(
         F.col(right_id), F.expr(_trigrams(right_key)).alias("rt")
-    )
+    ).localCheckpoint(eager=False)
     # Blocking trigram df on the right side; stop-trigrams excluded.
     rdf = (
         rt.select(right_id, F.explode("rt").alias("g"))
