@@ -110,6 +110,18 @@ def cosine_sim(a: str, b: str, dim: int | None = None) -> str:
     )
 
 
+def cosine_sim_staged(a: str, b: str, na: str, nb: str) -> str:
+    """:func:`cosine_sim` with the two per-row norms staged as columns
+    (``na``/``nb`` hold ``sqrt(l2sq_self(x))`` computed in the row's own
+    projection).  Bitwise-identical: the norm is a deterministic function
+    of the row, and the division tree ``dot / (na * nb)`` is exactly the
+    one cosine_sim emits — only WHERE the norms are computed moves (once
+    per row instead of once per pair).  Use in quadratic pair stages:
+    per-pair array folds drop 3 → 1 (guide §2.3 — shuffle/compute the
+    lightweight proxy, not the recomputation)."""
+    return f"({dot(a, b)}) / ({na} * {nb})"
+
+
 def pad(a: str, target_dim: int, dim: int) -> str:
     """Zero-pad to the next multiple of 64 (P1, inc/utils/tools.hpp:8-14)."""
     if target_dim == dim:

@@ -771,8 +771,12 @@ def _ann_self_join_scored_pairs(
         )
         .distinct()
     )
-    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
-    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
+    # staged per-row norms (r10): one fold per pair, bitwise-identical
+    # (functions.vector.cosine_sim_staged)
+    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"),
+                   F.expr(V.norm(vec)).alias("na"))
+    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"),
+                   F.expr(V.norm(vec)).alias("nb"))
     # repartition the thin pair list before the exact-cosine projection:
     # with a/b broadcast the join chain is narrow, and AQE coalesces the
     # tiny post-distinct exchange to ~1 partition — which would serialize
@@ -780,7 +784,8 @@ def _ann_self_join_scored_pairs(
     # rerank chain in rabitq._finalize_topk).  The extra exchange carries
     # two BIGINTs per row.
     return pairs.repartition("id_a").join(a, on="id_a").join(b, on="id_b").select(
-        "id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos")
+        "id_a", "id_b",
+        F.expr(V.cosine_sim_staged("va", "vb", "na", "nb")).alias("cos"),
     )
 
 
@@ -883,12 +888,20 @@ def embedding_cosine_pairs(
 
     Exact all-pairs form (the oracle-checkable baseline).  Scale path:
     replace the cross join with the IVF/RaBitQ ANN candidate join."""
-    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"))
-    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"))
+    # staged per-row norms (r10): the N² pair stage folds each pair's
+    # arrays once (dot) instead of three times — bitwise-identical
+    # (functions.vector.cosine_sim_staged)
+    a = emb.select(F.col(id_).alias("id_a"), F.col(vec).alias("va"),
+                   F.expr(V.norm(vec)).alias("na"))
+    b = emb.select(F.col(id_).alias("id_b"), F.col(vec).alias("vb"),
+                   F.expr(V.norm(vec)).alias("nb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
+        .select(
+            "id_a", "id_b",
+            F.expr(V.cosine_sim_staged("va", "vb", "na", "nb")).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
     )

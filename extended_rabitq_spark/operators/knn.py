@@ -56,6 +56,30 @@ def distance_col(metric: str, a: str, b: str, dim: int | None = None) -> F.Colum
     return F.expr(_METRIC_EXPRS[metric](a, b, dim))
 
 
+def _pairwise_dist(
+    metric: str,
+    queries: DataFrame,
+    base: DataFrame,
+    qid: str,
+    qvec: str,
+    id_: str,
+    vec: str,
+    dim: int | None,
+) -> tuple[DataFrame, DataFrame, F.Column]:
+    """Quadratic-stage distance prep shared by exact_knn / range_search:
+    for the cosine metric, stage each side's norm in its OWN (map-only,
+    once-per-row) projection so the N·NQ pair stage folds the arrays
+    once (dot) instead of three times — bitwise-identical
+    (functions.vector.cosine_sim_staged).  Other metrics pass through
+    untouched."""
+    if metric != "cosine":
+        return queries, base, distance_col(metric, qvec, vec, dim)
+    q = queries.select(qid, qvec).withColumn("_qn", F.expr(V.norm(qvec)))
+    b = base.select(id_, vec).withColumn("_bn", F.expr(V.norm(vec)))
+    dist = F.expr(f"1.0 - ({V.cosine_sim_staged(qvec, vec, '_qn', '_bn')})")
+    return q, b, dist
+
+
 def exact_knn(
     queries: DataFrame,
     base: DataFrame,
@@ -74,8 +98,8 @@ def exact_knn(
     in the ratio metric, inc/utils/tools.hpp:28-40).  ``dim``: unrolled
     codegen distance (bitwise-identical; see distance_col).
     """
+    queries, base, dist = _pairwise_dist(metric, queries, base, qid, qvec, id_, vec, dim)
     pairs = base.crossJoin(F.broadcast(queries))
-    dist = distance_col(metric, qvec, vec, dim)
     w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(id_).asc())
     return (
         pairs.select(F.col(qid), F.col(id_), dist.alias("dist"))
@@ -176,8 +200,8 @@ def range_search(
     exact form: broadcast NLJ + filter — no window, so unlike top-k the
     output size is data-dependent and the plan is a pure map-side
     filter after the join (scales with the TRUE result size)."""
+    queries, base, dist = _pairwise_dist(metric, queries, base, qid, qvec, id_, vec, dim)
     pairs = base.crossJoin(F.broadcast(queries))
-    dist = distance_col(metric, qvec, vec, dim)
     return (
         pairs.select(F.col(qid), F.col(id_), dist.alias("dist"))
         .where(F.col("dist") <= radius2)

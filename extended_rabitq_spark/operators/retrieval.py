@@ -231,14 +231,19 @@ def hybrid_rrf_topk(
         .select(F.col("query_id").alias("qid"), "doc_id", "rank_b")
     )
 
-    q = emb.where(F.col("vec_id") < nq).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    b = emb.where(F.col("vec_id") >= nq).select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")
-    )
     from ..functions import vector as V
 
+    # staged per-row norms (r10): the NQ·N dense stage folds each pair's
+    # arrays once (dot) instead of three times — bitwise-identical
+    # (functions.vector.cosine_sim_staged)
+    q = emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        F.expr(V.norm("embedding")).alias("_qn"),
+    )
+    b = emb.where(F.col("vec_id") >= nq).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec"),
+        F.expr(V.norm("embedding")).alias("_bn"),
+    )
     wc = Window.partitionBy("qid").orderBy(
         F.col("dist").asc(), F.col("doc_id").asc()
     )
@@ -247,7 +252,9 @@ def hybrid_rrf_topk(
         .select(
             "qid",
             "doc_id",
-            F.expr(f"1.0 - ({V.cosine_sim('qvec', 'vec')})").alias("dist"),
+            F.expr(
+                f"1.0 - ({V.cosine_sim_staged('qvec', 'vec', '_qn', '_bn')})"
+            ).alias("dist"),
         )
         .withColumn("rank_c", F.row_number().over(wc).cast("bigint"))
         .where(F.col("rank_c") <= r_cut)

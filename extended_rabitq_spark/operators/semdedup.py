@@ -54,19 +54,32 @@ def semdedup(
     # reuse recovers most of it: interleaved A/B measured a modest −5%
     # warm at sf0.1, kept for the explicit "cluster, stage, then dedup
     # per cluster" layout the SemDeDup recipe prescribes at scale).
+    # The per-row norm ‖x‖ is staged here too (r10): cosine_sim per
+    # pair folds the array THREE times (dot + both self-dots); the
+    # quadratic Σ|cluster|² stage should pay only the dot.  Bitwise
+    # identical: sqrt(l2sq_self(x)) is a deterministic function of the
+    # row, and dot/(na*nb) is the same expression tree cosine_sim emits
+    # — na/nb are the same doubles wherever they are computed.
     assigned = assign_clusters(
         vectors, centroids, id_=id_, vec=vec, dim=dim
-    ).localCheckpoint(eager=True)
+    ).withColumn("_nrm", F.expr(f"sqrt({V.l2sq_self(vec)})")).localCheckpoint(
+        eager=True
+    )
     a = assigned.select(
-        F.col("cluster_id"), F.col(id_).alias("a_id"), F.col(vec).alias("a_vec")
+        F.col("cluster_id"), F.col(id_).alias("a_id"),
+        F.col(vec).alias("a_vec"), F.col("_nrm").alias("a_nrm"),
     )
     b = assigned.select(
-        F.col("cluster_id"), F.col(id_).alias("b_id"), F.col(vec).alias("b_vec")
+        F.col("cluster_id"), F.col(id_).alias("b_id"),
+        F.col(vec).alias("b_vec"), F.col("_nrm").alias("b_nrm"),
     )
     dup_ids = (
         a.join(b, "cluster_id")  # co-partitioned equi-join: Σ|cluster|² pairs
         .where(F.col("a_id") < F.col("b_id"))
-        .where(F.expr(V.cosine_sim("a_vec", "b_vec")) >= F.lit(tau))
+        .where(
+            F.expr(V.cosine_sim_staged("a_vec", "b_vec", "a_nrm", "b_nrm"))
+            >= F.lit(tau)
+        )
         .select(F.col("b_id").alias("dup_id"))
         .distinct()
     )

@@ -773,15 +773,19 @@ def mine_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     index shortlist (knn_filtered_rabitq's semi-join shape)."""
     from ..functions import vector as V
 
-    q = _queries_df(spark, sf_dir)
-    b = _base_df(spark, sf_dir)
     from pyspark.sql import Window
 
+    # staged per-row norms for the cos gate + unrolled l2 (r10): the
+    # NQ·N stage pays one unrolled l2 + one dot fold per pair instead
+    # of one HOF l2 + three folds — bitwise-identical
+    q = _queries_df(spark, sf_dir).withColumn("_qn", F.expr(V.norm("qvec")))
+    b = _base_df(spark, sf_dir).withColumn("_bn", F.expr(V.norm("vec")))
+    dim = embedding_dim(spark, sf_dir)
     pairs = b.crossJoin(F.broadcast(q)).select(
         "qid",
         "id",
-        F.expr(V.l2sq("qvec", "vec")).alias("dist"),
-        F.expr(V.cosine_sim("qvec", "vec")).alias("cos"),
+        F.expr(V.l2sq("qvec", "vec", dim)).alias("dist"),
+        F.expr(V.cosine_sim_staged("qvec", "vec", "_qn", "_bn")).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (

@@ -229,14 +229,21 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     from ..functions import vector as V
 
+    # staged per-row norms (r10): one fold per pair in the N² stage,
+    # bitwise-identical (functions.vector.cosine_sim_staged)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                   F.expr(V.norm("embedding")).alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                   F.expr(V.norm("embedding")).alias("nb"))
     pairs = (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr(V.cosine_sim("va", "vb")).alias("cos"))
+        .select(
+            "id_a", "id_b",
+            F.expr(V.cosine_sim_staged("va", "vb", "na", "nb")).alias("cos"),
+        )
     )
     # two-phase global top-N: parallel partial top-N (TakeOrderedAndProject)
     # feeds a tiny rank window — a bare global window would evaluate every
