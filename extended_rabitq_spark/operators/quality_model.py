@@ -133,10 +133,17 @@ def train_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
+    # Staged (lazy localCheckpoint, r10): Pipeline.fit consumes this
+    # frame at least twice (the StandardScaler fit pass, then the LR's
+    # own instance-persist pass), and each pass re-ran the tokenize +
+    # run-length feature projection AND the weak-label join upstream.
+    # Storing the blocks at first use runs the featurization once.
+    # The fitted coefficients are bitwise-unchanged: same input values,
+    # same partitioning, same treeAggregate order.
     feats = quality_features(labeled_docs, id_=id_, text=text).join(
         labeled_docs.select(F.col(id_).alias("doc_id"), F.col(label).alias("label")),
         on="doc_id",
-    )
+    ).localCheckpoint(eager=False)
     pipe = Pipeline(
         stages=[
             VectorAssembler(inputCols=FEATURE_COLS, outputCol="_fvec"),
