@@ -224,11 +224,29 @@ def ivfpq_knn(
         # aggregation once instead of once per consumer.
         codebooks = residual_octant_codebooks(res_subs).localCheckpoint()
 
-    codes = encode_subs(res_subs, codebooks)
+    # staged (lazy ckpt): probes feeds BOTH the pruning key broadcast
+    # and the candidate join — without it the probe-selection window
+    # re-runs per consumer (measured +2.5 s warm at sf0.1)
+    probes = select_probes(queries, centroids, nprobe, dim=dim).localCheckpoint(
+        eager=False
+    )  # (qid, probe_rank, cluster_id, cdist)
+    # Partition pruning BEFORE reconstruction (r10, guide §6 pushdown):
+    # only probed clusters' residuals are encoded, decoded and
+    # reconstructed — previously the whole index decoded and the probe
+    # join discarded the rest ABOVE the groupBy, where Catalyst cannot
+    # push it down.  Codebook derivation stays corpus-wide (res_subs —
+    # pruning it would change the codewords).  Output identical:
+    # candidates were always restricted to probed clusters.
+    pkeys = probes.select("cluster_id").distinct()
+    res_probed = res.join(F.broadcast(pkeys), "cluster_id", "leftsemi")
+    res_subs_probed = _sub_explode(
+        res_probed.select("id", "rvec"), "rvec", m, dsub, "sv"
+    ).select("id", "sub_id", "sv")
+    codes = encode_subs(res_subs_probed, codebooks)
     # Decode + reconstruct: approx = centroid + decoded residual.
     approx = (
         pq_decode(codes, codebooks)
-        .join(res.select("id", "cluster_id"), "id")
+        .join(res_probed.select("id", "cluster_id"), "id")
         .join(F.broadcast(centroids), "cluster_id")
         .select(
             "id",
@@ -238,7 +256,6 @@ def ivfpq_knn(
             ).alias("avec"),
         )
     )
-    probes = select_probes(queries, centroids, nprobe, dim=dim)  # (qid, probe_rank, cluster_id, cdist)
     wc = Window.partitionBy("qid").orderBy(F.col("dist_q").asc(), F.col("id").asc())
     cand = (
         approx.join(F.broadcast(probes.select("qid", "cluster_id")), "cluster_id")
