@@ -84,6 +84,8 @@ EXTRA_QUERIES = [
 # ride inside the final line's "extras" dict; everything else (warm/cold
 # tails, per-query extras) spills to earlier lines.
 HEADLINE_EXTRAS = [
+    "calib_pyloop_pre_sec",
+    "calib_pyloop_post_sec",
     "index_build_sec",
     "rabitq_qps_np3",
     "rabitq_qps_np6",
@@ -371,6 +373,21 @@ def extras_suite_child() -> None:
     spark.stop()
 
 
+def calib_pyloop_sec() -> float:
+    """Single-thread host-speed probe: wall time of a 10M-integer add loop.
+
+    VERDICT r10 item 2: round-10's same-code bench walls swung ±40% with
+    the host's idle/power state (the probe degraded 0.93 → 1.6 s across
+    one afternoon while recall columns stayed bit-identical), and that
+    drift was only recorded in prose.  Reporting the probe BEFORE and
+    AFTER the run as extras makes drift quantifiable from the artifact
+    itself — PERF deltas can be read against the probe ratio.  Untimed
+    with respect to every query measurement; pure Python, no Spark."""
+    t0 = time.perf_counter()
+    sum(range(10_000_000))
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
@@ -381,6 +398,7 @@ def main() -> None:
     # cold JVM, before this process accumulates any heap history, so the
     # number is comparable round-over-round and to isolated runs.
     extras: dict[str, float] = {}
+    extras["calib_pyloop_pre_sec"] = calib_pyloop_sec()
     import subprocess
 
     try:
@@ -750,6 +768,8 @@ def main() -> None:
             [r.nprobe, round(r.recall, 4), round(r.ratio, 4), round(r.qps, 2)]
             for r in rows
         ]
+
+    extras["calib_pyloop_post_sec"] = calib_pyloop_sec()
 
     out = {
         # round 10: the headline is the SUM OF WARM MEDIANS (median of

@@ -127,9 +127,14 @@ def pq_adc_knn(
         .where(F.col("crank") <= coarse_k)
     )
     wf = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    # Exact rerank stays FULL-WIDTH (no dim hint): m*dsub equals the true
+    # vector width for every registered caller, but the generic contract
+    # allows m*dsub < size(vec), and an unrolled dim would silently
+    # truncate the "exact" distances (ADVICE r10).  The shortlist is
+    # qid×coarse_k rows, so the HOF kernel costs nothing here.
     out = (
         base.join(F.broadcast(cand.select("qid", "id", "qvec")), "id")
-        .select("qid", "id", F.expr(V.l2sq("qvec", "vec", dim)).alias("dist"))
+        .select("qid", "id", F.expr(V.l2sq("qvec", "vec")).alias("dist"))
         .withColumn("rank", F.row_number().over(wf).cast("bigint"))
     )
     return out.where(F.col("rank") <= k).select("qid", "rank", "id", "dist")
@@ -265,9 +270,12 @@ def ivfpq_knn(
         .where(F.col("crank") <= coarse_k)
     )
     wf = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    # Exact rerank stays FULL-WIDTH (no dim hint) — see pq_adc_knn: an
+    # unrolled dim=m*dsub would silently truncate the exact distances
+    # whenever m*dsub < size(vec) (ADVICE r10); shortlist is tiny.
     return (
         base.join(F.broadcast(cand.select("qid", "id", "qvec")), "id")
-        .select("qid", "id", F.expr(V.l2sq("qvec", "vec", dim)).alias("dist"))
+        .select("qid", "id", F.expr(V.l2sq("qvec", "vec")).alias("dist"))
         .withColumn("rank", F.row_number().over(wf).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "id", "dist")

@@ -326,36 +326,46 @@ _DEMOTED = [
     "knn_hamming",           # green r7-r9; binary family keeps
                              # knn_binary_rerank (its estimate→rerank
                              # superset) in-window
-    "dsir_select",           # green r7-r9; sampling family keeps
-                             # weighted_sample_aes + incoming
-                             # cluster_balanced_sample
-    "semdedup",              # green r7-r9; dedup family keeps
-                             # jaccard_prefix/decontaminate_ngrams/
-                             # entity_resolution + three incoming
-                             # curation audits
-    "dedup_minhash_lsh",     # green r1-r9; incoming
-                             # minhash_jaccard_estimate replays the LSH
-                             # candidate join + the Broder estimator
+    # (dsir_select, semdedup, dedup_minhash_lsh, knn_ivf,
+    # pipeline_clean_corpus and text_quality — the r10 optimizer's most-
+    # touched queries — rotated BACK INTO the r11 window per VERDICT r10
+    # item 8 so their rewrites get driver-side oracle rows; see the
+    # _PROMOTED round-11 block.)
     "dedup_embedding_ann",   # green r1-r9; ANN-dedup family rep is the
                              # production np-limited variant in bench
                              # extras + semdedup's checked history;
                              # incoming dedup_cluster_sizes reads the
                              # same components output
-    "knn_ivf",               # green r1-r9; J3 probe join is composed
-                             # (twice) inside the incoming
-                             # knn_ivf_adaptive, and ivf_recall stays
-                             # in-window
-    "pipeline_clean_corpus", # green r1-r9; a composition of checked
-                             # members (dedup+quality+ANN)
     "query_quantize_uniform",  # green r1-r9; quantize family keeps
                              # knn_int8_rerank in-window + incoming
                              # embedding_int8_codec
     "corpus_mixture_sample", # green r3-r9; sampling family keeps
                              # weighted_sample_aes + incoming
                              # cluster_balanced_sample
-    "text_quality",          # green r1,r3-r9; text_quality_bins (its
-                             # histogram superset) stays in-window +
-                             # incoming gopher_quality_filter
+    # --- round-11 window ROTATION (VERDICT r10 items 8 + queued r10
+    # registrations) -------------------------------------------------------
+    # Eight swaps: six r10-optimizer-touched queries rotate back IN for
+    # driver-side verification of their rewrites, plus the two r10
+    # _QUEUED registrations.  Each rotated-out entry below has ≥3 green
+    # driver rounds, keeps a checked family representative in-window,
+    # and stays verified by the cap-free parity replica.
+    "retrieval_eval_hamming",  # green r7-r10 (4 rounds); retrieval
+                             # family keeps bm25_topk +
+                             # hybrid_search_rrf in-window
+    "tpch_q4",               # green r8-r10; TPC-H keeps 8 shapes
+                             # in-window (q8/q9/q11/q14/q16/q17/q19/q20)
+    "tpch_q7",               # green r8-r10; same reps
+    "tpch_q12",              # green r8-r10; same reps
+    "kmv_source_overlap",    # green r8-r10; sketch family keeps
+                             # hll_distinct_shingles +
+                             # sketch_length_quantiles in-window
+    "pagerank_event_types",  # green r8-r10; iterative-graph family rep
+                             # stays via entity_resolution (composes the
+                             # same connected-components fixed point)
+    "events_zorder_layout",  # green r8-r10; events family keeps
+                             # scd2_intervals/retention/latest_state
+    "weighted_sample_aes",   # green r8-r10; sampling family keeps
+                             # cluster_balanced_sample in-window
 ]
 
 # Promoted to the head of the registration order so they land inside the
@@ -372,27 +382,24 @@ _PROMOTED = [
     # events_rate_anomaly/knn_hamming/dsir_select/semdedup completed
     # three green rounds r7-r9 and rotated OUT in r10 — see the
     # round-10 block in _DEMOTED.)
-    "retrieval_eval_hamming",  # fixed-point hit/MRR/nDCG ranker grading
+    # (retrieval_eval_hamming completed four green rounds r7-r10 and
+    # rotated OUT in r11 — see the round-11 block in _DEMOTED.)
     # round-8 rotation: fourteen first-time driver checks (VERDICT r7
     # items 1 + 5 — the eleven pre-verified pool candidates plus three
     # TPC-H; all re-verified bit-exact through the pandas
     # canonicalization path at flip time, COVERAGE.md round-8 manifest).
-    "tpch_q4",               # EXISTS semi-join (order priority count)
-    "tpch_q7",               # volume shipping: 2-nation cross filter
-    "tpch_q12",              # shipmode CASE aggregation
+    # (tpch_q4/q7/q12, kmv_source_overlap, pagerank_event_types,
+    # events_zorder_layout and weighted_sample_aes completed three green
+    # rounds r8-r10 and rotated OUT in r11 — see the round-11 block in
+    # _DEMOTED.)
     "knn_ivfpq",             # IVF-PQ residual ADC (FAISS IndexIVFPQ
                              # family) — first PQ-family driver row
     "knn_pq_adc",            # flat PQ asymmetric distance (IndexPQ)
     "bm25_topk",             # fixed-point BM25 sparse retrieval
     "hll_distinct_shingles", # mergeable HyperLogLog registers — first
                              # sketch-family driver row
-    "kmv_source_overlap",    # KMV intersection sketch
-    "pagerank_event_types",  # fixed-point weighted PageRank — first
-                             # iterative-graph driver row
     "entity_resolution",     # trigram blocking → components → canonical
-    "events_zorder_layout",  # Morton Z-order layout keys
     "events_scd2_intervals", # SCD Type-2 validity intervals
-    "weighted_sample_aes",   # Efraimidis-Spirakis weighted sampling
     "decontaminate_ngrams",  # GPT-3/PaLM 13-gram span-removal decon
     # round-9 rotation: sixteen first-time driver checks (VERDICT r8
     # items 1/3/6).  All sixteen re-verified bit-exact through the
@@ -457,6 +464,31 @@ _PROMOTED = [
     "doc_chunks",            # deterministic fixed-size doc chunking
     "events_retention",      # cohort retention triangle
     "events_latest_state",   # keyed latest-state compaction
+    # round-11 rotation: eight swaps (VERDICT r10 item 8 + the two r10
+    # _QUEUED registrations).  The six rotated-in repeats were the r10
+    # optimizer's most-touched queries — driver-side oracle rows now
+    # certify those rewrites; the two NEW entries get their first
+    # driver checks.  All eight re-verified bit-exact through the
+    # pandas canonicalization path at flip time (tests/
+    # test_oracle_parity.py subset; COVERAGE.md round-11 manifest).
+    "dedup_minhash_lsh",     # r10 rewrite: array-set verify + lazy stop
+                             # list + cheap routing (green r1-r9)
+    "semdedup",              # r10 rewrite: staged assignment + staged
+                             # norms + unrolled assign (green r7-r9)
+    "dsir_select",           # r10 rewrite: staged featurization pass
+                             # (green r7-r9)
+    "knn_ivf",               # r10 rewrite: unrolled l2 through
+                             # assign/probes/search (green r1-r9; also
+                             # the r10 driver bench's worst regression —
+                             # back in-window while r11 re-measures it)
+    "pipeline_clean_corpus", # r10 rewrite: fused quality self-join
+                             # (green r1-r9)
+    "text_quality",          # r10 rewrite: keep= passthrough
+                             # (green r1,r3-r9)
+    "lm_kn_bigram_score",    # NEW r10 (queued): interpolated Kneser-Ney
+                             # word-bigram typicality — first driver row
+    "mixture_token_budget",  # NEW r10 (queued): water-filling token-
+                             # budget allocator — first driver row
 ]
 
 # Registered THIS round (tri-scale-verified at registration time) but
@@ -466,17 +498,9 @@ _PROMOTED = [
 # rotation is committed; tests/test_registry.py guards the family
 # representatives).  Ordering: _PROMOTED, unlisted, _QUEUED, _DEMOTED.
 _QUEUED: list[str] = [
-    # (r9's queued registrations — the adaptive-escalation pair and the
-    # four curation audits — all rotated into the r10 window; see the
-    # _PROMOTED round-10 block.  New r10 registrations queue here.)
-    "lm_kn_bigram_score",   # NEW r10: interpolated Kneser-Ney word-bigram
-                            # typicality (KenLM smoothing, integer-exact
-                            # D=3/4 fixed point); tri-scale-verified at
-                            # registration, r11 rotation candidate
-    "mixture_token_budget", # NEW r10: water-filling token-budget
-                            # allocator with upsampling cap (integer-
-                            # exact capped-set test); tri-scale-verified
-                            # at registration, r11 rotation candidate
+    # (r10's queued registrations — lm_kn_bigram_score and
+    # mixture_token_budget — rotated into the r11 window; see the
+    # _PROMOTED round-11 block.  New registrations queue here.)
 ]
 
 

@@ -78,7 +78,14 @@ _SESSION_TABLES: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]"
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Memoized ``spark.read.parquet(path)`` (lazy plan reuse only)."""
+    """Memoized ``spark.read.parquet(path)`` (lazy plan reuse only).
+
+    STATIC-INPUT ASSUMPTION (ADVICE r10): the parquet file listing is
+    captured at first read, so a caller that rewrites or appends files
+    under ``path`` within one session would silently keep reading the
+    first snapshot.  The driver fixtures are immutable per run, and every
+    in-repo writer targets fresh paths; a caller that mutates an input
+    mid-session must drop the memo first (``invalidate_table_cache``)."""
     try:
         cache = _SESSION_TABLES.setdefault(spark, {})
     except TypeError:  # session not weak-referenceable: fall through
@@ -88,6 +95,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         df = spark.read.parquet(path)
         cache[path] = df
     return df
+
+
+def invalidate_table_cache(spark: SparkSession) -> None:
+    """Drop this session's memoized plan handles (read_parquet/
+    load_events/embedding_dim) — for callers that rewrite an input path
+    mid-session.  Cheap: only lazy handles are discarded, no data."""
+    try:
+        _SESSION_TABLES.pop(spark, None)
+    except TypeError:
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -170,7 +187,13 @@ def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
     """Vector width of the embeddings table — a schema-level property
     probed from ONE row and memoized per (session, sf_dir).  Feeds the
     unrolled codegen distance kernels (functions.vector); the probe is
-    a single tiny job per session, amortized over every query build."""
+    a single tiny job per session, amortized over every query build.
+
+    UNIFORM-WIDTH ASSUMPTION (ADVICE r10): the embeddings fixture is
+    fixed-width by contract (the reference's fvecs layout), so one
+    sampled row speaks for the table.  A dim=0 or NULL first row would
+    silently mis-specialize every unrolled kernel to a constant — raise
+    loudly instead of returning a poison value."""
     from pyspark.sql import functions as F
 
     try:
@@ -185,7 +208,13 @@ def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
             .select(F.size("embedding").alias("d"))
             .first()
         )
-        hit = int(row["d"]) if row is not None else 0
+        if row is None or row["d"] is None or int(row["d"]) <= 0:
+            raise ValueError(
+                f"embedding_dim({sf_dir}): embeddings table is empty or its "
+                f"first row has a NULL/empty vector (probed size={None if row is None else row['d']}); "
+                "the unrolled distance kernels need a positive uniform width"
+            )
+        hit = int(row["d"])
         cache[key] = hit
     return hit
 

@@ -32,7 +32,8 @@ MUST_BE_CHECKED = [
     # (tpch_q10/q2/q22, maxsim_label_topk, tfidf_top_terms,
     # events_rate_anomaly, knn_hamming, dsir_select, semdedup rotated
     # out r10 after three green rounds — family reps retained below.)
-    "retrieval_eval_hamming",
+    # (retrieval_eval_hamming rotated out r11 after four green rounds —
+    # retrieval family keeps bm25_topk + hybrid_search_rrf below.)
     # r8 rotation (VERDICT r7 items 1+5: 14 swaps — the eleven
     # pre-verified pool candidates + tpch_q4/q7/q12).  Rotated out in
     # exchange (each >=3 green driver rounds, family rep retained in
@@ -40,19 +41,15 @@ MUST_BE_CHECKED = [
     # corpus_stats_cube, text_fingerprint, events_asof_state,
     # events_attribution, events_lead_lag, contamination_check,
     # dedup_components, dedup_incremental, stratified_sample.
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q12",
+    # (tpch_q4/q7/q12, kmv_source_overlap, pagerank_event_types,
+    # events_zorder_layout, weighted_sample_aes rotated out r11 after
+    # three green rounds — family reps retained below.)
     "knn_ivfpq",
     "knn_pq_adc",
     "bm25_topk",
     "hll_distinct_shingles",
-    "kmv_source_overlap",
-    "pagerank_event_types",
     "entity_resolution",
-    "events_zorder_layout",
     "events_scd2_intervals",
-    "weighted_sample_aes",
     "decontaminate_ngrams",
     # r9 rotation (VERDICT r8 items 1/3/6: 16 swaps).  Rotated out in
     # exchange (each >=3 green driver rounds, family rep retained in
@@ -101,6 +98,18 @@ MUST_BE_CHECKED = [
     "doc_chunks",
     "events_retention",
     "events_latest_state",
+    # r11 rotation (VERDICT r10 item 8 + the two r10 _QUEUED
+    # registrations): the six r10-optimizer-touched queries rotate back
+    # in for driver-side verification of their rewrites; the two new
+    # registrations get their first driver checks.
+    "dedup_minhash_lsh",
+    "semdedup",
+    "dsir_select",
+    "knn_ivf",
+    "pipeline_clean_corpus",
+    "text_quality",
+    "lm_kn_bigram_score",
+    "mixture_token_budget",
 ]
 
 

@@ -108,8 +108,13 @@ class TestUnrolledKernels:
             # the fixture's zero vector is for the l2_normalize fallback
             # test; cosine on it divides by zero (ANSI) in BOTH forms
             t = t.where("id < 50")
+        # Null-SAFE inequality (ADVICE r10): plain != is NULL-propagating,
+        # so a row where one form returns NULL and the other a value
+        # would yield NULL, be dropped by .where, and hide exactly the
+        # divergence class (short/NULL arrays) the unrolled kernels
+        # could introduce.  NOT (x <=> y) counts NULL-vs-value as unequal.
         ne = (
-            t.select((F.expr(hof) != F.expr(unr)).alias("ne"))
+            t.select(F.expr(f"NOT (({hof}) <=> ({unr}))").alias("ne"))
             .where("ne")
             .count()
         )
