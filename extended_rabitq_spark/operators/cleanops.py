@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 from ..functions import text as T
 from .textops import STOPWORDS, _arr_lit
@@ -98,7 +99,7 @@ def segment_dedup(
     segs = docs.select(
         F.col(id_).alias("doc_id"),
         F.posexplode(F.expr(seg_expr)).alias("seg_idx", "seg"),
-    ).withColumn("seg_h", F.expr(T.hash60("seg"))).localCheckpoint(eager=False)
+    ).withColumn("seg_h", F.expr(T.hash60("seg"))).transform(_stage_lazy)
     counts = segs.groupBy("seg_h").agg(
         F.countDistinct("doc_id").alias("nd")
     )

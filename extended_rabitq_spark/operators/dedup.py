@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 from ..functions import text as T
 from ..functions import vector as V
@@ -116,7 +117,7 @@ def stop_shingles(
         # lazy folds the materialization into the first consuming job
         # (measured −0.3-0.4s warm on dedup_minhash_lsh; multi-branch
         # plans still share the single checkpointed copy)
-        .localCheckpoint(eager=False)
+        .transform(_stage_lazy)
     )
 
 
@@ -132,7 +133,7 @@ def ngram_jaccard_pairs(
     # into the final job instead of a standalone barrier — A/B warm
     # median 1.73 -> 1.41s; the first branch to run stores the blocks,
     # later branches read them.
-    sh = shingle_table(docs, id_, text).localCheckpoint(eager=False)
+    sh = shingle_table(docs, id_, text).transform(_stage_lazy)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -197,7 +198,7 @@ def jaccard_prefix_pairs(
     # keep_df: the cap window inside shingle_table already counted each
     # shingle's document frequency — reusing it saves the groupBy+join
     # re-derivation (one full shuffle of the shingle table)
-    sh_df = shingle_table(docs, id_, text, keep_df=True).localCheckpoint(eager=True)
+    sh_df = shingle_table(docs, id_, text, keep_df=True).transform(_stage_eager)
     sh = sh_df.select("doc_id", "shingle")
     # nsh via a COUNT window over the SAME doc_id partitioning as the
     # prefix-rank window — one shared hashpartitioning(doc_id) exchange
@@ -265,7 +266,7 @@ def jaccard_prefix_pairs(
                                      F.col("_nb") - F.col("_jl")) >= alpha)
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(_stage_eager)
     )
     # exact verify on the SAME materialized shingles — shared array-set
     # verify (see _array_set_verify)
@@ -307,7 +308,7 @@ def _array_set_verify(
         sh.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("shs"), F.count("*").alias("nsh"))
-        .localCheckpoint(eager=False)
+        .transform(_stage_lazy)
     )
     # route the pair joins by candidate-doc count (the rabitq_search
     # auto-route move).  r10: the routing count runs on cand_ids — a
@@ -454,7 +455,7 @@ def minhash_lsh_pairs(
     recompute; localCheckpoint avoids the cache-tier serialization that
     caused that, and measures ~25% FASTER steady plus 3× better cold
     at sf0.1 — 3.6-4.2s → 2.8-3.4s.)"""
-    raw = raw_shingles(docs, id_, text).localCheckpoint(eager=True)
+    raw = raw_shingles(docs, id_, text).transform(_stage_eager)
     stop = stop_shingles(docs, id_, text, shingles=raw)
     sh = raw.join(F.broadcast(stop), on="shingle", how="left_anti")
     sigs = _signatures_from_shingles(sh, hash_mode)
@@ -469,7 +470,7 @@ def minhash_lsh_pairs(
         # than lazy here (r10 A/B: warm median 2.57 vs 2.93s — the lazy
         # form folds the whole signature pipeline into the routing
         # count() and loses the barrier's scheduling locality).
-        .localCheckpoint(eager=True)
+        .transform(_stage_eager)
     )
     # verify: exact jaccard on collided candidates only, reading the
     # SAME materialized shingle table (no re-tokenize) — the shared
@@ -497,10 +498,10 @@ def minhash_estimate_pairs(
     work over that function is two equi-joins against the 8-column
     signature table — no all-pairs anywhere.
     """
-    raw = raw_shingles(docs, id_, text).localCheckpoint(eager=True)
+    raw = raw_shingles(docs, id_, text).transform(_stage_eager)
     stop = stop_shingles(docs, id_, text, shingles=raw)
     sh = raw.join(F.broadcast(stop), on="shingle", how="left_anti")
-    sigs = _signatures_from_shingles(sh).localCheckpoint(eager=True)
+    sigs = _signatures_from_shingles(sh).transform(_stage_eager)
     bands = _band_keys(sigs)
     cand = (
         bands.alias("x")
@@ -508,7 +509,7 @@ def minhash_estimate_pairs(
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_stage_eager)
     )
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -534,7 +535,7 @@ def minhash_estimate_pairs(
     )
     sh_cand = sh.join(
         F.broadcast(cand_ids), on="doc_id", how="left_semi"
-    ).localCheckpoint(eager=True)
+    ).transform(_stage_eager)
     sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     inter = (
         cand.join(sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a")
@@ -571,7 +572,7 @@ def shingle_novelty(docs: DataFrame, id_: str = "doc_id", text: str = "text") ->
     no all-pairs anywhere, and the shingle shuffle is the same key the
     dedup passes already use.  Integer-only output → hash-stable.
     """
-    sh = shingle_table(docs, id_, text).localCheckpoint(eager=True)
+    sh = shingle_table(docs, id_, text).transform(_stage_eager)
     fo = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first_doc"))
     return (
         sh.join(fo, on="shingle")
@@ -632,7 +633,7 @@ def simhash_pairs(
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming →
     (doc_a, doc_b, hamming).  Fixture-sized all-pairs comparison; at scale
     band by fingerprint prefix first (same LSH shape as MinHash)."""
-    s = simhash(docs, id_, text).localCheckpoint(eager=True)  # both cross-join sides read it
+    s = simhash(docs, id_, text).transform(_stage_eager)  # both cross-join sides read it
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     return (
@@ -671,7 +672,7 @@ def simhash_banded_pairs(
     # row per doc, two longs — tiny relative to the corpus; at 100 TB
     # this is the "write fingerprints, then join" staging any production
     # dedup does anyway.
-    s = simhash(docs, id_, text).localCheckpoint(eager=True)
+    s = simhash(docs, id_, text).transform(_stage_eager)
     widths = [SIMHASH_BITS // nb + (1 if i < SIMHASH_BITS % nb else 0) for i in range(nb)]
     offs = [sum(widths[:i]) for i in range(nb)]
     bands = s.select(
@@ -746,7 +747,7 @@ def _ann_self_join_scored_pairs(
     # top-k), and without a barrier the whole rotate+quantize pipeline
     # re-runs per action.  Production serving persists the index anyway
     # (save_index / save_index_bucketed); this is the in-session analogue.
-    index_df = index_df.localCheckpoint(eager=True)
+    index_df = index_df.transform(_stage_eager)
     cents_full = centroids_with_rotation(spark, cents, meta)
     if nprobe is None:
         nprobe = n_clusters
@@ -936,7 +937,7 @@ def contamination_check(
     # the materialization rides the first consuming job; same staged
     # shingle-table pattern as minhash_lsh_pairs (at 100 TB: the
     # intermediate parquet handoff any decontamination job writes).
-    sh = shingle_table(docs, id_, text).localCheckpoint(eager=False)
+    sh = shingle_table(docs, id_, text).transform(_stage_lazy)
     bench_sh = (
         sh.join(F.broadcast(bench), on="doc_id", how="left_semi")
         .select("shingle")
@@ -1030,7 +1031,7 @@ def connected_components(
                     # at sf0.1)
                     (new_comp < F.col("comp")).alias("_ch"),
                 )
-                .localCheckpoint(eager=True)  # cut lineage each round
+                .transform(_stage_eager)  # cut lineage each round
             )
             changed = new.where(F.col("_ch")).count()
             prev_frame.unpersist()  # bound storage: newest frame only
@@ -1081,7 +1082,7 @@ def save_dedup_artifacts(
     ).repartition("h").sortWithinPartitions("h").write.mode("overwrite").parquet(
         f"{path}/content_hashes"
     )
-    sh0 = raw_shingles(corpus_docs, id_, text).localCheckpoint(eager=True)
+    sh0 = raw_shingles(corpus_docs, id_, text).transform(_stage_eager)
     stop = stop_shingles(corpus_docs, shingles=sh0)
     stop.write.mode("overwrite").parquet(f"{path}/stop_shingles")
     sh = sh0.join(F.broadcast(stop), on="shingle", how="left_anti")
@@ -1121,12 +1122,12 @@ def append_dedup_artifacts(
     spark = new_docs.sparkSession
     nh = normalized(new_docs, text).select(
         F.col(id_).alias("doc_id"), F.md5("_norm").alias("h")
-    ).localCheckpoint(eager=True)
+    ).transform(_stage_eager)
     stop = spark.read.parquet(f"{path}/stop_shingles")
     sh = raw_shingles(new_docs, id_, text).join(
         F.broadcast(stop), on="shingle", how="left_anti"
     )
-    nb = _band_keys(_signatures_from_shingles(sh)).localCheckpoint(eager=True)
+    nb = _band_keys(_signatures_from_shingles(sh)).transform(_stage_eager)
     # Bloom append = OR of a delta bloom built with the SAME (m, k) —
     # updated BEFORE the parquet appends: a crash between the two steps
     # then leaves bloom keys without table rows (harmless false
@@ -1212,9 +1213,7 @@ def incremental_dedup(
     if blooms is not None:
         # checkpoint: the gated survivors are read twice (key collect +
         # join) — don't run the Arrow probe stage twice
-        nh = bloom_prefilter(nh, blooms["hashes"], ["h"]).localCheckpoint(
-            eager=True
-        )
+        nh = bloom_prefilter(nh, blooms["hashes"], ["h"]).transform(_stage_eager)
     if artifacts is not None:
         ch = spark.read.parquet(f"{artifacts}/content_hashes").select(
             F.col("doc_id").alias("corpus_id"), "h"
@@ -1262,7 +1261,7 @@ def incremental_dedup(
     if blooms is not None:
         n_bands = bloom_prefilter(
             n_bands, blooms["bands"], ["band", "key"]
-        ).localCheckpoint(eager=True)
+        ).transform(_stage_eager)
         if artifacts is not None:
             bk = [
                 r["key"]
@@ -1280,7 +1279,7 @@ def incremental_dedup(
         n_bands.join(c_bands, on=["band", "key"])
         .select("new_id", "corpus_id")
         .distinct()
-        .localCheckpoint(eager=True)  # tiny; stops upstream recompute
+        .transform(_stage_eager)  # tiny; stops upstream recompute
     )
     # verify passes re-shingle only docs in candidate pairs (the same
     # candidate-restricted second pass as minhash_lsh_pairs) — the full

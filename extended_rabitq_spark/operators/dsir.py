@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 from ..functions import text as T
 
@@ -87,7 +88,7 @@ def dsir_select(
     # materialization rides the first consuming job.  At 100 TB bc is
     # ≤ min(#tokens, #docs·n_buckets) rows of three integers — the
     # featurized table any DSIR run stages before scoring.
-    bc = _bucket_counts(docs, n_buckets, id_, text).localCheckpoint(eager=False)
+    bc = _bucket_counts(docs, n_buckets, id_, text).transform(_stage_lazy)
     tgt_ids = docs.where(F.expr(target_pred)).select(F.col(id_).alias("doc_id"))
     tgt = (
         bc.join(F.broadcast(tgt_ids), "doc_id")

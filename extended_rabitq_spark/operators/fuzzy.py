@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 SCALE = 1_000_000
 
@@ -78,10 +79,10 @@ def fuzzy_join(
     # featurized-keys table any blocking join materializes at scale.
     lt = left.where(F.expr(f"length(trim(lower({left_key}))) > 0")).select(
         F.col(left_id), F.expr(_trigrams(left_key)).alias("lt")
-    ).localCheckpoint(eager=False)
+    ).transform(_stage_lazy)
     rt = right.where(F.expr(f"length(trim(lower({right_key}))) > 0")).select(
         F.col(right_id), F.expr(_trigrams(right_key)).alias("rt")
-    ).localCheckpoint(eager=False)
+    ).transform(_stage_lazy)
     # Blocking trigram df on the right side; stop-trigrams excluded.
     rdf = (
         rt.select(right_id, F.explode("rt").alias("g"))

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 SCALE = 1_000_000_000
 _BASE = 15 * SCALE // 100  # (1 - d) · SCALE with d = 0.85, exact
@@ -99,7 +100,7 @@ def pagerank(
                         f"CAST({_BASE} + (85 * coalesce(inc, 0)) div 100 AS BIGINT)"
                     ).alias("score_fix"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(_stage_eager)
             )
             # bound storage: only the newest frame lives (the
             # connected_components convention)

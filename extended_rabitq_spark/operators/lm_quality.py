@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 FIXED_POINT = 1_000_000
 
@@ -93,7 +94,7 @@ def lm_typicality(
         # Self-scoring reads the transition table twice (train + score):
         # materialize it once executor-side instead of re-running the
         # explode+substring pass (the minhash localCheckpoint lesson).
-        t = t.localCheckpoint(eager=False)
+        t = t.transform(_stage_lazy)
         lm = _train_from_transitions(t)
     scored = t.join(
         F.broadcast(lm), on=["lang", "ctx", "ch"], how="left"
@@ -223,7 +224,7 @@ def kn_bigram_score(
     doc_id.  No Python anywhere."""
     bg = _word_bigrams(docs, text)
     if lm is None:
-        bg = bg.localCheckpoint(eager=False)
+        bg = bg.transform(_stage_lazy)
         lm = _kn_model_from_bigrams(bg)
     scored = bg.join(lm, on=["lang", "w1", "w2"], how="left").select(
         "doc_id", F.coalesce("p_fp", F.lit(0)).alias("p_fp")

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 from ..functions import vector as V
 
@@ -219,7 +220,7 @@ def ivfpq_knn(
     # index, then search it" staging save_ivfpq_index does on disk.
     res = assigned.join(F.broadcast(centroids), "cluster_id").select(
         "id", "cluster_id", F.expr(V.sub("vec", "centroid")).alias("rvec")
-    ).localCheckpoint()
+    ).transform(_stage_eager)
     res_subs = _sub_explode(res.select("id", "rvec"), "rvec", m, dsub, "sv").select(
         "id", "sub_id", "sv"
     )
@@ -227,14 +228,12 @@ def ivfpq_knn(
         # Pinned (localCheckpoint): the derived codebooks are consumed
         # by BOTH the encode and decode joins below — compute the
         # aggregation once instead of once per consumer.
-        codebooks = residual_octant_codebooks(res_subs).localCheckpoint()
+        codebooks = residual_octant_codebooks(res_subs).transform(_stage_eager)
 
     # staged (lazy ckpt): probes feeds BOTH the pruning key broadcast
     # and the candidate join — without it the probe-selection window
     # re-runs per consumer (measured +2.5 s warm at sf0.1)
-    probes = select_probes(queries, centroids, nprobe, dim=dim).localCheckpoint(
-        eager=False
-    )  # (qid, probe_rank, cluster_id, cdist)
+    probes = select_probes(queries, centroids, nprobe, dim=dim).transform(_stage_lazy)  # (qid, probe_rank, cluster_id, cdist)
     # Partition pruning BEFORE reconstruction (r10, guide §6 pushdown):
     # only probed clusters' residuals are encoded, decoded and
     # reconstructed — previously the whole index decoded and the probe
@@ -466,7 +465,7 @@ def save_ivfpq_index(
     if codebooks is None:
         # Same pin as ivfpq_knn: the derived codebooks are consumed by
         # the encode join here AND persisted below — compute once.
-        codebooks = residual_octant_codebooks(res_subs).localCheckpoint()
+        codebooks = residual_octant_codebooks(res_subs).transform(_stage_eager)
     codes = (
         encode_subs(res_subs, codebooks)
         .groupBy("id")

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 from ..functions import text as T
 
@@ -143,7 +144,7 @@ def train_quality_classifier(
     feats = quality_features(labeled_docs, id_=id_, text=text).join(
         labeled_docs.select(F.col(id_).alias("doc_id"), F.col(label).alias("label")),
         on="doc_id",
-    ).localCheckpoint(eager=False)
+    ).transform(_stage_lazy)
     pipe = Pipeline(
         stages=[
             VectorAssembler(inputCols=FEATURE_COLS, outputCol="_fvec"),

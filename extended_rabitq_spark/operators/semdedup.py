@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 from ..functions import vector as V
 
@@ -62,9 +63,7 @@ def semdedup(
     # — na/nb are the same doubles wherever they are computed.
     assigned = assign_clusters(
         vectors, centroids, id_=id_, vec=vec, dim=dim
-    ).withColumn("_nrm", F.expr(f"sqrt({V.l2sq_self(vec)})")).localCheckpoint(
-        eager=True
-    )
+    ).withColumn("_nrm", F.expr(f"sqrt({V.l2sq_self(vec)})")).transform(_stage_eager)
     a = assigned.select(
         F.col("cluster_id"), F.col(id_).alias("a_id"),
         F.col(vec).alias("a_vec"), F.col("_nrm").alias("a_nrm"),

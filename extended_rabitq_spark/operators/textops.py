@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 from ..functions import text as T
 
@@ -375,7 +376,7 @@ def token_pmi(
 
     d = docs.select(F.expr(T.tokens(text)).alias("_toks"))
     if checkpoint:  # False only for plan-inspection tests
-        d = d.localCheckpoint(eager=True)
+        d = d.transform(_stage_eager)
     uni = (
         d.select(F.explode("_toks").alias("tok"))
         .groupBy("tok")

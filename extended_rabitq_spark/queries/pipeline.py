@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 
 from .. import oracle as O
 from ..functions import text as T
@@ -118,7 +119,7 @@ def pipeline_clean_corpus(
         # each reference re-runs dedup+quality upstream (~5×).  Any real
         # pipeline persists the filtered corpus between stages — at
         # 100 TB this is the parquet handoff between jobs.
-        .localCheckpoint(eager=True)
+        .transform(_stage_eager)
     )
     if scale:
         pairs = dedup_ops.embedding_threshold_pairs_ann(
