@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -20,7 +21,14 @@ TABLES = [
 def spark():
     from extended_rabitq_spark.session import get_spark
 
-    s = get_spark("exrabitq-tests", cpus=4)
+    # 8 cores by default (r11): the suite is fixture-scale shuffle work,
+    # and no test asserts a core count (shuffle.partitions stays 8 via
+    # get_spark's max(cpus, 8) either way) — local[8] vs the old
+    # local[4] cuts the wall of the heavy files so the round driver can
+    # finish the suite inside its verify window (VERDICT r10 item 1).
+    s = get_spark(
+        "exrabitq-tests", cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    )
     s.sparkContext.setLogLevel("WARN")
     yield s
     s.stop()

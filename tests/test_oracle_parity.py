@@ -1,14 +1,38 @@
 """Replicates the driver's t2 gate: run every registered Spark query and its
 DuckDB oracle on sf0.01, compare row count, column names, and
-order-insensitive values (sorted by column name, rows sorted)."""
+order-insensitive values (sorted by column name, rows sorted).
+
+Default run (r11, VERDICT r10 item 1 — the driver could not finish the
+suite): a FAST SUBSET — every query the round driver has never checked
+(COVERAGE.md "never driver-checked" list, where local coverage is the
+only coverage) plus the first registered query of each query module, so
+every operator family still runs once per suite.  Set
+``SPARK_GRAFT_REPLICA=1`` for the full cap-free 151-query replica (the
+/verify recipe also runs the full replica out-of-band every session).
+"""
 
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 
 from conftest import SF_T2
+
+# Queries with NO driver-side verification as of the r11 rotation
+# (COVERAGE.md round-11 counts) — the replica is their only oracle/smoke
+# coverage, so they always run.
+_NEVER_DRIVER_CHECKED = [
+    # oracle-bearing
+    "corpus_integrity_audit", "source_divergence", "dedup_cluster_sizes",
+    "mine_hard_negatives", "fuzzy_name_match", "split_by_component",
+    "lm_typicality_score", "cms_token_freq",
+    # rows-only by nature (smoke-run here)
+    "knn_rabitq", "knn_rabitq_ha", "rabitq_recall", "multimodal_features",
+    "multimodal_phash_dedup", "knn_opq_adc", "bpe_token_stats",
+    "quality_classifier_score",
+]
 
 
 def _canon(val):
@@ -33,7 +57,17 @@ def _pairs():
 
     q = e.queries()
     o = e.oracle_sql()
-    return [(name, q[name], o.get(name)) for name in sorted(q)]
+    names = sorted(q)
+    if not os.environ.get("SPARK_GRAFT_REPLICA"):
+        subset = set(_NEVER_DRIVER_CHECKED)
+        seen_modules: set[str] = set()
+        for name in names:  # one representative per query module
+            mod = getattr(q[name], "__module__", "")
+            if mod not in seen_modules:
+                seen_modules.add(mod)
+                subset.add(name)
+        names = [n for n in names if n in subset]
+    return [(name, q[name], o.get(name)) for name in names]
 
 
 @pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])

@@ -255,13 +255,30 @@ class TestCMS:
         # 4 independent cells must ALL collide with x's cells to misreport
         assert est == 0
 
+    @staticmethod
+    def _tok_seq(spark, n_values: int, reps_expr: str):
+        """Same multiset as ``_tok({f'u{i}': reps(i)})`` built as ONE
+        frame: the union-per-value helper creates an n-way union whose
+        driver-side plan construction alone took ~17 min at n=3000
+        (VERIFY r10 could not finish the suite because of it) — the
+        properties under test are about the SKETCH, not plan building."""
+        return (
+            spark.range(n_values)
+            .select(
+                F.concat(F.lit("u"), F.col("id").cast("string")).alias("v"),
+                F.expr(reps_expr).alias("_n"),
+            )
+            .select("v", F.expr("explode(sequence(1, _n))").alias("_i"))
+            .select("v")
+        )
+
     def test_grid_bounded(self, spark):
-        df = self._tok(spark, {f"u{i}": 2 for i in range(3000)})
+        df = self._tok_seq(spark, 3000, "2")
         n = sketches.cms_sketch(df, [], "v").count()
         assert n <= sketches.CMS_D * sketches.CMS_W
 
     def test_partitioning_invariant(self, spark):
-        df = self._tok(spark, {f"u{i}": i % 5 + 1 for i in range(200)})
+        df = self._tok_seq(spark, 200, "CAST(id % 5 + 1 AS INT)")
         probes = df.select("v").distinct()
         one = sorted(
             map(

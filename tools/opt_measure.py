@@ -4,7 +4,7 @@ Times individual registered queries in THIS process (one fresh JVM per
 invocation — invoke once per comparable batch) with the bench's exact
 methodology (noop sink, one untimed cold pass, WARM_REPS timed reps,
 stray-persist release between reps), and/or dumps ``explain("formatted")``
-plans to ``plans/r10/``.
+plans to ``plans/<round>/`` (default r11; --round overrides).
 
 Usage:
     python tools/opt_measure.py time  q1 q2 ...      # cold + warm medians
@@ -12,6 +12,7 @@ Usage:
     python tools/opt_measure.py both  q1 q2 ...
 Options:
     --tag before|after   plan filename suffix (default: before)
+    --round rNN          plans subdir (default: r11)
     --sf DIR             data dir (default $SPARK_GRAFT_SF_DIR or sf0.1)
     --reps N             warm reps (default 3)
 """
@@ -45,7 +46,9 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qmap = entrymod.queries()
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / (
+        opts.get("--round") or "r11"
+    )
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     def _persistent_ids() -> set:
