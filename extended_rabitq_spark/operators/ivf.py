@@ -32,27 +32,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localdf import local_rows_df
 from .knn import distance_col
 
 
-def label_centroids(base: DataFrame, vec: str = "embedding", label: str = "label") -> DataFrame:
+def label_centroids(
+    base: DataFrame, vec: str = "embedding", label: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
     """Per-label mean vector → (cluster_id INT, centroid ARRAY<DOUBLE>).
 
     Rounding to 6 decimals makes the centroid values exactly reproducible
     across engines (partial-agg sum order perturbs ~1e-15; the rounding
     grid is 9 orders of magnitude coarser), so every downstream distance
     computed from them matches bitwise.
-    """
-    exploded = base.select(F.col(label), F.posexplode(F.col(vec)).alias("pos", "val"))
-    per_dim = exploded.groupBy(label, "pos").agg(
-        F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
-    )
+
+    Shape (r11, guide §2.3/§2.4): ONE groupBy with ``dim`` per-element
+    ``avg(get(vec, i))`` aggregates — map-side partial aggregation, a
+    K×dim-value shuffle, no row blowup.  The r10 form posexploded every
+    vector (N×dim rows through a hash aggregate) and paid a SECOND
+    shuffle for the collect_list/array_sort reassembly.  Values are the
+    same round(avg, 6) per (label, position) — avg over the same group
+    of the same doubles (``get`` yields NULL past a short row exactly
+    like posexplode yields no row, so ragged inputs average
+    identically).  ``dim`` skips the one-row width probe."""
+    if dim is None:
+        row = base.select(F.size(F.col(vec)).alias("d")).first()
+        if row is None or row["d"] is None or int(row["d"]) <= 0:
+            raise ValueError(
+                f"label_centroids: cannot probe the width of {vec!r} "
+                f"(empty input or NULL/empty first vector); pass dim="
+            )
+        dim = int(row["d"])
+    aggs = [
+        F.round(F.avg(F.expr(f"CAST(get({vec}, {i}) AS DOUBLE)")), 6).alias(f"_c{i}")
+        for i in range(dim)
+    ]
     return (
-        per_dim.groupBy(label)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        base.groupBy(label)
+        .agg(*aggs)
         .select(
             F.col(label).cast("int").alias("cluster_id"),
-            F.expr("transform(pc, x -> x.c)").alias("centroid"),
+            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
         )
     )
 
@@ -73,16 +94,10 @@ def kmeans_centroids(
     cents = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    # single-slice parallelize: a K-row driver-built DF otherwise spreads
-    # over defaultParallelism slices, and every downstream
-    # collect/broadcast spins up one Python worker PER SLICE (~1s each ×
-    # 32 on local[32] — measured as the top cost of the ANN dedup path;
-    # a post-hoc coalesce(1) is even slower, it funnels all slices
-    # through one worker per action)
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(cents, 1),
-        "cluster_id int, centroid array<double>",
-    )
+    # LocalRelation-backed (r11): downstream collect/broadcast is
+    # job-free — the single-slice parallelize it replaces paid one
+    # Python-RDD worker round-trip per action (see localdf)
+    return local_rows_df(spark, cents, "cluster_id int, centroid array<double>")
 
 
 def assign_clusters(
@@ -377,8 +392,11 @@ def sampled_kmeans_centroids(
 
     n_total = base.count()
     frac = min(1.0, (sample_size * 1.1) / max(n_total, 1))
-    rows = base.select(vec).sample(fraction=frac, seed=seed).limit(sample_size).collect()
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    # Arrow toPandas (r11): the py4j row-pickle collect of the sample was
+    # ~1s of the ANN self-join's per-run wall; Arrow moves the same rows
+    # binary-exact (same plan, same row order — guide §6 driver transfers)
+    pdf = base.select(vec).sample(fraction=frac, seed=seed).limit(sample_size).toPandas()
+    X = np.array(pdf[vec].tolist(), dtype=np.float64) if len(pdf) else np.empty((0, 0))
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     for _ in range(iters):
@@ -406,12 +424,11 @@ def sampled_kmeans_centroids(
             far = np.argmax(d[np.arange(len(X)), a])
             cent[empty] = X[far]
     spark = base.sparkSession
-    # single-slice parallelize: see kmeans_centroids — K rows across 32
-    # slices cost one Python worker per slice on every collect/broadcast
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)], 1
-        ),
+    # LocalRelation-backed (r11): see kmeans_centroids / localdf —
+    # downstream collects and broadcasts of the K-row table are job-free
+    return local_rows_df(
+        spark,
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
         "cluster_id int, centroid array<double>",
     )
 

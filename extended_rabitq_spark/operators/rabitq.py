@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..localdf import local_rows_df
 from .ivf import select_probes
 
 DEFAULT_SEED = 42
@@ -535,10 +536,11 @@ def centroids_with_rotation(
             (int(r["cluster_id"]), [float(x) for x in r["centroid"]],
              [float(x) for x in (c @ P.T)])
         )
-    # single-slice parallelize: K rows — avoid one-Python-worker-per-slice
-    # on every downstream collect/broadcast (see ivf.kmeans_centroids)
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(data, 1),
+    # LocalRelation-backed (r11): downstream collect/broadcast of the
+    # K-row rotated-centroid table is job-free (see localdf; was a
+    # single-slice parallelize = one Python-RDD worker per action)
+    return local_rows_df(
+        spark, data,
         "cluster_id int, centroid array<double>, centroid_rot array<double>",
     )
 
@@ -760,9 +762,8 @@ def rebalance_index(
         sub_rows.append((next_id, [float(x) for x in c1]))
         new_ids.append(next_id)
         next_id += 1
-    sub_cents = spark.createDataFrame(
-        spark.sparkContext.parallelize(sub_rows, 1),
-        "cluster_id int, centroid array<double>",
+    sub_cents = local_rows_df(
+        spark, sub_rows, "cluster_id int, centroid array<double>"
     )
 
     # One fused assign+quantize pass over the hot vectors only.
@@ -1147,15 +1148,11 @@ def _arrow_scored_broadcast(
             np.array(ranks[c_idx], dtype=np.int64),
         )
     b_qr = spark.sparkContext.broadcast(by_cluster)
-    # single-slice parallelize: see ivf.kmeans_centroids — a K-row local
-    # list otherwise spreads over defaultParallelism slices and the
-    # broadcast build pays one Python worker per slice
+    # LocalRelation-backed probed-key list (r11): the broadcast build
+    # reads in-plan rows, no Python-RDD worker job (see localdf)
     keys_df = F.broadcast(
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(int(c),) for c in sorted(by_cluster)], 1
-            ),
-            "cluster_id int",
+        local_rows_df(
+            spark, [(int(c),) for c in sorted(by_cluster)], "cluster_id int"
         )
     )
     cand = codes.join(keys_df, on="cluster_id", how="leftsemi")
@@ -1216,6 +1213,99 @@ def _arrow_scored_broadcast(
     )
 
 
+def _fused_qprobe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    nprobe: int,
+    qid: str,
+    qvec: str,
+    full_probes: bool,
+    with_probe_rank: bool = False,
+) -> DataFrame:
+    """Query-side prep of the cogroup scorer fused into ONE Arrow pass →
+    (qid, cluster_id, qr ARRAY<DOUBLE> [, probe_rank]) — pad+rotate (P2),
+    probe selection (W1) and the per-(query, cluster) rotated residual,
+    map-only (r11, guide §2.4/§4.1).
+
+    Replaces, per evaluation of the qprobe subtree: the separate
+    ``rotate_queries`` Python pass, the crossJoin→``row_number`` probe
+    window (one hashpartitioning(qid) exchange), the probes⋈qrot join
+    (a second qid exchange carrying the D-wide qrot arrays), and the
+    broadcast centroid join.  The query side now reaches the cogroup's
+    cluster_id exchange with ZERO shuffles.
+
+    Bitwise contract (everything downstream is pinned by oracle hashes):
+
+    - probe order: cdist replicates ``knn.distance_col('l2', ..,
+      dim=meta['dim'])``'s unrolled fold — (q_i−c_i)² terms accumulated
+      LEFT-TO-RIGHT from 0.0 (a dim-step loop over (g×K) planes, not a
+      pairwise ``.sum()``), ties to the lowest cluster_id exactly like
+      the ``row_number`` window it replaces;
+    - qrot: the same zero-pad + ``Q @ P.T`` matmul ``rotate_queries``
+      performs;
+    - qr: the same elementwise float64 subtract against the same
+      ``centroid_rot`` values (collected from the SAME side table the
+      broadcast join read).
+    """
+    spark = queries.sparkSession
+    dim, D = meta["dim"], meta["D"]
+    P = rotation_matrix(D, meta["seed"])
+    cent_rows = sorted(
+        (int(r[0]), np.array(r[1], dtype=np.float64), np.array(r[2], dtype=np.float64))
+        for r in centroids.select("cluster_id", "centroid", "centroid_rot").collect()
+    )
+    cids = np.array([c for c, _, _ in cent_rows], dtype=np.int64)
+    cmat = np.stack([v for _, v, _ in cent_rows])      # K × dim (raw)
+    crot = np.stack([v for _, _, v in cent_rows])      # K × D (rotated)
+    bC = spark.sparkContext.broadcast((cids, cmat, crot, P))
+    K = len(cent_rows)
+    take = K if full_probes else min(nprobe, K)
+    # bound the emitted block: take rows per query × D doubles each
+    qblk = max(64, 2_000_000 // max(take * D, 1))
+
+    def prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids_, cmat_, crot_, P_ = bC.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for s in range(0, len(pdf), qblk):
+                blk = pdf.iloc[s : s + qblk]
+                Qraw = np.array(blk[qvec].tolist(), dtype=np.float64)  # g × dim
+                g = Qraw.shape[0]
+                Qpad = np.zeros((g, D))
+                Qpad[:, :dim] = Qraw
+                QR = Qpad @ P_.T  # ≡ rotate_queries
+                if full_probes:
+                    sel = np.broadcast_to(np.arange(K), (g, K))
+                else:
+                    # W1: unrolled-fold L2², accumulated left-to-right so
+                    # cdist is BITWISE the SQL kernel's value
+                    acc = np.zeros((g, K))
+                    for j in range(dim):
+                        d = Qraw[:, j, None] - cmat_[None, :, j]
+                        acc += d * d
+                    sel = np.lexsort(
+                        (np.broadcast_to(cids_, acc.shape), acc), axis=1
+                    )[:, :take]
+                qr = QR[:, None, :] - crot_[sel]  # g × take × D
+                cols = {
+                    "qid": np.repeat(blk[qid].to_numpy(), take),
+                    "cluster_id": cids_[sel].ravel().astype(np.int32),
+                    "qr": list(qr.reshape(g * take, D)),
+                }
+                if with_probe_rank:  # 1-based probe order, like W1's window
+                    cols["probe_rank"] = np.tile(
+                        np.arange(1, take + 1, dtype=np.int64), g
+                    )
+                yield pd.DataFrame(cols)
+
+    schema = "qid long, cluster_id int, qr array<double>"
+    if with_probe_rank:
+        schema += ", probe_rank long"
+    return queries.select(qid, qvec).mapInPandas(prep, schema)
+
+
 def _arrow_scored_cogroup(
     queries: DataFrame,
     codes: DataFrame,
@@ -1229,6 +1319,7 @@ def _arrow_scored_cogroup(
     per_cluster_cut: int | None = None,
     full_probes: bool = False,
     with_probe_rank: bool = False,
+    prune_codes: bool = True,
 ) -> DataFrame:
     """Unbounded-batch Arrow scorer → (qid, id, est_dist, est_lb)
     (+ ``probe_rank`` when ``with_probe_rank`` — see the broadcast
@@ -1265,27 +1356,30 @@ def _arrow_scored_cogroup(
         raise ValueError("with_probe_rank: probe ranks are undefined at full_probes")
     if with_probe_rank and probes is not None and "probe_rank" not in probes.columns:
         raise ValueError("with_probe_rank: injected probes lack a probe_rank column")
-    qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
-    if probes is None and full_probes:
-        # nprobe ≥ K: every (query, cluster) pair is probed — build the
-        # residual table directly, no W1 window and no qid join.
-        qprobe = qrot.crossJoin(
-            F.broadcast(centroids.select("cluster_id", "centroid_rot"))
-        ).select(
-            "qid",  # rotate_queries canonicalizes the id column name
-            "cluster_id",
-            F.expr("zip_with(qrot, centroid_rot, (a, b) -> a - b)").alias("qr"),
+    if probes is None:
+        # W1 exact probes: fused map-only prep (rotate + probe + residual
+        # in one Arrow pass, zero query-side shuffles — see _fused_qprobe;
+        # bitwise-identical to the rotate/window/join chain it replaced)
+        qprobe = _fused_qprobe(
+            queries, centroids, meta, nprobe, qid, qvec, full_probes,
+            with_probe_rank=with_probe_rank,
         )
-        cand = codes  # all clusters probed — nothing to prune
+        if full_probes or not prune_codes:
+            # full probes: every cluster probed, nothing to prune.
+            # prune_codes=False: caller asserts the probed-cluster set
+            # covers every non-empty cluster (e.g. the ANN SELF-join,
+            # where each member's rank-1 probe is its own cluster) —
+            # skipping the semi-join saves a second evaluation of the
+            # qprobe subtree plus a distinct + broadcast build.  Always
+            # result-safe: unprobed clusters cogroup with an empty query
+            # side and emit nothing.
+            cand = codes
+        else:
+            # partition pruning: only probed clusters' codes are read
+            keys = qprobe.select("cluster_id").distinct()
+            cand = codes.join(F.broadcast(keys), on="cluster_id", how="leftsemi")
     else:
-        if probes is None:  # W1 exact; callers may inject graph_probes (W2)
-            probes = select_probes(
-                queries, centroids.select("cluster_id", "centroid"), nprobe,
-                qid=qid, qvec=qvec,
-                # index-space width is a meta contract → unrolled l2
-                # centroid distance (bitwise-identical; knn.distance_col)
-                dim=int(meta["dim"]),
-            )
+        qrot = rotate_queries(queries, meta, qid=qid, qvec=qvec)
         rank_cols = [F.col("probe_rank")] if with_probe_rank else []
         probes = probes.select(F.col(qid).alias("qid"), "cluster_id", *rank_cols)
         qprobe = (
@@ -1448,6 +1542,7 @@ def _finalize_topk(
     qvec: str,
     refine_mode: str = "rank",
     dim: int | None = None,
+    rerank_route: str = "broadcast",
 ) -> DataFrame:
     """Shared phase-2: E2 cut → optional exact re-rank (E4) → final
     top-k (W3) → (qid, rank, id, est_dist).
@@ -1467,10 +1562,24 @@ def _finalize_topk(
 
     With ``rerank_base`` the raw vectors join ONLY the broadcast
     shortlist, so the 100 TB vector table is scanned in place, never
-    shuffled."""
+    shuffled.
+
+    ``rerank_route``: ``'broadcast'`` (default) broadcasts the
+    (qid, id) shortlist and the query vectors into the exact-rerank
+    joins — right when the query batch is serving-sized.  ``'shuffle'``
+    is the queries=corpus route (the ANN SELF-join, where the query
+    side IS the 100 TB corpus and both broadcasts would exceed the 8 GB
+    relation cap): plain equi-joins — base⋈shortlist co-partitioned by
+    id, then one exchange by qid that doubles as the final top-k
+    window's partitioning.  Same rows, same values; routes are
+    result-identical (asserted in tests)."""
     if refine_mode not in ("rank", "threshold"):
         raise ValueError(
             f"refine_mode must be 'rank' or 'threshold', got {refine_mode!r}"
+        )
+    if rerank_route not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"rerank_route must be 'broadcast' or 'shuffle', got {rerank_route!r}"
         )
     shortlist = scored
     if refine_mode == "threshold":
@@ -1483,11 +1592,24 @@ def _finalize_topk(
             .drop("_r")
         )
     if rerank_base is not None:
-        exact = rerank_base.join(
-            F.broadcast(shortlist.select("qid", "id")), on="id"
-        ).join(F.broadcast(queries.select(qid, qvec)), on=qid)
         from .knn import distance_col
 
+        if rerank_route == "shuffle":
+            # queries=corpus: nothing broadcasts.  base⋈shortlist is a
+            # plain equi-join on id; the join on qid then establishes
+            # hashpartitioning(qid), which the top-k window below
+            # REUSES — the matched vectors cross the network exactly
+            # once (guide §8: heavy bytes move once, after the
+            # lightweight shortlist decided what moves).
+            exact = (
+                rerank_base.select("id", "vec")
+                .join(shortlist.select("qid", "id"), on="id")
+                .join(queries.select(qid, qvec), on=qid)
+            )
+        else:
+            exact = rerank_base.join(
+                F.broadcast(shortlist.select("qid", "id")), on="id"
+            ).join(F.broadcast(queries.select(qid, qvec)), on=qid)
         # repartition BEFORE evaluating the exact distance: the top-k
         # window below requires hashpartitioning(qid) anyway, so this is
         # the SAME single exchange, just moved under the distance
@@ -1636,8 +1758,21 @@ def rabitq_search(
     centroid_rows: list | None = None,
     refine_mode: str = "rank",
     query_rows: list | None = None,
+    prune_codes: bool = True,
+    rerank_route: str = "broadcast",
 ) -> DataFrame:
     """Full two-phase Extended-RaBitQ search → (qid, rank, id, est_dist).
+
+    ``prune_codes=False`` (cogroup scorer only): skip the
+    probed-cluster semi-join on the codes side — for callers that know
+    the probe set covers every non-empty cluster (the ANN SELF-join:
+    each vector's rank-1 probe is its own cluster).  Always
+    result-safe; purely a plan choice.
+
+    ``rerank_route='shuffle'``: the exact rerank joins run as plain
+    equi-joins instead of broadcasting the shortlist + query vectors —
+    REQUIRED when the query side is corpus-sized (see _finalize_topk);
+    result-identical either way.
 
     ``full_probes=True`` is a caller assertion that nprobe ≥ the cluster
     count (e.g. the lossless ANN self-join dedup): the cogroup scorer
@@ -1718,11 +1853,12 @@ def rabitq_search(
         queries, codes, centroids, meta, nprobe, qid, qvec, scorer,
         estimator, broadcast_max_queries, probes, full_probes,
         centroid_rows, per_cluster_cut=None if refine is None else refine * k,
-        query_rows=query_rows,
+        query_rows=query_rows, prune_codes=prune_codes,
     )
     return _finalize_topk(
         scored, queries, k, refine, rerank_base, qid, qvec, refine_mode,
         dim=int(meta["dim"]),  # ip: meta dim is already the augmented width
+        rerank_route=rerank_route,
     )
 
 
@@ -1742,6 +1878,7 @@ def _scored_candidates(
     centroid_rows: list | None,
     per_cluster_cut: int | None,
     query_rows: list | None = None,
+    prune_codes: bool = True,
 ) -> DataFrame:
     """Phase-1 scorer routing shared by :func:`rabitq_search` and
     :func:`rabitq_threshold_stats` → (qid, id, est_dist, est_lb)."""
@@ -1765,6 +1902,7 @@ def _scored_candidates(
             queries, codes, centroids, meta, nprobe, qid, qvec, estimator, probes,
             per_cluster_cut=per_cluster_cut,
             full_probes=full_probes,
+            prune_codes=prune_codes,
         )
     if scorer == "sql":
         return _sql_scored(

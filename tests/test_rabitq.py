@@ -642,8 +642,64 @@ class TestCogroupScorer:
         )
         plan = I.physical_plan(res)
         assert "FlatMapCoGroupsInPandas" in plan
-        # probe selection (query-side window) is part of the same plan
-        assert "row_number" in plan.lower() or "WindowGroupLimit" in plan
+        # probe selection (fused map-only query prep, r11) is part of the
+        # same plan — and the W1 probe window it replaced (ordered by the
+        # cdist column) is GONE from the query side
+        assert "MapInPandas" in plan
+        assert "cdist" not in plan
+        idx.unpersist()
+
+    def test_fused_qprobe_bitwise_matches_declarative_chain(self, spark):
+        """_fused_qprobe (r11: rotate+probe+residual in ONE Arrow pass)
+        must reproduce the r10 declarative chain — select_probes'
+        unrolled-fold probe order and zip_with(qrot, centroid_rot)
+        residuals — BITWISE, at full probes and at nprobe < K."""
+        import pyspark.sql.functions as F
+
+        from extended_rabitq_spark.operators import rabitq
+        from extended_rabitq_spark.operators.ivf import select_probes
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        for nprobe, full in ((3, False), (99, True)):
+            fused = rabitq._fused_qprobe(
+                qs, cents_full, meta, nprobe, "qid", "qvec", full
+            )
+            qrot = rabitq.rotate_queries(qs, meta)
+            if full:
+                old = qrot.crossJoin(
+                    F.broadcast(cents_full.select("cluster_id", "centroid_rot"))
+                )
+            else:
+                probes = select_probes(
+                    qs, cents_full.select("cluster_id", "centroid"), nprobe,
+                    dim=int(meta["dim"]),
+                ).select("qid", "cluster_id")
+                old = probes.join(qrot, on="qid").join(
+                    F.broadcast(cents_full.select("cluster_id", "centroid_rot")),
+                    on="cluster_id",
+                )
+            old = old.select(
+                "qid", "cluster_id",
+                F.expr("zip_with(qrot, centroid_rot, (a, b) -> a - b)").alias("qr"),
+            )
+            f = {(r.qid, r.cluster_id): tuple(r.qr) for r in fused.collect()}
+            o = {(r.qid, r.cluster_id): tuple(r.qr) for r in old.collect()}
+            assert f == o and len(f) > 0, f"nprobe={nprobe} full={full}"
+        idx.unpersist()
+
+    def test_rerank_routes_identical(self, spark):
+        """rerank_route='shuffle' (the queries=corpus scale route, r11)
+        must be row-identical to the broadcast rerank."""
+        from extended_rabitq_spark.operators import rabitq
+
+        base, qs, idx, cents_full, meta = _search_fixture(spark)
+        kw = dict(nprobe=3, k=5, refine=4, rerank_base=base,
+                  scorer="arrow_cogroup")
+        bc = rabitq.rabitq_search(qs, idx, cents_full, meta, **kw)
+        sh = rabitq.rabitq_search(
+            qs, idx, cents_full, meta, rerank_route="shuffle", **kw
+        )
+        _assert_rank_identical(_res_map(bc), _res_map(sh), tol=0.0)
         idx.unpersist()
 
     def test_auto_routing_by_batch_size(self, spark):
