@@ -36,10 +36,7 @@ from ..localdf import local_rows_df
 from .knn import distance_col
 
 
-def label_centroids(
-    base: DataFrame, vec: str = "embedding", label: str = "label",
-    dim: int | None = None,
-) -> DataFrame:
+def label_centroids(base: DataFrame, vec: str = "embedding", label: str = "label") -> DataFrame:
     """Per-label mean vector → (cluster_id INT, centroid ARRAY<DOUBLE>).
 
     Rounding to 6 decimals makes the centroid values exactly reproducible
@@ -47,33 +44,25 @@ def label_centroids(
     grid is 9 orders of magnitude coarser), so every downstream distance
     computed from them matches bitwise.
 
-    Shape (r11, guide §2.3/§2.4): ONE groupBy with ``dim`` per-element
-    ``avg(get(vec, i))`` aggregates — map-side partial aggregation, a
-    K×dim-value shuffle, no row blowup.  The r10 form posexploded every
-    vector (N×dim rows through a hash aggregate) and paid a SECOND
-    shuffle for the collect_list/array_sort reassembly.  Values are the
-    same round(avg, 6) per (label, position) — avg over the same group
-    of the same doubles (``get`` yields NULL past a short row exactly
-    like posexplode yields no row, so ragged inputs average
-    identically).  ``dim`` skips the one-row width probe."""
-    if dim is None:
-        row = base.select(F.size(F.col(vec)).alias("d")).first()
-        if row is None or row["d"] is None or int(row["d"]) <= 0:
-            raise ValueError(
-                f"label_centroids: cannot probe the width of {vec!r} "
-                f"(empty input or NULL/empty first vector); pass dim="
-            )
-        dim = int(row["d"])
-    aggs = [
-        F.round(F.avg(F.expr(f"CAST(get({vec}, {i}) AS DOUBLE)")), 6).alias(f"_c{i}")
-        for i in range(dim)
-    ]
+    Shape note (r11, guide §1.3 — prototyped and REJECTED on
+    measurement): a one-groupBy rewrite with dim per-element
+    ``avg(get(vec, i))`` aggregates (no explode, no second shuffle)
+    measured SLOWER warm in an interleaved fresh-JVM A/B at sf0.1 —
+    knn_ivf 1.35–1.76s → 1.93–2.30s, semdedup 1.73–1.78s → 2.4–3.0s —
+    the wide-aggregate operator costs more per row than the exploded
+    hash aggregate saves in shuffles at fixture scale.  Kept the
+    explode form; revisit only with a ≥10⁶-row × high-dim measurement.
+    """
+    exploded = base.select(F.col(label), F.posexplode(F.col(vec)).alias("pos", "val"))
+    per_dim = exploded.groupBy(label, "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
+    )
     return (
-        base.groupBy(label)
-        .agg(*aggs)
+        per_dim.groupBy(label)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
             F.col(label).cast("int").alias("cluster_id"),
-            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+            F.expr("transform(pc, x -> x.c)").alias("centroid"),
         )
     )
 
