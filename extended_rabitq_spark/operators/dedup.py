@@ -1011,16 +1011,19 @@ def connected_components(
     small-star variant (O(log n) rounds) — same join shapes.
     Node ids must be integral (component_id = the numeric min).
     """
+    # persist() both loop-invariant frames LAZILY (r11): the old
+    # eager count() barriers cost one standalone job each before the
+    # loop; round 1's single job now materializes them while it runs
+    # (both sides are reused every round, so the persists themselves
+    # stay load-bearing).
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .persist()
     )
-    edges.count()
     lbl = nodes.select(
         F.col(id_).alias("id"), F.col(id_).cast("long").alias("comp")
     ).persist()
-    lbl.count()
     prev_frame = lbl  # the persisted/checkpointed frame to release
     converged = False
     try:
@@ -1048,7 +1051,12 @@ def connected_components(
                     # at sf0.1)
                     (new_comp < F.col("comp")).alias("_ch"),
                 )
-                .transform(_stage_eager)  # cut lineage each round
+                # LAZY checkpoint (r11): the convergence count below is
+                # the round's first action, so it triggers the
+                # materialization itself — one job per round instead of
+                # the eager barrier + count pair (the checkpoint still
+                # cuts lineage; later rounds read the stored blocks).
+                .transform(_stage_lazy)
             )
             changed = new.where(F.col("_ch")).count()
             prev_frame.unpersist()  # bound storage: newest frame only
