@@ -47,6 +47,23 @@ from ..staging import stage_eager as _stage_eager, stage_lazy as _stage_lazy
 from ..functions import vector as V
 
 
+def _require_width(df: DataFrame, vec: str, dim: int, ctx: str) -> DataFrame:
+    """In-plan width guard (ADVICE r10, medium): the PQ subspace split
+    must cover the whole vector — ``m * dsub == size(vec)``.  A wider
+    vector would silently truncate every dim-specialized distance and
+    every subspace slice downstream (the "exact"-looking ADC estimates
+    would quietly ignore the tail).  ``assert_true`` is NULL on success,
+    so the filter keeps every row (results and hashes unchanged for
+    valid data) and THROWS on the first mismatching row; cost is one
+    O(1) ``size()`` per row, no shuffle, no extra pass."""
+    return df.where(
+        F.expr(
+            f"assert_true(size({vec}) = {dim}, "
+            f"'{ctx}: vector width != m*dsub = {dim}') IS NULL"
+        )
+    )
+
+
 def _sub_explode(df: DataFrame, vec: str, m: int, dsub: int, out: str) -> DataFrame:
     """Explode a vector column into (…, sub_id INT, <out> ARRAY) — one
     generator projection, slices taken from the materialized column."""
@@ -119,6 +136,8 @@ def pq_adc_knn(
     """PQ-ADC search → (qid, rank, id, dist): estimate on decoded
     codewords, exact fp32 re-rank on the broadcast shortlist."""
     dim = m * dsub  # the PQ subspace split covers the whole vector
+    base = _require_width(base, "vec", dim, "pq_adc_knn")
+    queries = _require_width(queries, "qvec", dim, "pq_adc_knn")
     decoded = pq_decode(pq_encode(base, codebooks, m, dsub), codebooks)
     wc = Window.partitionBy("qid").orderBy(F.col("dist_q").asc(), F.col("id").asc())
     cand = (
@@ -210,6 +229,8 @@ def ivfpq_knn(
     from .ivf import assign_clusters, select_probes
 
     dim = m * dsub  # the PQ subspace split covers the whole vector
+    base = _require_width(base, "vec", dim, "ivfpq_knn")
+    queries = _require_width(queries, "qvec", dim, "ivfpq_knn")
     assigned = assign_clusters(base, centroids, dim=dim)  # (id, vec, cluster_id)
     # Pinned (localCheckpoint): the residual table feeds THREE plan
     # branches (codebook derivation, the encode join, and the

@@ -83,6 +83,35 @@ class TestPQSearch:
         assert rec >= 0.3, rec
 
 
+class TestWidthGuard:
+    """ADVICE r10 (medium): m*dsub must equal the true vector width —
+    a wider vector would silently truncate the dim-specialized kernels.
+    The in-plan assert_true guard must throw instead."""
+
+    def test_mismatched_width_raises(self, spark):
+        q, b, cb = _frames(spark, nq=5)
+        with pytest.raises(Exception, match="vector width"):
+            # m*dsub = 32 < the fixture's 64-wide vectors
+            pq.pq_adc_knn(q, b, cb, m=2, dsub=16, coarse_k=10, k=5).collect()
+
+    def test_mismatched_width_raises_ivfpq(self, spark):
+        q, b, _ = _frames(spark, nq=5)
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        cents = ivf_ops.label_centroids(emb.where(F.col("vec_id") >= 5))
+        with pytest.raises(Exception, match="vector width"):
+            pq.ivfpq_knn(q, b, cents, m=2, dsub=16, nprobe=2, coarse_k=10, k=5).collect()
+
+    def test_matching_width_unchanged(self, spark):
+        """The guard keeps every row: results identical to brute force
+        at full coarse_k (the exactness theorem test, re-asserted with
+        the guard in the plan)."""
+        q, b, cb = _frames(spark, nq=5)
+        n = b.count()
+        got = sorted(map(tuple, pq.pq_adc_knn(q, b, cb, M, DSUB, coarse_k=n, k=10).collect()))
+        want = sorted(map(tuple, knn.exact_knn(q, b, k=10).collect()))
+        assert got == want
+
+
 class TestPQTrainer:
     def test_trained_beats_label_means_on_distortion(self, spark):
         """Per-subspace Lloyd's with ksub=32 must reconstruct with lower
