@@ -241,7 +241,7 @@ def ivfpq_knn(
     # index, then search it" staging save_ivfpq_index does on disk.
     res = assigned.join(F.broadcast(centroids), "cluster_id").select(
         "id", "cluster_id", F.expr(V.sub("vec", "centroid")).alias("rvec")
-    ).transform(_stage_eager)
+    ).transform(_stage_lazy)
     res_subs = _sub_explode(res.select("id", "rvec"), "rvec", m, dsub, "sv").select(
         "id", "sub_id", "sv"
     )
