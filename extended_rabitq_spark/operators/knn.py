@@ -101,11 +101,20 @@ def exact_knn(
     queries, base, dist = _pairwise_dist(metric, queries, base, qid, qvec, id_, vec, dim)
     pairs = base.crossJoin(F.broadcast(queries))
     w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(id_).asc())
+    # One projection for rank + output order instead of the
+    # withColumn/where/select chain (r11): every DataFrame op re-analyzes
+    # the accumulated plan eagerly, and the unrolled distance tree makes
+    # each pass ~25-35ms of driver time per build — same plan semantics,
+    # one fewer analysis pass.
     return (
         pairs.select(F.col(qid), F.col(id_), dist.alias("dist"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col(qid),
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.col(id_),
+            F.col("dist"),
+        )
         .where(F.col("rank") <= k)
-        .select(qid, "rank", id_, "dist")
     )
 
 
