@@ -107,9 +107,12 @@ def assign_clusters(
     pairs = base.crossJoin(F.broadcast(centroids))
     dist = distance_col(metric, vec, "centroid", dim)
     w = Window.partitionBy(id_).orderBy(F.col("_adist").asc(), F.col("cluster_id").asc())
+    # rank projected in one pass instead of withColumn (r11): each
+    # DataFrame op re-analyzes the accumulated plan (with the unrolled
+    # distance tree in it) eagerly — same plan, one fewer pass
     return (
         pairs.select(F.col(id_), F.col(vec), F.col("cluster_id"), dist.alias("_adist"))
-        .withColumn("_rn", F.row_number().over(w))
+        .select(F.col(id_), F.col(vec), F.col("cluster_id"), F.row_number().over(w).alias("_rn"))
         .where(F.col("_rn") == 1)
         .select(id_, vec, "cluster_id")
     )
@@ -194,7 +197,10 @@ def cell_stats(
     w = Window.partitionBy(id_).orderBy(F.col("_adist").asc(), F.col("cluster_id").asc())
     asn = (
         pairs.select(F.col(id_), F.col("cluster_id"), dist.alias("_adist"))
-        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.col(id_), F.col("cluster_id"), F.col("_adist"),
+            F.row_number().over(w).alias("_rn"),
+        )
         .where(F.col("_rn") == 1)
     )
     return asn.groupBy("cluster_id").agg(
@@ -222,7 +228,10 @@ def select_probes(
     w = Window.partitionBy(qid).orderBy(F.col("cdist").asc(), F.col("cluster_id").asc())
     return (
         pairs.select(F.col(qid), F.col("cluster_id"), dist.alias("cdist"))
-        .withColumn("probe_rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col(qid), F.col("cluster_id"), F.col("cdist"),
+            F.row_number().over(w).cast("long").alias("probe_rank"),
+        )
         .where(F.col("probe_rank") <= nprobe)
     )
 
@@ -317,7 +326,10 @@ def select_probes_hier(
     w = Window.partitionBy(qid).orderBy(F.col("cdist").asc(), F.col("cluster_id").asc())
     return (
         cand.select(F.col(qid), F.col("cluster_id"), dist.alias("cdist"))
-        .withColumn("probe_rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col(qid), F.col("cluster_id"), F.col("cdist"),
+            F.row_number().over(w).cast("long").alias("probe_rank"),
+        )
         .where(F.col("probe_rank") <= nprobe)
     )
 
@@ -354,9 +366,13 @@ def ivf_search(
     w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(id_).asc())
     return (
         cand.select(F.col(qid), F.col(id_), dist.alias("dist"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col(qid),
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.col(id_),
+            F.col("dist"),
+        )
         .where(F.col("rank") <= k)
-        .select(qid, "rank", id_, "dist")
     )
 
 

@@ -96,10 +96,12 @@ def encode_subs(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
     w = Window.partitionBy("id", "sub_id").orderBy(
         F.col("sdist").asc(), F.col("code").asc()
     )
+    # rank projected with the distance in two fused passes instead of
+    # the double-withColumn chain (r11): one fewer eager plan analysis
     return (
         subs.join(F.broadcast(codebooks), "sub_id")
-        .withColumn("sdist", F.expr(V.l2sq("sv", "cw")))
-        .withColumn("rn", F.row_number().over(w))
+        .select("id", "sub_id", "code", F.expr(V.l2sq("sv", "cw")).alias("sdist"))
+        .select("id", "sub_id", "code", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") == 1)
         .select("id", "sub_id", "code")
     )
@@ -143,7 +145,7 @@ def pq_adc_knn(
     cand = (
         decoded.crossJoin(F.broadcast(queries))
         .select("qid", "id", "qvec", F.expr(V.l2sq("qvec", "dvec", dim)).alias("dist_q"))
-        .withColumn("crank", F.row_number().over(wc).cast("bigint"))
+        .select("qid", "id", "qvec", F.row_number().over(wc).cast("bigint").alias("crank"))
         .where(F.col("crank") <= coarse_k)
     )
     wf = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
@@ -155,9 +157,11 @@ def pq_adc_knn(
     out = (
         base.join(F.broadcast(cand.select("qid", "id", "qvec")), "id")
         .select("qid", "id", F.expr(V.l2sq("qvec", "vec")).alias("dist"))
-        .withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .select(
+            "qid", F.row_number().over(wf).cast("bigint").alias("rank"), "id", "dist"
+        )
     )
-    return out.where(F.col("rank") <= k).select("qid", "rank", "id", "dist")
+    return out.where(F.col("rank") <= k)
 
 
 def residual_octant_codebooks(res_subs: DataFrame) -> DataFrame:
@@ -286,7 +290,7 @@ def ivfpq_knn(
         approx.join(F.broadcast(probes.select("qid", "cluster_id")), "cluster_id")
         .join(F.broadcast(queries), "qid")
         .select("qid", "id", "qvec", F.expr(V.l2sq("qvec", "avec", dim)).alias("dist_q"))
-        .withColumn("crank", F.row_number().over(wc).cast("bigint"))
+        .select("qid", "id", "qvec", F.row_number().over(wc).cast("bigint").alias("crank"))
         .where(F.col("crank") <= coarse_k)
     )
     wf = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
@@ -296,9 +300,10 @@ def ivfpq_knn(
     return (
         base.join(F.broadcast(cand.select("qid", "id", "qvec")), "id")
         .select("qid", "id", F.expr(V.l2sq("qvec", "vec")).alias("dist"))
-        .withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .select(
+            "qid", F.row_number().over(wf).cast("bigint").alias("rank"), "id", "dist"
+        )
         .where(F.col("rank") <= k)
-        .select("qid", "rank", "id", "dist")
     )
 
 

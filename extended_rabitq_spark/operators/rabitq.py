@@ -1622,10 +1622,17 @@ def _finalize_topk(
             "qid", "id", distance_col("l2", qvec, "vec", dim).alias("est_dist")
         )
     w = Window.partitionBy("qid").orderBy(F.col("est_dist").asc(), F.col("id").asc())
+    # rank + output order in one projection (r11): one fewer eager plan
+    # analysis per search build (the withColumn/where/select chain
+    # re-analyzed the whole scored-candidate plan each op)
     return (
-        shortlist.withColumn("rank", F.row_number().over(w).cast("long"))
+        shortlist.select(
+            "qid",
+            F.row_number().over(w).cast("long").alias("rank"),
+            "id",
+            "est_dist",
+        )
         .where(F.col("rank") <= k)
-        .select("qid", "rank", "id", "est_dist")
     )
 
 
